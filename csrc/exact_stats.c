@@ -1,0 +1,131 @@
+/* exact_stats.c — native exact statistical kernels for lofreq_tpu.
+ *
+ * Host-side float64/long-double math that must be bit-identical to a
+ * glibc/libm evaluation (numpy's SIMD transcendentals differ in the last
+ * ulp, which is observable after integer phred truncation).  The TPU device
+ * kernels screen in f32; every candidate that survives screening is
+ * confirmed here.
+ *
+ * Batch-first API: one call processes B pileup columns laid out as dense
+ * row-major arrays.  Semantics follow the reference engine's pruned DP
+ * (see /root/reference/src/lofreq/snpcaller.c:830 for the original
+ * column-at-a-time formulation; this is a re-derivation, not a port).
+ *
+ * Build: gcc -O2 -shared -fPIC -o liblofreq_exact.so exact_stats.c -lm
+ */
+
+#include <float.h>
+#include <math.h>
+#include <stdint.h>
+#include <string.h>
+
+#define LOGZERO -1e100
+
+/* log(exp(a) + exp(b)), stable */
+static inline double lse2(double a, double b)
+{
+    return (a > b) ? a + log1p(exp(b - a)) : b + log1p(exp(a - b));
+}
+
+/* Per-read log(p) / log(1-p) with the epsilon clamps the reference engine
+ * applies for p ~ 0 and p ~ 1. */
+static inline void logp_pair(double p, double *lp, double *l1p)
+{
+    *lp = (fabs(p) < DBL_EPSILON) ? log(DBL_EPSILON) : log(p);
+    *l1p = (fabs(p - 1.0) < DBL_EPSILON) ? log1p(-p + DBL_EPSILON) : log1p(-p);
+}
+
+/* Poisson-binomial pruned DP over a batch of columns.
+ *
+ * probs:  [B * Dmax]  ascending-sorted error probs per column
+ * depths: [B]         valid prob count per column (N)
+ * ks:     [B]         tail threshold per column (K >= 1)
+ * bonf:   [B]         per-column Bonferroni factor for the early-exit test
+ * state:  [B * (Kmax+1)] out, log-space cells; cell K accumulates P(X>=K)
+ * n_done: [B]         out, reads processed before (early) exit
+ *
+ * Cells 0..K-1 hold log P(X = k) after n_done reads; cell K holds
+ * log P(X >= K).  Early exit freezes the (truncated) distribution as soon
+ * as expl(cell K) * bonf > sig with n > K — observable downstream via the
+ * source-quality computation, hence reproduced faithfully.
+ */
+void lfq_poissbin_dp_batch(
+    const double *probs, const int64_t *depths, const int64_t *ks,
+    const double *bonf, double sig,
+    int64_t B, int64_t Dmax, int64_t Kmax,
+    double *state, int64_t *n_done)
+{
+    int64_t stride = Kmax + 1;
+    for (int64_t b = 0; b < B; b++) {
+        double *st = state + b * stride;
+        const double *pp = probs + b * Dmax;
+        int64_t N = depths[b];
+        int64_t K = ks[b];
+        for (int64_t k = 0; k <= Kmax; k++)
+            st[k] = LOGZERO;
+        st[0] = 0.0;
+        int64_t n = 0;
+        for (n = 1; n <= N; n++) {
+            double lp, l1p;
+            logp_pair(pp[n - 1], &lp, &l1p);
+            /* tail cell K: no (1-p) factor once reachable */
+            if (K <= n)
+                st[K] = (n == K) ? st[K - 1] + lp
+                                 : lse2(st[K], st[K - 1] + lp);
+            int64_t hi = (n < K - 1) ? n : K - 1;
+            for (int64_t k = hi; k >= 1; k--)
+                st[k] = lse2(st[k] + l1p, st[k - 1] + lp);
+            st[0] = st[0] + l1p;
+            if (n > K) {
+                long double pv = expl((long double)st[K]);
+                if (pv < LDBL_MIN) pv = LDBL_MIN;
+                if (pv * (long double)bonf[b] > (long double)sig)
+                    break;
+            }
+        }
+        n_done[b] = (n > N) ? N : n;
+    }
+}
+
+/* Log-space tail sums: out[b] = log sum_{k=start[b]}^{ks[b]} exp(state[b,k]),
+ * accumulated left to right. */
+void lfq_tailsum_batch(
+    const double *state, const int64_t *starts, const int64_t *ks,
+    int64_t B, int64_t Kmax, double *out)
+{
+    int64_t stride = Kmax + 1;
+    for (int64_t b = 0; b < B; b++) {
+        const double *st = state + b * stride;
+        double acc = st[starts[b]];
+        for (int64_t k = starts[b] + 1; k <= ks[b]; k++)
+            acc = lse2(acc, st[k]);
+        out[b] = acc;
+    }
+}
+
+/* libm log applied elementwise (for places where numpy's SIMD log would
+ * diverge in the last ulp). */
+void lfq_log_vec(const double *x, int64_t n, double *out)
+{
+    for (int64_t i = 0; i < n; i++)
+        out[i] = log(x[i]);
+}
+
+void lfq_log1p_vec(const double *x, int64_t n, double *out)
+{
+    for (int64_t i = 0; i < n; i++)
+        out[i] = log1p(x[i]);
+}
+
+void lfq_exp_vec(const double *x, int64_t n, double *out)
+{
+    for (int64_t i = 0; i < n; i++)
+        out[i] = exp(x[i]);
+}
+
+/* pow(10, -q/10) elementwise (phred->prob on arbitrary int arrays) */
+void lfq_phred2prob_vec(const int64_t *q, int64_t n, double *out)
+{
+    for (int64_t i = 0; i < n; i++)
+        out[i] = pow(10.0, -0.1 * (double)q[i]);
+}

@@ -1,0 +1,224 @@
+"""BGZF (blocked gzip) reader/writer.
+
+BGZF is a series of gzip members, each with an extra subfield (SI 'BC')
+holding the total compressed block size; blocks hold <= 65536 bytes of
+uncompressed payload.  Used for BAM and bgzipped VCF.  Equivalent role to
+htslib's bgzf.{c,h} which the reference links (e.g. vcf.c uses BGZF for .gz
+VCFs).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import zlib
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+_MAX_BLOCK_PAYLOAD = 65280  # htslib default
+
+
+class BgzfError(IOError):
+    pass
+
+
+def _read_block(fh):
+    """Read one BGZF block. Returns (payload_bytes, compressed_size) or
+    (None, 0) at EOF."""
+    header = fh.read(12)
+    if len(header) == 0:
+        return None, 0
+    if len(header) < 12:
+        raise BgzfError("truncated BGZF header")
+    magic1, magic2, method, flags, _mtime, _xfl, _os, xlen = struct.unpack(
+        "<BBBBIBBH", header
+    )
+    if magic1 != 0x1F or magic2 != 0x8B or method != 8 or not (flags & 4):
+        raise BgzfError("not a BGZF block")
+    extra = fh.read(xlen)
+    bsize = None
+    off = 0
+    while off + 4 <= len(extra):
+        si1, si2, slen = struct.unpack_from("<BBH", extra, off)
+        if si1 == 66 and si2 == 67 and slen == 2:
+            bsize = struct.unpack_from("<H", extra, off + 4)[0] + 1
+        off += 4 + slen
+    if bsize is None:
+        raise BgzfError("BGZF block without BC subfield")
+    cdata_len = bsize - 12 - xlen - 8
+    cdata = fh.read(cdata_len)
+    tail = fh.read(8)
+    if len(cdata) < cdata_len or len(tail) < 8:
+        raise BgzfError("truncated BGZF block")
+    crc, isize = struct.unpack("<II", tail)
+    payload = zlib.decompress(cdata, wbits=-15)
+    if len(payload) != isize:
+        raise BgzfError("BGZF ISIZE mismatch")
+    return payload, bsize
+
+
+class BgzfReader(io.RawIOBase):
+    """Streaming BGZF decompressor with virtual-offset support.
+
+    Virtual offsets are (coffset << 16) | uoffset as in htslib, enabling
+    BAI/TBI-style random access.
+    """
+
+    def __init__(self, path_or_fh):
+        if isinstance(path_or_fh, (str, os.PathLike)):
+            self._fh = open(path_or_fh, "rb")
+            self._own = True
+        else:
+            self._fh = path_or_fh
+            self._own = False
+        self._block = b""
+        self._block_coffset = 0  # file offset of current block
+        self._within = 0  # offset within current block
+        self._eof = False
+
+    # -- virtual offsets ------------------------------------------------
+    def tell_virtual(self) -> int:
+        return (self._block_coffset << 16) | self._within
+
+    def seek_virtual(self, voffset: int) -> None:
+        coffset = voffset >> 16
+        uoffset = voffset & 0xFFFF
+        self._fh.seek(coffset)
+        self._block_coffset = coffset
+        self._eof = False
+        payload, _ = _read_block(self._fh)
+        if payload is None:
+            self._block = b""
+            self._eof = True
+            self._within = 0
+            return
+        self._block = payload
+        self._within = uoffset
+
+    # -- reading --------------------------------------------------------
+    def _fill(self) -> bool:
+        while self._within >= len(self._block):
+            coffset = self._fh.tell()
+            payload, _ = _read_block(self._fh)
+            if payload is None:
+                self._eof = True
+                return False
+            self._block_coffset = coffset
+            self._block = payload
+            self._within = 0
+            # zero-length blocks (EOF marker) are skipped by the loop
+        return True
+
+    def read(self, n=-1):
+        out = []
+        if n is None or n < 0:
+            while self._fill():
+                out.append(self._block[self._within:])
+                self._within = len(self._block)
+            return b"".join(out)
+        remaining = n
+        while remaining > 0:
+            if not self._fill():
+                break
+            chunk = self._block[self._within : self._within + remaining]
+            self._within += len(chunk)
+            remaining -= len(chunk)
+            out.append(chunk)
+        return b"".join(out)
+
+    def readable(self):
+        return True
+
+    def readline(self, size=-1):
+        out = []
+        while True:
+            if not self._fill():
+                break
+            idx = self._block.find(b"\n", self._within)
+            if idx >= 0:
+                out.append(self._block[self._within : idx + 1])
+                self._within = idx + 1
+                break
+            out.append(self._block[self._within :])
+            self._within = len(self._block)
+        return b"".join(out)
+
+    def close(self):
+        if self._own:
+            self._fh.close()
+        super().close()
+
+
+class BgzfWriter(io.RawIOBase):
+    def __init__(self, path_or_fh, level=6):
+        if isinstance(path_or_fh, (str, os.PathLike)):
+            self._fh = open(path_or_fh, "wb")
+            self._own = True
+        else:
+            self._fh = path_or_fh
+            self._own = False
+        self._level = level
+        self._buf = bytearray()
+
+    def tell_virtual(self) -> int:
+        return (self._fh.tell() << 16) | len(self._buf)
+
+    def write(self, data) -> int:
+        self._buf += data
+        while len(self._buf) >= _MAX_BLOCK_PAYLOAD:
+            self._write_block(bytes(self._buf[:_MAX_BLOCK_PAYLOAD]))
+            del self._buf[:_MAX_BLOCK_PAYLOAD]
+        return len(data)
+
+    def _write_block(self, payload: bytes):
+        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        cdata = co.compress(payload) + co.flush()
+        bsize = len(cdata) + 12 + 6 + 8
+        if bsize > 65536:
+            # incompressible payload: store shorter block
+            half = len(payload) // 2
+            self._write_block(payload[:half])
+            self._write_block(payload[half:])
+            return
+        header = struct.pack(
+            "<BBBBIBBHBBHH",
+            0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6, 66, 67, 2, bsize - 1,
+        )
+        tail = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload))
+        self._fh.write(header + cdata + tail)
+
+    def flush_block(self):
+        if self._buf:
+            self._write_block(bytes(self._buf))
+            self._buf.clear()
+
+    def writable(self):
+        return True
+
+    def close(self):
+        if self.closed:
+            return
+        self.flush_block()
+        self._fh.write(BGZF_EOF)
+        if self._own:
+            self._fh.close()
+        else:
+            self._fh.flush()
+        super().close()
+
+
+def is_bgzf(path) -> bool:
+    with open(path, "rb") as fh:
+        head = fh.read(18)
+    if len(head) < 18 or head[0] != 0x1F or head[1] != 0x8B:
+        return False
+    return head[3] & 4 != 0 and head[12] == 66 and head[13] == 67
+
+
+def is_gzip(path) -> bool:
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+    return head == b"\x1f\x8b"

@@ -1,0 +1,109 @@
+"""Loader for the native (C) exact-math library.
+
+Builds csrc/*.c into a shared library on first use (gcc is part of the
+supported environment) and exposes ctypes bindings.  The build is cached
+next to the sources keyed on mtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CSRC = os.path.join(_ROOT, "csrc")
+_BUILD = os.path.join(_CSRC, "build")
+
+_lock = threading.Lock()
+_lib = None
+
+_i64 = ctypes.POINTER(ctypes.c_int64)
+_f64 = ctypes.POINTER(ctypes.c_double)
+
+
+def _build_lib() -> str:
+    src = os.path.join(_CSRC, "exact_stats.c")
+    out = os.path.join(_BUILD, "liblofreq_exact.so")
+    os.makedirs(_BUILD, exist_ok=True)
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    tmp = out + f".tmp{os.getpid()}"
+    subprocess.run(
+        ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, src, "-lm"],
+        check=True, capture_output=True,
+    )
+    os.replace(tmp, out)
+    return out
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build_lib())
+            lib.lfq_poissbin_dp_batch.argtypes = [
+                _f64, _i64, _i64, _f64, ctypes.c_double,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f64, _i64,
+            ]
+            lib.lfq_tailsum_batch.argtypes = [
+                _f64, _i64, _i64, ctypes.c_int64, ctypes.c_int64, _f64,
+            ]
+            for name in ("lfq_log_vec", "lfq_log1p_vec", "lfq_exp_vec"):
+                getattr(lib, name).argtypes = [_f64, ctypes.c_int64, _f64]
+            lib.lfq_phred2prob_vec.argtypes = [_i64, ctypes.c_int64, _f64]
+            _lib = lib
+    return _lib
+
+
+def _ptr(a, typ):
+    return a.ctypes.data_as(typ)
+
+
+def poissbin_dp_batch(probs, depths, ks, bonf, sig):
+    """Native batch DP. probs [B,Dmax] f64 C-contiguous; returns
+    (state [B,Kmax+1], n_done [B])."""
+    lib = get_lib()
+    probs = np.ascontiguousarray(probs, dtype=np.float64)
+    depths = np.ascontiguousarray(depths, dtype=np.int64)
+    ks = np.ascontiguousarray(ks, dtype=np.int64)
+    B, Dmax = probs.shape
+    bonf = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(bonf, dtype=np.float64), (B,))
+    )
+    Kmax = int(ks.max()) if B else 0
+    state = np.empty((B, Kmax + 1), dtype=np.float64)
+    n_done = np.empty(B, dtype=np.int64)
+    if B:
+        lib.lfq_poissbin_dp_batch(
+            _ptr(probs, _f64), _ptr(depths, _i64), _ptr(ks, _i64),
+            _ptr(bonf, _f64), float(sig), B, Dmax, Kmax,
+            _ptr(state, _f64), _ptr(n_done, _i64),
+        )
+    return state, n_done
+
+
+def tailsum_batch(state, starts, ks):
+    lib = get_lib()
+    state = np.ascontiguousarray(state, dtype=np.float64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ks = np.ascontiguousarray(ks, dtype=np.int64)
+    B, KP1 = state.shape
+    out = np.empty(B, dtype=np.float64)
+    if B:
+        lib.lfq_tailsum_batch(
+            _ptr(state, _f64), _ptr(starts, _i64), _ptr(ks, _i64),
+            B, KP1 - 1, _ptr(out, _f64),
+        )
+    return out
+
+
+def libm_log(x):
+    lib = get_lib()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    lib.lfq_log_vec(_ptr(x, _f64), x.size, _ptr(out, _f64))
+    return out

@@ -1,0 +1,12 @@
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+# Tests run on a virtual 8-device CPU mesh; real-TPU runs use the axon
+# platform selected by the environment.
+jax.config.update("jax_platforms", "cpu")

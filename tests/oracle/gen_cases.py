@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Test-case generator/packer for the poissbin golden file."""
+
+import json
+import sys
+
+import numpy as np
+
+
+def make_cases():
+    rng = np.random.default_rng(20260816)
+    cases = []
+
+    def add(probs, k, bonf, sig):
+        probs = np.sort(np.asarray(probs, dtype=np.float64))
+        cases.append(
+            dict(n=len(probs), k=int(k), bonf=float(bonf), sig=float(sig),
+                 probs=[float(x) for x in probs])
+        )
+
+    # simple sanity cases
+    add([0.001] * 10, 1, 1, 1)
+    add([0.01, 0.02, 0.03, 0.2, 0.5], 2, 1, 1)
+    # phred-like probs, varying N/K, large bonf (call-like)
+    for n in (5, 20, 100, 500, 2000):
+        for k in (1, 2, 3, 5, 8):
+            if k > n:
+                continue
+            probs = 10 ** (-rng.uniform(0.6, 6.0, n))
+            add(probs, k, 30000, 0.01)
+    # early-exit cases (source-qual-like: bonf=1, sig=0.05)
+    for n in (30, 75, 150, 1000):
+        for k in (1, 2, 4):
+            probs = 10 ** (-rng.uniform(0.3, 4.0, n))
+            add(probs, k, 1, 0.05)
+    # clamp cases: zeros and ones in the prob vector
+    add([0.0] * 5 + [0.5] * 5, 2, 1, 1)
+    add([1e-320, 1e-300, 0.3, 1.0, 1.0], 3, 1, 1)
+    add([0.0, 1.0], 1, 1, 1)
+    # big-K consensus-like columns
+    probs = 10 ** (-rng.uniform(1.0, 4.0, 300))
+    add(probs, 150, 1000, 0.01)
+    add(probs, 299, 1000, 0.01)
+    # dense high-error
+    add(rng.uniform(0.01, 0.99, 50), 10, 1, 0.05)
+    return cases
+
+
+def emit_input(cases):
+    for c in cases:
+        print(c["n"], c["k"], c["bonf"], c["sig"],
+              " ".join(repr(p) for p in c["probs"]))
+
+
+def pack(cases_file, golden_file, out_file):
+    cases = make_cases()
+    with open(golden_file) as fh:
+        lines = [l.split() for l in fh if l.strip()]
+    assert len(lines) == len(cases), (len(lines), len(cases))
+    for c, parts in zip(cases, lines):
+        c["pvalue"] = parts[0]
+        c["probvec_hex"] = parts[1:]
+    with open(out_file, "w") as fh:
+        json.dump(cases, fh, indent=1)
+
+
+if __name__ == "__main__":
+    if "--emit-input" in sys.argv:
+        emit_input(make_cases())
+    elif "--pack" in sys.argv:
+        i = sys.argv.index("--pack")
+        pack(*sys.argv[i + 1 : i + 4])
+    else:
+        sys.exit("usage: gen_cases.py --emit-input | --pack cases golden out")
