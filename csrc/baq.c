@@ -1,0 +1,518 @@
+/* baq.c — batched banded glocal HMM for base-alignment quality (BAQ) and
+ * indel-alignment quality (IDAQ).
+ *
+ * Native exact implementation of the probabilistic realignment used by the
+ * reference engine (see /root/reference/src/lofreq/kprobaln_ext.c:80 and
+ * bam_md_ext.c:73,260 for the original per-read formulation; this is a
+ * re-derivation with a batch-first API).  A forward/backward pass over a
+ * banded 3-state (M/I/D) profile HMM yields per-base MAP posteriors (BAQ)
+ * and, via posterior sums over repeat-equivalent indel placements, per-indel
+ * alignment qualities.
+ *
+ * Double precision throughout, with the same quirks that are observable in
+ * the reference's output:
+ *   - the phred->prob table is rounded through float (g_qual2prob)
+ *   - row 1 of the forward pass rescales by division, later rows by
+ *     multiplication with the reciprocal
+ *   - band-limit guards (u < 3 || u >= bw2*3+3) skip out-of-band cells
+ *   - cigar ops >16 bases long skip IDAQ *without* advancing coordinates
+ *
+ * Build: gcc -O2 -shared -fPIC -o liblofreq_baq.so baq.c -lm
+ */
+
+#include <float.h>
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define EI 0.25
+#define EM 0.33333333333
+
+/* cigar ops */
+#define OP_M 0
+#define OP_I 1
+#define OP_D 2
+#define OP_N 3
+#define OP_S 4
+#define OP_H 5
+#define OP_EQ 7
+#define OP_X 8
+
+#define SANGER_PHRED_MAX 93
+
+static inline int band_u(int bw, int i, int k)
+{
+    int x = i - bw;
+    if (x < 0) x = 0;
+    return (k - x + 1) * 3;
+}
+
+static inline int u_ok(int u, int bw)
+{
+    int bw2 = bw * 2 + 1;
+    return !(u < 3 || u >= bw2 * 3 + 3);
+}
+
+static float q2p_tab[256];
+static int q2p_init_done = 0;
+
+static void q2p_init(void)
+{
+    if (!q2p_init_done) {
+        for (int i = 0; i < 256; i++)
+            q2p_tab[i] = pow(10, -i / 10.);
+        q2p_init_done = 1;
+    }
+}
+
+/* base code tables: ASCII -> 0..4 (A C G T other) */
+static uint8_t base_code[256];
+static int base_code_init_done = 0;
+
+static void base_code_init(void)
+{
+    if (!base_code_init_done) {
+        memset(base_code, 4, 256);
+        base_code['A'] = base_code['a'] = 0;
+        base_code['C'] = base_code['c'] = 1;
+        base_code['G'] = base_code['g'] = 2;
+        base_code['T'] = base_code['t'] = 3;
+        base_code_init_done = 1;
+    }
+}
+
+/* Banded glocal fwd/bwd.  Outputs: state[l_query] (MAP ref-pos<<2|type),
+ * q[l_query] (phred posterior), pd (posterior matrix, (l_query+1) rows of
+ * (2*bw+1)*3+6 doubles) — pd may be NULL.  Returns effective band width. */
+static int glocal(const uint8_t *ref_codes, int l_ref,
+                  const uint8_t *query_codes, int l_query,
+                  const uint8_t *iqual, double par_d, double par_e, int par_bw,
+                  int *state, uint8_t *q, double *pd, int pd_stride)
+{
+    q2p_init();
+    if (l_ref <= 0 || l_query <= 0)
+        return 0;
+    const uint8_t *refb = ref_codes - 1;    /* 1-based */
+    const uint8_t *qseq = query_codes - 1;
+    int bw = l_ref > l_query ? l_ref : l_query;
+    if (bw > par_bw) bw = par_bw;
+    if (bw < abs(l_ref - l_query)) bw = abs(l_ref - l_query);
+    int bw2 = bw * 2 + 1;
+    int ncell = bw2 * 3 + 6;
+
+    double *f = calloc((size_t)(l_query + 1) * ncell, sizeof(double));
+    double *bmat = calloc((size_t)(l_query + 1) * ncell, sizeof(double));
+    double *s = calloc(l_query + 2, sizeof(double));
+    float *qual = malloc(l_query * sizeof(float));
+    for (int i = 0; i < l_query; i++)
+        qual[i] = q2p_tab[iqual ? iqual[i] : 30];
+    float *qualb = qual - 1;
+
+    double sM, sI, m[9], bM, bI;
+    sM = sI = 1. / (2 * l_query + 2);
+    m[0] = (1 - par_d - par_d) * (1 - sM); m[1] = m[2] = par_d * (1 - sM);
+    m[3] = (1 - par_e) * (1 - sI); m[4] = par_e * (1 - sI); m[5] = 0.;
+    m[6] = 1 - par_e; m[7] = 0.; m[8] = par_e;
+    bM = (1 - par_d) / l_ref;
+    bI = par_d / l_ref;
+
+#define F(i) (f + (size_t)(i) * ncell)
+#define B(i) (bmat + (size_t)(i) * ncell)
+
+    /* forward */
+    {
+        int k = band_u(bw, 0, 0);
+        F(0)[k] = 1.;
+        s[0] = 1.;
+    }
+    {
+        double *fi = F(1), sum = 0.;
+        int beg = 1, end = l_ref < bw + 1 ? l_ref : bw + 1;
+        for (int k = beg; k <= end; ++k) {
+            double e = (refb[k] > 3 || qseq[1] > 3) ? 1.
+                       : refb[k] == qseq[1] ? 1. - qualb[1] : qualb[1] * EM;
+            int u = band_u(bw, 1, k);
+            fi[u + 0] = e * bM;
+            fi[u + 1] = EI * bI;
+            sum += fi[u] + fi[u + 1];
+        }
+        s[1] = sum;
+        int _beg = band_u(bw, 1, beg), _end = band_u(bw, 1, end) + 2;
+        for (int k = _beg; k <= _end; ++k)
+            fi[k] /= sum;
+    }
+    for (int i = 2; i <= l_query; ++i) {
+        double *fi = F(i), *f1 = F(i - 1), sum = 0., qli = qualb[i];
+        uint8_t qyi = qseq[i];
+        int beg = 1, end = l_ref;
+        if (beg < i - bw) beg = i - bw;
+        if (end > i + bw) end = i + bw;
+        for (int k = beg; k <= end; ++k) {
+            double e = (refb[k] > 3 || qyi > 3) ? 1.
+                       : refb[k] == qyi ? 1. - qli : qli * EM;
+            int u = band_u(bw, i, k);
+            int v11 = band_u(bw, i - 1, k - 1);
+            int v10 = band_u(bw, i - 1, k);
+            int v01 = band_u(bw, i, k - 1);
+            fi[u + 0] = e * (m[0] * f1[v11 + 0] + m[3] * f1[v11 + 1] +
+                             m[6] * f1[v11 + 2]);
+            fi[u + 1] = EI * (m[1] * f1[v10 + 0] + m[4] * f1[v10 + 1]);
+            fi[u + 2] = m[2] * fi[v01 + 0] + m[8] * fi[v01 + 2];
+            sum += fi[u] + fi[u + 1] + fi[u + 2];
+        }
+        s[i] = sum;
+        int _beg = band_u(bw, i, beg), _end = band_u(bw, i, end) + 2;
+        double r = 1. / sum;
+        for (int k = _beg; k <= _end; ++k)
+            fi[k] *= r;
+    }
+    {
+        double sum = 0.;
+        for (int k = 1; k <= l_ref; ++k) {
+            int u = band_u(bw, l_query, k);
+            if (!u_ok(u, bw)) continue;
+            sum += F(l_query)[u + 0] * sM + F(l_query)[u + 1] * sI;
+        }
+        s[l_query + 1] = sum;
+    }
+
+    /* backward */
+    for (int k = 1; k <= l_ref; ++k) {
+        int u = band_u(bw, l_query, k);
+        double *bi = B(l_query);
+        if (!u_ok(u, bw)) continue;
+        bi[u + 0] = sM / s[l_query] / s[l_query + 1];
+        bi[u + 1] = sI / s[l_query] / s[l_query + 1];
+    }
+    for (int i = l_query - 1; i >= 1; --i) {
+        double *bi = B(i), *b1 = B(i + 1);
+        double y = (i > 1), qli1 = qualb[i + 1];
+        uint8_t qyi1 = qseq[i + 1];
+        int beg = 1, end = l_ref;
+        if (beg < i - bw) beg = i - bw;
+        if (end > i + bw) end = i + bw;
+        for (int k = end; k >= beg; --k) {
+            int u = band_u(bw, i, k);
+            int v11 = band_u(bw, i + 1, k + 1);
+            int v10 = band_u(bw, i + 1, k);
+            int v01 = band_u(bw, i, k + 1);
+            double e = (k >= l_ref ? 0
+                        : (refb[k + 1] > 3 || qyi1 > 3) ? 1.
+                        : refb[k + 1] == qyi1 ? 1. - qli1 : qli1 * EM) *
+                       b1[v11];
+            bi[u + 0] = e * m[0] + EI * m[1] * b1[v10 + 1] + m[2] * bi[v01 + 2];
+            bi[u + 1] = e * m[3] + EI * m[4] * b1[v10 + 1];
+            bi[u + 2] = (e * m[6] + m[8] * bi[v01 + 2]) * y;
+        }
+        int _beg = band_u(bw, i, beg), _end = band_u(bw, i, end) + 2;
+        double r = 1. / s[i];
+        for (int k = _beg; k <= _end; ++k)
+            bi[k] *= r;
+    }
+
+    /* MAP + posterior matrix */
+    for (int i = 1; i <= l_query; ++i) {
+        double sum = 0., max = 0.;
+        double *fi = F(i), *bi = B(i);
+        double *pdi = pd ? pd + (size_t)i * pd_stride : NULL;
+        int beg = 1, end = l_ref, max_k = -1;
+        if (beg < i - bw) beg = i - bw;
+        if (end > i + bw) end = i + bw;
+        for (int k = beg; k <= end; ++k) {
+            int u = band_u(bw, i, k);
+            double z;
+            z = fi[u + 0] * bi[u + 0];
+            if (z > max) { max = z; max_k = (k - 1) << 2 | 0; }
+            sum += z;
+            z = fi[u + 1] * bi[u + 1];
+            if (z > max) { max = z; max_k = (k - 1) << 2 | 1; }
+            sum += z;
+            if (pdi) {
+                pdi[u + 0] = fi[u + 0] * bi[u + 0] * s[i];
+                pdi[u + 1] = fi[u + 1] * bi[u + 1] * s[i];
+                pdi[u + 2] = fi[u + 2] * bi[u + 2] * s[i];
+            }
+        }
+        max /= sum;
+        if (state) state[i - 1] = max_k;
+        if (q) {
+            int k = (int)(-4.343 * log(1. - max) + .499);
+            q[i - 1] = k > 100 ? 99 : k;
+        }
+    }
+
+    free(f); free(bmat); free(s); free(qual);
+    return bw;
+#undef F
+#undef B
+}
+
+static inline uint8_t encode_q(int q)
+{
+    return (uint8_t)(q < 33 ? '!' : (q > 126 ? '~' : q));
+}
+
+static inline int prob_to_sangerq(double p)
+{
+    return p < 0.0 + DBL_EPSILON ? 126 + 1 : ((int)(-10 * log10(p)) + 33);
+}
+
+/* IDAQ from the posterior matrix (see bam_md_ext.c:73-249 for the original
+ * coordinate conventions reproduced here). */
+static void compute_idaq(
+    const char *ref, int64_t ref_len, int64_t read_pos,
+    const uint32_t *cigar, int n_cigar, const char *seq, int l_qseq,
+    const double *pd, int pd_stride, int xe, int xb, int bw,
+    uint8_t *iaq, uint8_t *daq, int *n_ins_out, int *n_del_out)
+{
+    int n_ins = 0, n_del = 0;
+    int64_t x = read_pos;
+    int y = 0;
+    for (int k = 0; k < l_qseq; k++)
+        iaq[k] = daq[k] = '~';
+    iaq[l_qseq] = daq[l_qseq] = '\0';
+
+    for (int k = 0; k < n_cigar; ++k) {
+        int op = cigar[k] & 0xf, oplen = cigar[k] >> 4;
+        if (op == OP_M || op == OP_EQ || op == OP_X) {
+            x += oplen;
+            y += oplen;
+        } else if (op == OP_D) {
+            int64_t rpos = x;
+            int qpos = y;
+            if (qpos == 0) continue;
+            if (oplen > 16) continue;   /* coordinates NOT advanced (sic) */
+            n_del += 1;
+            char del_seq[17];
+            for (int j = 0; j < oplen; j++) {
+                del_seq[j] = (x + j < ref_len) ? ref[x + j] : 'N';
+            }
+            del_seq[oplen] = '\0';
+            x += oplen;
+            int64_t ref_i = x;
+            int rep_i = 0, del_rep = 0;
+            while (ref_i < xe && ref_i < ref_len) {
+                if (ref[ref_i] != del_seq[rep_i]) break;
+                del_rep += 1; ref_i += 1; rep_i += 1;
+                if (rep_i >= oplen) rep_i = 0;
+            }
+            double ap = 0;
+            for (int j = 0; j < del_rep + 1; j++) {
+                if (qpos + j > l_qseq) break;
+                const double *pdi = pd + (size_t)(qpos + j) * pd_stride;
+                int u = band_u(bw, qpos + j, (int)(rpos - xb + 1 + j));
+                if (!u_ok(u, bw)) continue;
+                ap += pdi[u + 2];
+            }
+            ap = 1 - ap;
+            daq[qpos - 1] = encode_q(prob_to_sangerq(ap));
+        } else if (op == OP_I) {
+            int64_t rpos = x;
+            int qpos = y;
+            if (oplen > 16) continue;   /* y NOT advanced (sic) */
+            n_ins += 1;
+            if (qpos == 0) continue;
+            char ins_seq[17];
+            for (int j = 0; j < oplen; j++) {
+                ins_seq[j] = seq[y];
+                y += 1;
+            }
+            ins_seq[oplen] = '\0';
+            int64_t ref_i = x;
+            int rep_i = 0, ins_rep = 0;
+            while (ref_i < xe && ref_i < ref_len) {
+                if (ref[ref_i] != ins_seq[rep_i]) break;
+                ins_rep += 1; ref_i += 1; rep_i += 1;
+                if (rep_i >= oplen) rep_i = 0;
+            }
+            double ap = 0;
+            for (int j = 0; j < ins_rep + 1; j++) {
+                if (qpos + j + 1 > l_qseq) break;
+                const double *pdi = pd + (size_t)(qpos + j + 1) * pd_stride;
+                int u = band_u(bw, qpos + j + 1, (int)(rpos - xb + j));
+                if (!u_ok(u, bw)) continue;
+                ap += pdi[u + 1];
+            }
+            ap = 1 - ap;
+            iaq[qpos - 1] = encode_q(prob_to_sangerq(ap));
+        } else if (op == OP_S) {
+            y += oplen;
+        }
+        /* N advances ref in the outer walk of the reference impl?  The
+         * original idaq() ignores N entirely; reproduce that. */
+    }
+    *n_ins_out = n_ins;
+    *n_del_out = n_del;
+}
+
+/* Per-read realignment: computes BAQ chars (phred+33) into baq_out and
+ * IDAQ strings into iaq_out/ad_out; flags_out bits: 1=baq 2=ai 4=ad.
+ *
+ * ref: ASCII reference (uppercased).  seq: ASCII read bases.
+ * cigar packed as len<<4|op.  qual: raw phreds.
+ */
+static void realn_one(
+    const char *ref, int64_t ref_len, int64_t read_pos,
+    const uint32_t *cigar, int n_cigar,
+    const char *seq, const uint8_t *qual, int l_qseq,
+    int want_baq, int ext_baq, int want_idaq,
+    double par_d, double par_e,
+    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out)
+{
+    base_code_init();
+    *flags_out = 0;
+    int has_ins = 0, has_del = 0;
+    int64_t x = read_pos, xb = -1, xe = -1;
+    int y = 0, yb = -1, ye = -1;
+    for (int k = 0; k < n_cigar; ++k) {
+        int op = cigar[k] & 0xf, l = cigar[k] >> 4;
+        if (op == OP_M || op == OP_EQ || op == OP_X) {
+            if (yb < 0) yb = y;
+            if (xb < 0) xb = x;
+            ye = y + l; xe = x + l;
+            x += l; y += l;
+        } else if (op == OP_S || op == OP_I) {
+            y += l;
+            if (op == OP_I) has_ins = 1;
+        } else if (op == OP_D) {
+            has_del = 1;
+            x += l;
+        } else if (op == OP_N) {
+            x += l;
+        }
+    }
+    if (xb < 0 || l_qseq <= 0)
+        return;
+
+    int bw = 7;
+    if (llabs((xe - xb) - (int64_t)(ye - yb)) > bw)
+        bw = (int)llabs((xe - xb) - (int64_t)(ye - yb)) + 3;
+    xb -= yb + bw / 2;
+    if (xb < 0) xb = 0;
+    xe += l_qseq - ye + bw / 2;
+    if (xe - xb - l_qseq > bw) {
+        /* comma-expression in the original: second term uses updated xb */
+        int64_t d1 = (xe - xb - l_qseq - bw) / 2;
+        xb += d1;
+        int64_t d2 = (xe - xb - l_qseq - bw) / 2;
+        xe -= d2;
+    }
+
+    /* clip ref window at contig end (ref[i]==0 check in the original) */
+    if (xe > ref_len) xe = ref_len;
+    int l_ref = (int)(xe - xb);
+    if (l_ref <= 0)
+        return;
+
+    uint8_t *qcodes = malloc(l_qseq);
+    for (int i = 0; i < l_qseq; i++)
+        qcodes[i] = base_code[(uint8_t)seq[i]];
+    uint8_t *rcodes = malloc(l_ref > 0 ? l_ref : 1);
+    for (int i = 0; i < l_ref; i++)
+        rcodes[i] = base_code[(uint8_t)ref[xb + i]];
+
+    int *state = malloc(l_qseq * sizeof(int));
+    uint8_t *q = malloc(l_qseq);
+    double *pd = NULL;
+    int pd_stride = 0;
+    if (want_idaq && (has_ins || has_del)) {
+        /* allocate max possible stride; effective bw known after glocal */
+        int bw_max = bw;
+        if (bw_max < abs(l_ref - l_qseq)) bw_max = abs(l_ref - l_qseq);
+        int maxdim = l_ref > l_qseq ? l_ref : l_qseq;
+        if (bw_max > maxdim) bw_max = maxdim;
+        pd_stride = (bw_max * 2 + 1) * 3 + 6;
+        pd = calloc((size_t)(l_qseq + 1) * pd_stride, sizeof(double));
+    }
+    int eff_bw = glocal(rcodes, l_ref, qcodes, l_qseq, qual, par_d, par_e,
+                        bw, state, q, pd, pd_stride);
+
+    if (want_baq) {
+        uint8_t *bq = malloc(l_qseq + 1);
+        memcpy(bq, qual, l_qseq);
+        if (!ext_baq) {
+            int64_t xx = read_pos; int yy = 0;
+            for (int k = 0; k < n_cigar; ++k) {
+                int op = cigar[k] & 0xf, l = cigar[k] >> 4;
+                if (op == OP_M || op == OP_EQ || op == OP_X) {
+                    for (int i = yy; i < yy + l; ++i) {
+                        if ((state[i] & 3) != 0 ||
+                            state[i] >> 2 != xx - xb + (i - yy))
+                            bq[i] = 0;
+                        else
+                            bq[i] = q[i];
+                    }
+                    xx += l; yy += l;
+                } else if (op == OP_S || op == OP_I) yy += l;
+                else if (op == OP_D || op == OP_N) xx += l;
+            }
+        } else {
+            uint8_t *left = calloc(l_qseq, 1), *rght = calloc(l_qseq, 1);
+            int64_t xx = read_pos; int yy = 0;
+            for (int k = 0; k < n_cigar; ++k) {
+                int op = cigar[k] & 0xf, l = cigar[k] >> 4;
+                if (op == OP_M || op == OP_EQ || op == OP_X) {
+                    for (int i = yy; i < yy + l; ++i)
+                        bq[i] = ((state[i] & 3) != 0 ||
+                                 state[i] >> 2 != xx - xb + (i - yy))
+                                    ? 0 : q[i];
+                    left[yy] = bq[yy];
+                    for (int i = yy + 1; i < yy + l; ++i)
+                        left[i] = bq[i] > left[i - 1] ? bq[i] : left[i - 1];
+                    rght[yy + l - 1] = bq[yy + l - 1];
+                    for (int i = yy + l - 2; i >= yy; --i)
+                        rght[i] = bq[i] > rght[i + 1] ? bq[i] : rght[i + 1];
+                    for (int i = yy; i < yy + l; ++i)
+                        bq[i] = left[i] < rght[i] ? left[i] : rght[i];
+                    xx += l; yy += l;
+                } else if (op == OP_S || op == OP_I) yy += l;
+                else if (op == OP_D || op == OP_N) xx += l;
+            }
+            free(left); free(rght);
+        }
+        for (int i = 0; i < l_qseq; ++i) {
+            if (bq[i] > SANGER_PHRED_MAX) bq[i] = SANGER_PHRED_MAX;
+            baq_out[i] = bq[i] + 33;
+        }
+        *flags_out |= 1;
+        free(bq);
+    }
+
+    if (pd) {
+        int n_ins = 0, n_del = 0;
+        compute_idaq(ref, ref_len, read_pos, cigar, n_cigar, seq, l_qseq,
+                     pd, pd_stride, (int)xe, (int)xb, eff_bw,
+                     iaq_out, daq_out, &n_ins, &n_del);
+        if (n_ins) *flags_out |= 2;
+        if (n_del) *flags_out |= 4;
+        free(pd);
+    }
+    free(qcodes); free(rcodes); free(state); free(q);
+}
+
+/* Batch API over packed per-read arrays. */
+void lfq_baq_batch(
+    const char *ref, int64_t ref_len,
+    int64_t n_reads,
+    const int64_t *read_pos,
+    const uint32_t *cigars, const int64_t *cigar_start,
+    const char *seqs, const uint8_t *quals, const int64_t *seq_start,
+    const uint8_t *want_baq, const uint8_t *want_idaq,
+    int ext_baq, double par_d, double par_e,
+    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out)
+{
+    for (int64_t i = 0; i < n_reads; i++) {
+        int n_cigar = (int)(cigar_start[i + 1] - cigar_start[i]);
+        int l_qseq = (int)(seq_start[i + 1] - seq_start[i]);
+        realn_one(
+            ref, ref_len, read_pos[i],
+            cigars + cigar_start[i], n_cigar,
+            seqs + seq_start[i], quals + seq_start[i], l_qseq,
+            want_baq[i], ext_baq, want_idaq[i], par_d, par_e,
+            baq_out + seq_start[i] + i,   /* +i: room for per-read NUL */
+            iaq_out + seq_start[i] + i,
+            daq_out + seq_start[i] + i,
+            flags_out + i);
+    }
+}

@@ -1,0 +1,404 @@
+"""SNV + indel calling over column batches.
+
+Batched re-derivation of the reference's per-column flow
+(call_vars/call_snvs/call_indels, lofreq_call.c:618-935) with the exact
+same filters, quality merging, dynamic-Bonferroni accounting and VCF record
+contents.  The heavy Poisson-binomial work can be pre-screened on the TPU
+(ops.screen) before the exact native DP confirms candidates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import defaults as D
+from ..core import phred as PH
+from ..core.fisher import strand_bias_qual
+from ..core.poissbin import pruned_prob_dist_batch, probvec_tailsum_batch, _exp_longdouble
+from ..core.quals import merge_srcq_mapq_baq_and_bq
+from ..io.vcf import Var, sprintf_info
+from ..pileup.engine import NT4, ColumnBatch
+
+
+@dataclass
+class VarcallConf:
+    """varcall_conf_t equivalent (snpcaller.h:38-63)."""
+
+    min_bq: int = D.DEFAULT_MIN_BQ
+    min_alt_bq: int = D.DEFAULT_MIN_ALT_BQ
+    def_alt_bq: int = D.DEFAULT_DEF_ALT_BQ
+    min_jq: int = D.DEFAULT_MIN_JQ
+    min_alt_jq: int = D.DEFAULT_MIN_ALT_JQ
+    def_alt_jq: int = D.DEFAULT_DEF_ALT_JQ
+    min_cov: int = D.DEFAULT_MIN_COV
+    max_depth: int = D.DEFAULT_MAX_PLP_DEPTH
+    bonf_dynamic: bool = True
+    bonf_subst: int = 1
+    bonf_indel: int = 1
+    sig: float = D.DEFAULT_SIG
+    use_baq: bool = True
+    use_mq: bool = True
+    use_sq: bool = False
+    use_idaq: bool = True
+    only_indels: bool = False
+    no_indels: bool = True
+    approx_threshold_n: int = -1
+    # implementation switches (not in the reference)
+    use_device_screen: bool = False
+
+
+@dataclass
+class CallStats:
+    num_snv_tests: int = 0
+    num_indel_tests: int = 0
+    indel_calls_wo_idaq: int = 0
+
+
+def _report_var(out_vars, target, pos, ref, alt, af, qual, is_indel,
+                is_consvar, dp4, dp, hrun, num_alt_bases):
+    """report_var equivalent (lofreq_call.c:92-137)."""
+    sb_qual = strand_bias_qual(*dp4)
+    v = Var(chrom=target, pos=int(pos), ref=ref, alt=alt)
+    if qual > -1:
+        v.qual = int(qual)
+    v.info = sprintf_info(dp, af, sb_qual, dp4, is_indel, hrun,
+                          is_consvar, num_alt_bases)
+    out_vars.append(v)
+
+
+# ---------------------------------------------------------------------------
+# SNVs
+# ---------------------------------------------------------------------------
+
+def snv_errprobs_for_batch(batch: ColumnBatch, conf: VarcallConf):
+    """Vectorized plp_to_errprobs (snpcaller.c:345-498) over all columns.
+
+    Returns a dict with per-column packed err-prob matrix (sorted ascending),
+    depths, per-alt counts (filtered + raw) and alt base identities.
+    """
+    C = len(batch.positions)
+    nt4 = batch.b_nt4.astype(np.int64)
+    bq = batch.b_bq.astype(np.int64)
+    baq = batch.b_baq.astype(np.int64)
+    mq = batch.b_mq.astype(np.int64)
+    sq = batch.b_sq.astype(np.int64)
+    col_of = np.repeat(np.arange(C), np.diff(batch.col_start))
+
+    ref_nt4_row = batch.ref_nt4[col_of].astype(np.int64)
+    not_n = nt4 != 4
+    is_alt = not_n & (nt4 != ref_nt4_row)
+
+    # raw alt counts (before bq filtering)
+    alt_raw = np.zeros((C, 5), dtype=np.int64)
+    np.add.at(alt_raw, (col_of[is_alt], nt4[is_alt]), 1)
+
+    keep = not_n & (bq >= conf.min_bq) & (~is_alt | (bq >= conf.min_alt_bq))
+
+    bq_eff = bq.copy()
+    if conf.def_alt_bq == -1:
+        # median BQ of ref bases per column
+        med = np.zeros(C, dtype=np.int64)
+        ref_rows = not_n & (nt4 == ref_nt4_row)
+        for c in range(C):  # only used with -R -1 (rare); keep simple
+            m = (col_of == c) & ref_rows
+            vals = np.sort(bq[m])
+            n = len(vals)
+            if n == 0:
+                med[c] = -1
+            elif n % 2 == 0:
+                med[c] = int((vals[n // 2] + vals[n // 2 - 1]) / 2.0)
+            else:
+                med[c] = int(vals[n // 2])
+        bq_eff = np.where(is_alt, med[col_of], bq_eff)
+    elif conf.def_alt_bq > 0:
+        bq_eff = np.where(is_alt, conf.def_alt_bq, bq_eff)
+
+    baq_eff = baq if conf.use_baq else np.full_like(baq, -1)
+    mq_eff = mq.copy() if conf.use_mq else np.full_like(mq, -1)
+    if conf.use_mq:
+        mq_eff = np.where(mq_eff == 255, -1, mq_eff)
+    sq_eff = sq if conf.use_sq else np.full_like(sq, -1)
+
+    merged = merge_srcq_mapq_baq_and_bq(sq_eff, mq_eff, baq_eff, bq_eff)
+    merged_qual = PH.prob_to_phred_safe_vec(merged)
+    keep &= merged_qual >= conf.min_jq
+    keep &= ~is_alt | (merged_qual >= conf.min_alt_jq)
+    if conf.def_alt_jq > 0:
+        merged = np.where(is_alt & keep,
+                          PH.phred_to_prob(conf.def_alt_jq), merged)
+
+    alt_counts5 = np.zeros((C, 5), dtype=np.int64)
+    ka = keep & is_alt
+    np.add.at(alt_counts5, (col_of[ka], nt4[ka]), 1)
+
+    depths = np.bincount(col_of[keep], minlength=C)
+    # keep err probs flat (CSR): packed per chunk later to bound memory
+    order = np.argsort(col_of[keep], kind="stable")
+    kept_vals = merged[keep][order]
+    starts = np.zeros(C + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(depths)
+
+    # per-column alt bases in ACGT order excluding ref (3 of them)
+    alt_nt = np.array(
+        [[b for b in range(4) if b != r] if r < 4 else [0, 1, 2]
+         for r in range(5)], dtype=np.int64
+    )[batch.ref_nt4]  # [C, 3]
+    rows = np.arange(C)[:, None]
+    return dict(
+        flat_probs=kept_vals,
+        starts=starts,
+        depths=depths,
+        alt_nt=alt_nt,
+        alt_counts=alt_counts5[rows, alt_nt],
+        alt_raw_counts=alt_raw[rows, alt_nt],
+    )
+
+
+def pack_probs(flat_probs, starts, depths, cols):
+    """Pack the selected columns' err probs into [len(cols), Dmax], sorted
+    ascending per row (pad sorts to the end and is masked via depths)."""
+    d = depths[cols]
+    Dmax = int(d.max()) if len(cols) else 0
+    probs = np.full((len(cols), max(Dmax, 1)), 2.0, dtype=np.float64)
+    for j, c in enumerate(cols):
+        probs[j, : d[j]] = flat_probs[starts[c] : starts[c + 1]]
+    probs.sort(axis=1)
+    return probs
+
+
+def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
+                    out_vars: list):
+    """call_snvs over a ColumnBatch (lofreq_call.c:735-879)."""
+    C = len(batch.positions)
+    if C == 0:
+        return
+    # column gates (call_vars + call_snvs entry)
+    cons_is_indel = np.array([ci is not None for ci in batch.cons_indel])
+    gate = (
+        (batch.ref_nt4 != 4)
+        & (batch.num_bases >= conf.min_cov)
+        & ~cons_is_indel
+        & ~(batch.num_bases * 2 < batch.coverage_plp)
+    )
+
+    ep = snv_errprobs_for_batch(batch, conf)
+    got_alt = ep["alt_counts"].sum(axis=1) > 0
+    test = gate & got_alt
+    n_test = int(test.sum())
+    if n_test == 0:
+        return
+
+    # dynamic Bonferroni: the running factor at each tested column is
+    # NUM_NONCONS_BASES * (# tested columns so far incl. this one)
+    # (lofreq_call.c:794-800; the 1->3 first-column special case makes the
+    # sequence exactly 3, 6, 9, ...)
+    order_idx = np.nonzero(test)[0]
+    if conf.bonf_dynamic:
+        start = 0 if conf.bonf_subst == 1 else conf.bonf_subst
+        running_bonf = start + D.NUM_NONCONS_BASES * np.arange(
+            1, n_test + 1, dtype=np.int64
+        )
+        conf.bonf_subst = int(running_bonf[-1])
+    else:
+        running_bonf = np.full(n_test, conf.bonf_subst, dtype=np.int64)
+    stats.num_snv_tests += D.NUM_NONCONS_BASES * n_test
+
+    # chunk the tested columns to bound packed-matrix memory
+    pvalues = np.full((n_test, 3), PH.LDBL_MAX, dtype=np.longdouble)
+    CHUNK = 4096
+    for lo in range(0, n_test, CHUNK):
+        hi = min(lo + CHUNK, n_test)
+        cols = order_idx[lo:hi]
+        probs = pack_probs(ep["flat_probs"], ep["starts"], ep["depths"], cols)
+        pvalues[lo:hi] = _snpcaller_with_screen(
+            probs, ep["depths"][cols], ep["alt_counts"][cols],
+            running_bonf[lo:hi].astype(np.float64), conf,
+        )
+
+    # report
+    sig = conf.sig
+    err_state = np.errstate(over="ignore")  # LDBL_MAX * bonf -> inf is fine
+    with err_state:
+        sig_mask = pvalues * running_bonf[:, None].astype(np.longdouble) < sig
+    for j, c in enumerate(order_idx):
+        bonf = running_bonf[j]
+        for i in range(D.NUM_NONCONS_BASES):
+            alt_b = int(ep["alt_nt"][c, i])
+            pv = pvalues[j, i]
+            if not sig_mask[j, i]:
+                continue
+            alt_count = int(ep["alt_counts"][c, i])
+            alt_raw = int(ep["alt_raw_counts"][c, i])
+            ref_b = int(batch.ref_nt4[c])
+            af = np.float32(alt_raw) / np.float32(batch.coverage_plp[c])
+            dp4 = (
+                int(batch.fw_counts[c, ref_b]), int(batch.rv_counts[c, ref_b]),
+                int(batch.fw_counts[c, alt_b]), int(batch.rv_counts[c, alt_b]),
+            )
+            _report_var(
+                out_vars, batch.target, batch.positions[c],
+                NT4[ref_b], NT4[alt_b], af, PH.prob_to_phred(pv),
+                0, 0, dp4, int(batch.coverage_plp[c]),
+                int(batch.hrun[c]), alt_count,
+            )
+
+
+def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf):
+    """snpcaller over packed columns, with optional TPU pre-screen.
+
+    The screen computes a conservative f32 estimate of the max-count tail
+    p-value for every column on device; only plausible candidates go through
+    the exact native DP.  Disabled -> all columns exact.
+    """
+    B = probs.shape[0]
+    pvalues = np.full((B, 3), PH.LDBL_MAX, dtype=np.longdouble)
+    ks = alt_counts.max(axis=1)
+    run_mask = ks > 0
+    if conf.use_device_screen and B:
+        from ..ops.screen import screen_candidates
+
+        cand = screen_candidates(probs, depths, ks, bonf, conf.sig)
+        run_mask = run_mask & cand
+    idx = np.nonzero(run_mask)[0]
+    if len(idx) == 0:
+        return pvalues
+    state, _ = pruned_prob_dist_batch(probs[idx], depths[idx], ks[idx],
+                                      bonf[idx], conf.sig)
+    sub_ks = ks[idx]
+    tail = state[np.arange(len(idx)), sub_ks]
+    pv_max = _exp_longdouble(tail)
+    sig_ok = pv_max * bonf[idx] < conf.sig
+    for i in range(3):
+        counts = alt_counts[idx, i]
+        todo = sig_ok & (counts != 0)
+        if not np.any(todo):
+            continue
+        sel = np.nonzero(todo)[0]
+        ts = probvec_tailsum_batch(state[sel], counts[sel], sub_ks[sel])
+        pvalues[idx[sel], i] = _exp_longdouble(ts)
+    return pvalues
+
+
+# ---------------------------------------------------------------------------
+# indels
+# ---------------------------------------------------------------------------
+
+def _indel_errprobs(neq, events, this_key, conf: VarcallConf, is_ins: bool):
+    """plp_to_{ins,del}_errprobs (snpcaller.c:501-623)."""
+    probs = []
+    q_ne, mq_ne, _sq_ne = neq if neq else ([], [], [])
+    q_arr = np.asarray(q_ne, dtype=np.int64)
+    mq_arr = np.asarray(mq_ne, dtype=np.int64)
+    if len(q_arr):
+        mqv = mq_arr if conf.use_mq else np.full_like(mq_arr, -1)
+        merged = merge_srcq_mapq_baq_and_bq(
+            np.full_like(q_arr, -1), mqv, np.full_like(q_arr, -1), q_arr
+        )
+        probs.append(merged)
+    for key, ev in (events or {}).items():
+        q = np.asarray(ev.quals, dtype=np.int64)
+        aq = np.asarray(ev.aln_quals, dtype=np.int64)
+        mq = np.asarray(ev.map_quals, dtype=np.int64)
+        sq = np.asarray(ev.source_quals, dtype=np.int64)
+        aqv = aq if (conf.use_idaq and key == this_key) else np.full_like(q, -1)
+        mqv = np.where(mq == 255, -1, mq) if conf.use_mq else np.full_like(q, -1)
+        sqv = sq if conf.use_sq else np.full_like(q, -1)
+        probs.append(merge_srcq_mapq_baq_and_bq(sqv, mqv, aqv, q))
+    if not probs:
+        return np.zeros(0)
+    return np.sort(np.concatenate(probs))
+
+
+def call_indels_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
+                      out_vars: list):
+    """call_indels over a batch (lofreq_call.c:618-726)."""
+    C = len(batch.positions)
+    for c in range(C):
+        if batch.ref_nt4[c] == 4:
+            continue
+        if (batch.num_non_indels[c] + batch.num_ins[c] + batch.num_dels[c]
+                < conf.min_cov):
+            continue
+        ins_events = batch.ins_events[c] or {}
+        del_events = batch.del_events[c] or {}
+        ign_nt = set()
+        # multiallelic low-AF 1-bp poly-AT suppression (lofreq_call.c:643-681)
+        if batch.num_ins[c] and batch.ins_neq[c] and batch.num_dels[c] \
+                and batch.del_neq[c]:
+            max_af = np.float32(0.05)
+            denom = np.float32(batch.coverage_plp[c] - batch.num_tails[c])
+            ins1 = {k: e.count for k, e in ins_events.items()
+                    if len(k) == 1 and k in "AT"}
+            del1 = {k: e.count for k, e in del_events.items()
+                    if len(k) == 1 and k in "AT"}
+            for nt in ("A", "T"):
+                if ins1.get(nt) and del1.get(nt):
+                    ins_af = np.float32(ins1[nt]) / denom
+                    del_af = np.float32(del1[nt]) / denom
+                    if ins_af < max_af and del_af < max_af:
+                        ign_nt.add(nt)
+
+        for events, is_ins in ((ins_events, True), (del_events, False)):
+            count_gate = batch.num_ins[c] if is_ins else batch.num_dels[c]
+            if not count_gate:
+                continue
+            for key, ev in events.items():
+                if len(key) == 1 and key in ign_nt:
+                    continue
+                probs = _indel_errprobs(
+                    batch.ins_neq[c] if is_ins else batch.del_neq[c],
+                    events, key, conf, is_ins,
+                )
+                if conf.bonf_dynamic:
+                    conf.bonf_indel += 1
+                stats.num_indel_tests += 1
+                bonf = conf.bonf_indel
+                pvalues = _snpcaller_with_screen(
+                    probs[None, :], np.array([len(probs)]),
+                    np.array([[ev.count, 0, 0]]),
+                    np.array([float(bonf)]), conf,
+                )
+                pv = pvalues[0, 0]
+                with np.errstate(over="ignore"):
+                    is_sig = pv * np.longdouble(bonf) < conf.sig
+                if is_sig:
+                    if not batch.has_indel_aqs[c]:
+                        stats.indel_calls_wo_idaq += 1
+                    refbase = NT4[batch.ref_nt4[c]]
+                    if is_ins:
+                        ref_s, alt_s = refbase, refbase + key
+                        dp4 = (int(batch.non_ins_fw_rv[c, 0]),
+                               int(batch.non_ins_fw_rv[c, 1]),
+                               ev.fw_rv[0], ev.fw_rv[1])
+                    else:
+                        ref_s, alt_s = refbase + key, refbase
+                        dp4 = (int(batch.non_del_fw_rv[c, 0]),
+                               int(batch.non_del_fw_rv[c, 1]),
+                               ev.fw_rv[0], ev.fw_rv[1])
+                    af = np.float32(ev.count) / np.float32(
+                        batch.coverage_plp[c] - batch.num_tails[c])
+                    _report_var(
+                        out_vars, batch.target, batch.positions[c],
+                        ref_s, alt_s, af, PH.prob_to_phred(pv), 1, 0, dp4,
+                        int(batch.coverage_plp[c] - batch.num_tails[c]),
+                        int(batch.hrun[c]), 0,
+                    )
+
+
+def call_vars_batch(batch: ColumnBatch, conf: VarcallConf,
+                    stats: CallStats) -> list:
+    """call_vars over a batch: indels first, then SNVs (lofreq_call.c:887)."""
+    out: list[Var] = []
+    if batch is None:
+        return out
+    if not conf.no_indels:
+        call_indels_batch(batch, conf, stats, out)
+    if not conf.only_indels:
+        call_snvs_batch(batch, conf, stats, out)
+    # emit per position: indels then SNVs at the same position, both already
+    # position-sorted within their group -> stable sort by position keeps
+    # the reference's per-column ordering (indels before SNVs).
+    out.sort(key=lambda v: v.pos)
+    return out

@@ -33,7 +33,7 @@ _PHRED2PROB = np.array(
 def phred_to_prob(q):
     """Vectorized PHREDQUAL_TO_PROB. q may be negative? callers guarantee >=0
     except INT_MAX handling."""
-    q = np.asarray(q)
+    q = np.asarray(q, dtype=np.int64)
     out = np.where(
         q == INT_MAX,
         DBL_MIN,

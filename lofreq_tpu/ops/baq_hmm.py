@@ -1,0 +1,114 @@
+"""ctypes bridge to the native batched BAQ/IDAQ engine (csrc/baq.c)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .. import defaults as D
+
+# HMM parameters (illumina profile, kprobaln_ext.c:50)
+PAR_D = 0.00001
+PAR_E = 0.4
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CSRC = os.path.join(_ROOT, "csrc")
+_BUILD = os.path.join(_CSRC, "build")
+_lock = threading.Lock()
+_lib = None
+
+_u8 = ctypes.POINTER(ctypes.c_uint8)
+_u32 = ctypes.POINTER(ctypes.c_uint32)
+_i64 = ctypes.POINTER(ctypes.c_int64)
+_ch = ctypes.c_char_p
+
+
+def _get_lib():
+    global _lib
+    with _lock:
+        if _lib is None:
+            src = os.path.join(_CSRC, "baq.c")
+            out = os.path.join(_BUILD, "liblofreq_baq.so")
+            os.makedirs(_BUILD, exist_ok=True)
+            if not (os.path.exists(out)
+                    and os.path.getmtime(out) >= os.path.getmtime(src)):
+                tmp = out + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, src, "-lm"],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, out)
+            lib = ctypes.CDLL(out)
+            lib.lfq_baq_batch.argtypes = [
+                _ch, ctypes.c_int64, ctypes.c_int64,
+                _i64, _u32, _i64, _ch, _u8, _i64,
+                _u8, _u8, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+                _u8, _u8, _u8, _u8,
+            ]
+            _lib = lib
+    return _lib
+
+
+def realn_batch(reads, ref: bytes, baq=True, ext_baq=True, idaq=True):
+    """Run the banded HMM for a batch of reads; attach lb/ai/ad tags."""
+    lib = _get_lib()
+    n = len(reads)
+    if n == 0:
+        return
+    pos = np.array([r.pos for r in reads], dtype=np.int64)
+    cigar_start = np.zeros(n + 1, dtype=np.int64)
+    seq_start = np.zeros(n + 1, dtype=np.int64)
+    for i, r in enumerate(reads):
+        cigar_start[i + 1] = cigar_start[i] + len(r.cigar)
+        seq_start[i + 1] = seq_start[i] + r.l_qseq
+    cigars = np.concatenate(
+        [np.asarray(r.cigar, dtype=np.uint32) for r in reads]
+    ) if cigar_start[-1] else np.zeros(0, dtype=np.uint32)
+    seqs = b"".join(r.seq for r in reads)
+    quals = np.concatenate(
+        [np.asarray(r.qual, dtype=np.uint8) for r in reads]
+    ) if seq_start[-1] else np.zeros(0, dtype=np.uint8)
+    want_baq = np.array(
+        [baq and r.get_tag(D.BAQ_TAG) is None for r in reads], dtype=np.uint8
+    )
+    want_idaq = np.full(n, 1 if idaq else 0, dtype=np.uint8)
+
+    total = int(seq_start[-1]) + n  # +1 NUL per read
+    baq_out = np.zeros(total, dtype=np.uint8)
+    iaq_out = np.zeros(total, dtype=np.uint8)
+    daq_out = np.zeros(total, dtype=np.uint8)
+    flags = np.zeros(n, dtype=np.uint8)
+
+    lib.lfq_baq_batch(
+        ref, len(ref), n,
+        pos.ctypes.data_as(_i64),
+        cigars.ctypes.data_as(_u32),
+        cigar_start.ctypes.data_as(_i64),
+        seqs,
+        quals.ctypes.data_as(_u8),
+        seq_start.ctypes.data_as(_i64),
+        want_baq.ctypes.data_as(_u8),
+        want_idaq.ctypes.data_as(_u8),
+        1 if ext_baq else 0, PAR_D, PAR_E,
+        baq_out.ctypes.data_as(_u8),
+        iaq_out.ctypes.data_as(_u8),
+        daq_out.ctypes.data_as(_u8),
+        flags.ctypes.data_as(_u8),
+    )
+
+    for i, r in enumerate(reads):
+        lo = int(seq_start[i]) + i
+        hi = lo + r.l_qseq
+        if flags[i] & 1:
+            r.set_tag(D.BAQ_TAG, "Z",
+                      baq_out[lo:hi].tobytes().decode("latin-1"))
+        if flags[i] & 2:
+            r.set_tag(D.AI_TAG, "Z",
+                      iaq_out[lo:hi].tobytes().decode("latin-1"))
+        if flags[i] & 4:
+            r.set_tag(D.AD_TAG, "Z",
+                      daq_out[lo:hi].tobytes().decode("latin-1"))

@@ -1,0 +1,233 @@
+"""The `call` pipeline: BAM -> pileup windows -> batched calling -> filter.
+
+In-process equivalent of main_call + mpileup + auto-filter
+(lofreq_call.c:1006-1588).  Reads stream through position windows; each
+window becomes a ColumnBatch processed by the batched caller; the default
+filter chain runs in-process at the end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import defaults as D
+from ..call.caller import CallStats, VarcallConf, call_vars_batch
+from ..core import multtest as MT
+from ..core.phred import prob_to_phred
+from ..filt.filter import FilterConf, MtcFilter, run_filter
+from ..io.bam import BamReader
+from ..io.fasta import Fasta
+from ..io.vcf import VcfWriter, new_header
+from ..pileup.engine import PileupConf, compile_columns, read_passes_filters, rows_from_reads
+from ..pileup.sourcequal import compute_source_quals
+
+WINDOW = 100_000
+
+
+@dataclass
+class CallResult:
+    vars: list = field(default_factory=list)
+    stats: CallStats = field(default_factory=CallStats)
+    header: str = ""
+
+
+def parse_region(region: str):
+    """chrom[:start-end], 1-based inclusive like samtools."""
+    if ":" not in region:
+        return region, None, None
+    chrom, rng = region.rsplit(":", 1)
+    if "-" in rng:
+        s, e = rng.split("-")
+        return chrom, int(s.replace(",", "")) - 1, int(e.replace(",", ""))
+    return chrom, int(rng.replace(",", "")) - 1, None
+
+
+def _window_batches(reads_iter, chrom, ref, pconf: PileupConf,
+                    region_start=None, region_end=None, window=WINDOW):
+    """Yield ColumnBatch objects over position windows of one chromosome.
+
+    reads_iter must be position-sorted reads of a single chromosome that
+    already passed read-level filters (and have sq/BAQ tags attached).
+    """
+    buf = []
+    win_start = None
+    pending = None
+
+    def flush(win_s, win_e, reads):
+        rows = rows_from_reads(reads, pconf)
+        if len(rows.pos) == 0:
+            return None
+        keep = (rows.pos >= win_s) & (rows.pos < win_e)
+        if region_start is not None:
+            keep &= rows.pos >= region_start
+        if region_end is not None:
+            keep &= rows.pos < region_end
+        if pconf.bed is not None:
+            keep &= pconf.bed.overlap_mask(chrom, rows.pos)
+        if not np.any(keep):
+            return None
+        for name in ("pos", "nt4", "bq", "baq", "mq", "sq", "strand",
+                     "is_del", "is_refskip", "is_head", "is_tail", "indel",
+                     "iq", "dq", "iaq", "daq", "has_ai", "has_ad",
+                     "event_id"):
+            setattr(rows, name, getattr(rows, name)[keep])
+        return compile_columns(rows, pconf, ref, chrom)
+
+    for r in reads_iter:
+        if win_start is None:
+            win_start = (r.pos // window) * window
+        while r.pos >= win_start + window:
+            batch = flush(win_start, win_start + window, buf)
+            if batch is not None:
+                yield batch
+            win_start += window
+            buf = [b for b in buf if b.endpos() > win_start]
+        buf.append(r)
+        pending = True
+    if pending and buf:
+        # flush remaining windows
+        max_end = max(b.endpos() for b in buf)
+        while win_start < max_end:
+            batch = flush(win_start, win_start + window, buf)
+            if batch is not None:
+                yield batch
+            win_start += window
+            buf = [b for b in buf if b.endpos() > win_start]
+
+
+def run_call(
+    bam_path,
+    ref_path,
+    vconf: VarcallConf = None,
+    pconf: PileupConf = None,
+    region: str = None,
+    bed=None,
+    ign_pos=None,
+    progress=None,
+) -> CallResult:
+    """Run variant calling; returns unfiltered variants + stats.
+
+    The caller is responsible for chaining run_default_filter (like the
+    reference's auto-filter exec, lofreq_call.c:1506-1552).
+    """
+    vconf = vconf or VarcallConf()
+    pconf = pconf or PileupConf()
+    pconf.bed = bed
+    res = CallResult()
+    fa = Fasta(ref_path)
+    rdr = BamReader(bam_path)
+
+    if region:
+        chrom, rstart, rend = parse_region(region)
+        chroms = [(chrom, rstart, rend)]
+    else:
+        chroms = [(name, None, None) for name, _len in rdr.header.references]
+
+    for chrom, rstart, rend in chroms:
+        tid = rdr.header.tid(chrom)
+        if tid < 0:
+            raise ValueError(f"chromosome {chrom} not in BAM header")
+        ref = fa.fetch(chrom)
+        if len(ref) != rdr.header.references[tid][1]:
+            raise ValueError(
+                f"reference length mismatch for {chrom}: fasta "
+                f"{len(ref)} vs BAM {rdr.header.references[tid][1]}"
+            )
+
+        if region:
+            reads = rdr.fetch(chrom, rstart, rend)
+        else:
+            reads = rdr.fetch(chrom)
+
+        def filtered_reads():
+            for r in reads:
+                if not read_passes_filters(r, pconf, chrom):
+                    continue
+                if r.mapq > pconf.max_mq:
+                    r.mapq = pconf.max_mq
+                yield r
+
+        def prepared_reads():
+            # attach BAQ/IDAQ/SQ tags window-wise for batching
+            CHUNK = 2000
+            chunk = []
+            for r in filtered_reads():
+                chunk.append(r)
+                if len(chunk) >= CHUNK:
+                    yield from _prepare_chunk(chunk, ref, pconf, ign_pos)
+                    chunk = []
+            if chunk:
+                yield from _prepare_chunk(chunk, ref, pconf, ign_pos)
+
+        for batch in _window_batches(prepared_reads(), chrom, ref, pconf,
+                                     rstart, rend):
+            vs = call_vars_batch(batch, vconf, res.stats)
+            res.vars.extend(vs)
+            if progress:
+                progress(chrom, int(batch.positions[-1]))
+
+    res.header = ""
+    return res
+
+
+def _prepare_chunk(chunk, ref, pconf: PileupConf, ign_pos):
+    if pconf.use_baq or pconf.use_idaq:
+        from ..ops.baq import add_alnqual_tags
+
+        add_alnqual_tags(
+            chunk, ref,
+            baq=pconf.use_baq, ext_baq=pconf.ext_baq,
+            idaq=pconf.use_idaq,
+            redo_baq=pconf.redo_baq, redo_idaq=pconf.redo_idaq,
+        )
+    if pconf.use_sq:
+        compute_source_quals(chunk, ref, pconf.def_nm_q, ign_pos=ign_pos)
+    return chunk
+
+
+def default_filter_conf(vconf: VarcallConf, no_default_filter: bool) -> FilterConf:
+    """Thresholds derived from dynamic bonf (lofreq_call.c:1515-1541)."""
+    cfg = FilterConf(no_defaults=no_default_filter)
+    if vconf.bonf_dynamic:
+        snv_th = 2**31 - 1
+        indel_th = 2**31 - 1
+        # C computes sig/bonf in double, then phreds it (lofreq_call.c:1524)
+        if vconf.bonf_subst:
+            snv_th = max(prob_to_phred(
+                np.float64(vconf.sig) / np.float64(vconf.bonf_subst)), 0)
+        if vconf.bonf_indel:
+            indel_th = max(prob_to_phred(
+                np.float64(vconf.sig) / np.float64(vconf.bonf_indel)), 0)
+        cfg.snvqual = MtcFilter(thresh=int(snv_th))
+        cfg.indelqual = MtcFilter(thresh=int(indel_th))
+    return cfg
+
+
+def write_vcf(path, vars_, header: str):
+    with VcfWriter(path, header) as w:
+        for v in vars_:
+            w.write(v)
+
+
+def call_and_filter(
+    bam_path, ref_path, out_path, vconf=None, pconf=None,
+    no_default_filter=False, **kw
+):
+    """Full default `call` flow: call, then filter with dynamic-bonf
+    thresholds (+ default filters unless no_default_filter)."""
+    vconf = vconf or VarcallConf()
+    res = run_call(bam_path, ref_path, vconf=vconf, pconf=pconf, **kw)
+    src = "lofreq_tpu call"
+    header = new_header(src, str(ref_path))
+
+    if no_default_filter and not vconf.bonf_dynamic:
+        write_vcf(out_path, res.vars, header)
+        return res
+
+    cfg = default_filter_conf(vconf, no_default_filter)
+    header, vars_ = run_filter(header, res.vars, cfg)
+    write_vcf(out_path, vars_, header)
+    res.vars = vars_
+    return res

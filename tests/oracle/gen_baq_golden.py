@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Generate BAQ/IDAQ golden file from the reference implementation."""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF = "/root/reference/src/lofreq"
+
+
+def build_oracle(tmp):
+    exe = os.path.join(tmp, "oracle_baq")
+    subprocess.run(
+        ["gcc", "-std=gnu99", "-O2", "-o", exe,
+         os.path.join(HERE, "oracle_baq.c"),
+         os.path.join(REF, "bam_md_ext.c"),
+         os.path.join(REF, "kprobaln_ext.c"),
+         "-I" + os.path.join(HERE, "mini_hts"),
+         "-I" + REF, "-I/root/reference/src/uthash", "-lm"],
+        check=True,
+    )
+    return exe
+
+
+def make_cases():
+    rng = np.random.default_rng(42)
+    genome = "".join(rng.choice(list("ACGT"), 3000))
+    cases = []
+
+    def read_from(pos, cigar_ops, mutate=(), quals=None):
+        """Build (seq, cigar string) following ref with given ops."""
+        seq = []
+        x = pos
+        cig = []
+        for op, l in cigar_ops:
+            cig.append(f"{l}{op}")
+            if op in "M=X":
+                seq.append(genome[x : x + l])
+                x += l
+            elif op == "I":
+                seq.append("".join(rng.choice(list("ACGT"), l)))
+            elif op == "D":
+                x += l
+            elif op == "S":
+                seq.append("".join(rng.choice(list("ACGT"), l)))
+        seq = list("".join(seq))
+        for qpos, base in mutate:
+            seq[qpos] = base
+        seq = "".join(seq)
+        if quals is None:
+            quals = rng.integers(10, 41, len(seq))
+        qual_s = "".join(chr(q + 33) for q in quals)
+        return seq, "".join(cig), qual_s
+
+    def add(pos, ops, mutate=(), ext=1):
+        seq, cig, qual = read_from(pos, ops, mutate)
+        cases.append(dict(pos=pos, cigar=cig, seq=seq, qual=qual, ext=ext))
+
+    # perfect matches
+    add(100, [("M", 50)])
+    add(200, [("M", 100)], ext=1)
+    add(200, [("M", 100)], ext=0)
+    # mismatches
+    add(300, [("M", 75)], mutate=[(10, "A"), (40, "T")])
+    # insertion / deletion reads
+    add(400, [("M", 30), ("I", 2), ("M", 40)])
+    add(500, [("M", 25), ("D", 3), ("M", 45)])
+    add(600, [("M", 20), ("I", 1), ("M", 20), ("D", 2), ("M", 30)])
+    # soft clips
+    add(700, [("S", 5), ("M", 60), ("S", 4)])
+    add(800, [("S", 10), ("M", 30), ("I", 3), ("M", 35)])
+    # homopolymer region: engineer repeats then indel inside
+    add(900, [("M", 10), ("D", 1), ("M", 50)])
+    add(1000, [("M", 40), ("I", 4), ("M", 20)])
+    # long indels
+    add(1100, [("M", 30), ("D", 17), ("M", 30)])  # >16: idaq skip path
+    add(1200, [("M", 30), ("I", 17), ("M", 30)])
+    # read near contig end
+    add(2960, [("M", 35)])
+    # low quals incl q2
+    seq, cig, _ = read_from(1400, [("M", 60)])
+    qual = "".join(chr(int(q) + 33) for q in
+                   np.clip(np.r_[np.full(5, 2), np.arange(10, 65)], 2, 60))
+    cases.append(dict(pos=1400, cigar=cig, seq=seq, qual=qual, ext=1))
+    # many random reads
+    for _ in range(30):
+        pos = int(rng.integers(0, 2500))
+        ops = [("M", int(rng.integers(20, 60)))]
+        if rng.random() < 0.5:
+            ops += [("I" if rng.random() < 0.5 else "D",
+                     int(rng.integers(1, 5))),
+                    ("M", int(rng.integers(10, 40)))]
+        nmut = int(rng.integers(0, 3))
+        qlen = sum(l for op, l in ops if op in "MIS")
+        mutate = [(int(rng.integers(0, qlen)), str(rng.choice(list("ACGT"))))
+                  for _ in range(nmut)]
+        add(pos, ops, mutate)
+    return genome, cases
+
+
+def main():
+    genome, cases = make_cases()
+    with tempfile.TemporaryDirectory() as tmp:
+        exe = build_oracle(tmp)
+        inp = "".join(
+            f"{genome}\t{c['pos']}\t{c['cigar']}\t{c['seq']}\t{c['qual']}\t{c['ext']}\n"
+            for c in cases
+        )
+        out = subprocess.run([exe], input=inp, capture_output=True,
+                             text=True, check=True)
+        lines = out.stdout.strip("\n").split("\n")
+        assert len(lines) == len(cases), (len(lines), len(cases))
+        for c, line in zip(cases, lines):
+            lb, ai, ad = line.split("\t")
+            c["lb"] = lb
+            c["ai"] = ai
+            c["ad"] = ad
+    with open(os.path.join(HERE, "..", "golden", "baq.json"), "w") as fh:
+        json.dump({"genome": genome, "cases": cases}, fh, indent=1)
+    print(f"wrote {len(cases)} baq golden cases")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""End-to-end SNV calling tests on simulated data, mirroring the oracle
+style of the reference's denv2 tests (0 false positives, high sensitivity)."""
+
+import numpy as np
+import pytest
+
+from lofreq_tpu.call.caller import VarcallConf
+from lofreq_tpu.pileup.engine import PileupConf
+from lofreq_tpu.pipelines.call_pipeline import call_and_filter, run_call
+from simulate import simulate
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sim")
+    return simulate(str(tmp), genome_len=6000, depth=800, seed=11)
+
+
+@pytest.fixture(scope="module")
+def called(sim, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("out")
+    vconf = VarcallConf(use_baq=False, use_idaq=False)
+    pconf = PileupConf(use_baq=False, use_idaq=False)
+    out = str(tmp / "out.vcf")
+    res = call_and_filter(sim["bam"], sim["fa"], out, vconf=vconf, pconf=pconf)
+    return res, out
+
+
+def test_snv_call_sensitivity_specificity(sim, called):
+    res, _ = called
+    got = {(v.pos, v.ref, v.alt) for v in res.vars if not v.is_indel()}
+    truth = {(pos, ref, alt) for pos, ref, alt, af, kind, cnt, dp
+             in sim["truth"] if kind == "snv"}
+    truth_pos = {t[0] for t in truth}
+    fps = [c for c in got if c not in truth and c[0] not in truth_pos]
+    assert not fps, f"false positives: {sorted(fps)[:10]}"
+    # sensitivity: variants whose realized alt count is >= 1% of depth
+    want = {(pos, ref, alt) for pos, ref, alt, af, kind, cnt, dp
+            in sim["truth"] if kind == "snv" and dp and cnt / dp >= 0.01
+            and cnt >= 8}
+    missed = want - got
+    assert not missed, f"missed detectable SNVs: {sorted(missed)}"
+    assert res.stats.num_snv_tests > 0
+    assert res.stats.num_snv_tests % 3 == 0
+
+
+def test_call_with_baq(sim, tmp_path):
+    vconf = VarcallConf(use_baq=True, use_idaq=False)
+    pconf = PileupConf(use_baq=True, use_idaq=False)
+    out = str(tmp_path / "baq.vcf")
+    res = call_and_filter(sim["bam"], sim["fa"], out, vconf=vconf, pconf=pconf)
+    got = {(v.pos, v.ref, v.alt) for v in res.vars if not v.is_indel()}
+    truth = {(pos, ref, alt) for pos, ref, alt, af, kind, cnt, dp
+             in sim["truth"] if kind == "snv"}
+    truth_pos = {t[0] for t in truth}
+    fps = [c for c in got if c not in truth and c[0] not in truth_pos]
+    assert not fps
+    # BAQ should call fewer or equal variants (baq-calls-less-than-nobaq.sh)
+    want = {(pos, ref, alt) for pos, ref, alt, af, kind, cnt, dp
+            in sim["truth"] if kind == "snv" and dp and cnt / dp >= 0.02}
+    assert not want - got
+
+
+def test_call_region_subset(sim):
+    vconf = VarcallConf(use_baq=False, use_idaq=False)
+    pconf = PileupConf(use_baq=False, use_idaq=False)
+    res_all = run_call(sim["bam"], sim["fa"], vconf=vconf, pconf=pconf)
+    region = f"{sim['chrom']}:2001-4000"
+    res_reg = run_call(sim["bam"], sim["fa"],
+                       vconf=VarcallConf(use_baq=False, use_idaq=False),
+                       pconf=PileupConf(use_baq=False, use_idaq=False),
+                       region=region)
+    want = {(v.pos, v.ref, v.alt) for v in res_all.vars
+            if 2000 <= v.pos < 4000}
+    got = {(v.pos, v.ref, v.alt) for v in res_reg.vars}
+    assert got == want
+
+
+def test_vcf_output_format(called):
+    _res, out = called
+    lines = open(out).read().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.0"
+    assert any(l.startswith("#CHROM\tPOS") for l in lines)
+    data = [l for l in lines if not l.startswith("#")]
+    assert data, "no variants in output VCF"
+    f = data[0].split("\t")
+    assert f[6] == "PASS"
+    assert f[7].startswith("DP=")
+    assert ";DP4=" in f[7]
+    pos = [int(l.split("\t")[1]) for l in data]
+    assert pos == sorted(pos)
+
+
+def test_af_accuracy(sim, called):
+    """AF in the VCF equals realized counts / coverage (cf. af_tests.sh)."""
+    res, _ = called
+    by_key = {(v.pos, v.alt): v for v in res.vars if not v.is_indel()}
+    for pos, ref, alt, af, kind, cnt, dp in sim["truth"]:
+        if kind != "snv" or not dp or cnt / dp < 0.05:
+            continue
+        v = by_key.get((pos, alt))
+        assert v is not None, (pos, alt)
+        _found, af_s = v.info_value("AF")
+        got = float(af_s)
+        want = cnt / dp
+        assert abs(got - want) < 0.03, (pos, want, got)
