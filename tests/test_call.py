@@ -104,3 +104,17 @@ def test_af_accuracy(sim, called):
         got = float(af_s)
         want = cnt / dp
         assert abs(got - want) < 0.03, (pos, want, got)
+
+
+def test_device_screen_equivalence(sim, called, tmp_path):
+    """Calls with the TPU screening path must equal the all-exact path."""
+    res_exact, _ = called
+    vconf = VarcallConf(use_baq=False, use_idaq=False, use_device_screen=True)
+    pconf = PileupConf(use_baq=False, use_idaq=False)
+    out = str(tmp_path / "screen.vcf")
+    res_scr = call_and_filter(sim["bam"], sim["fa"], out, vconf=vconf,
+                              pconf=pconf)
+    a = [v.to_line() for v in res_exact.vars]
+    b = [v.to_line() for v in res_scr.vars]
+    assert a == b
+    assert res_scr.stats.num_snv_tests == res_exact.stats.num_snv_tests

@@ -1,0 +1,93 @@
+"""Device pipeline tests: screen consistency vs exact path, sharding
+equivalence, graft entry points."""
+
+import numpy as np
+
+import __graft_entry__ as ge
+from lofreq_tpu.core.poissbin import snpcaller_batch
+from lofreq_tpu.core.quals import merge_srcq_mapq_baq_and_bq
+from lofreq_tpu.ops.device_call import build_column_call
+from lofreq_tpu.ops.screen import screen_candidates
+
+
+def test_screen_is_conservative():
+    """Every column the exact DP finds significant must survive screening."""
+    rng = np.random.default_rng(3)
+    B, D = 200, 400
+    probs = np.sort(10 ** (-rng.uniform(1.0, 4.5, (B, D))), axis=1)
+    depths = rng.integers(50, D + 1, B)
+    ks = rng.integers(1, 9, B)
+    bonf = np.full(B, 30000.0)
+    sig = 0.01
+    cand = screen_candidates(probs, depths, ks, bonf, sig)
+    counts = np.zeros((B, 3), dtype=np.int64)
+    counts[:, 0] = ks
+    pv = snpcaller_batch(probs, depths, counts, bonf, sig)
+    sig_mask = (pv[:, 0] * bonf) < sig
+    # all significant columns are candidates
+    assert not np.any(sig_mask & ~cand)
+    # screening removes a decent share of insignificant columns
+    assert cand.sum() < B
+
+
+def test_device_counts_match_host():
+    """Device alt counts / depths agree with the host errprob path."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    B, D = 32, 128
+    ref_nt4 = rng.integers(0, 4, B).astype(np.int8)
+    nt4 = np.where(rng.random((B, D)) < 0.99, ref_nt4[:, None],
+                   rng.integers(0, 4, (B, D))).astype(np.int8)
+    bq = rng.integers(2, 41, (B, D)).astype(np.int16)
+    mq = np.full((B, D), 60, np.int16)
+    baq = np.full((B, D), -1, np.int16)
+    sq = np.full((B, D), -1, np.int16)
+    valid = rng.random((B, D)) < 0.9
+    fn = jax.jit(build_column_call(use_baq=False))
+    out = fn(nt4, bq, baq, mq, sq, valid, ref_nt4,
+             np.full(B, 3.0, np.float32))
+    # host recomputation
+    for c in range(B):
+        v = valid[c] & (nt4[c] != 4)
+        is_alt = v & (nt4[c] != ref_nt4[c])
+        keep = v & (bq[c] >= 6)
+        assert int(out["depths"][c]) == int(keep.sum())
+        for i, b in enumerate([x for x in range(4) if x != ref_nt4[c]]):
+            assert int(out["alt_nt"][c, i]) == b
+            assert int(out["alt_counts"][c, i]) == int(
+                (keep & (nt4[c] == b)).sum())
+            assert int(out["alt_raw"][c, i]) == int((is_alt & (nt4[c] == b)).sum())
+
+
+def test_merge_quals_device_close_to_host():
+    rng = np.random.default_rng(1)
+    n = 1000
+    bq = rng.integers(2, 60, n)
+    mq = rng.integers(0, 61, n)
+    baq = rng.integers(-1, 60, n)
+    sq = np.full(n, -1)
+    host = merge_srcq_mapq_baq_and_bq(sq, mq, baq, bq)
+    import jax.numpy as jnp
+
+    from lofreq_tpu.ops.device_call import merge_quals_f32
+
+    dev = np.asarray(merge_quals_f32(jnp, jnp.asarray(sq), jnp.asarray(mq),
+                                     jnp.asarray(baq), jnp.asarray(bq)))
+    np.testing.assert_allclose(dev, host, rtol=2e-6)
+
+
+def test_graft_entry_single():
+    import jax
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out["alt_counts"].shape[0] == args[0].shape[0]
+
+
+def test_graft_dryrun_multichip():
+    import jax
+
+    n = min(8, len(jax.devices()))
+    ge.dryrun_multichip(n)
