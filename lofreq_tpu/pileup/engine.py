@@ -79,7 +79,7 @@ class ReadRows:
     bq: np.ndarray  # int16
     baq: np.ndarray  # int16, -1 missing
     mq: np.ndarray  # int16
-    sq: np.ndarray  # int16, -1 missing
+    sq: np.ndarray  # int32, -1 missing (source quals can exceed 32767)
     strand: np.ndarray  # uint8, 1 = reverse
     is_del: np.ndarray  # bool
     is_refskip: np.ndarray  # bool
@@ -100,7 +100,7 @@ class ReadRows:
         z = lambda dt: np.zeros(0, dtype=dt)  # noqa: E731
         return cls(
             pos=z(np.int64), nt4=z(np.uint8), bq=z(np.int16), baq=z(np.int16),
-            mq=z(np.int16), sq=z(np.int16), strand=z(np.uint8),
+            mq=z(np.int16), sq=z(np.int32), strand=z(np.uint8),
             is_del=z(bool), is_refskip=z(bool), is_head=z(bool),
             is_tail=z(bool), indel=z(np.int64), iq=z(np.int16),
             dq=z(np.int16), iaq=z(np.int16), daq=z(np.int16),
@@ -229,7 +229,7 @@ def expand_read(r: bamio.BamRead, conf: PileupConf, out: dict):
     out["baq"].append(baq[qpos_c].astype(np.int16) if baq is not None
                       else np.full(n, -1, dtype=np.int16))
     out["mq"].append(np.full(n, mq, dtype=np.int16))
-    out["sq"].append(np.full(n, sq, dtype=np.int16))
+    out["sq"].append(np.full(n, sq, dtype=np.int32))
     out["strand"].append(np.full(n, strand, dtype=np.uint8))
     out["is_del"].append(is_del)
     out["is_refskip"].append(is_skip)
@@ -285,7 +285,7 @@ def _expand_simple_batch(reads, conf: PileupConf, out: dict):
     bd = tag_mat(D.BD_TAG, 0) if conf.collect_indels else None
     sqv = np.array(
         [int(r.get_tag(D.SRC_QUAL_TAG)) if r.get_tag(D.SRC_QUAL_TAG)
-         is not None else -1 for r in reads], dtype=np.int16)
+         is not None else -1 for r in reads], dtype=np.int32)
 
     total = n * L
     out["pos"].append((pos0[:, None] + np.arange(L)).reshape(total))

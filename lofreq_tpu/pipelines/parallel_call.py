@@ -1,0 +1,160 @@
+"""Region-parallel calling: the reference's only parallelism strategy
+(lofreq2_call_pparallel.py), rebuilt in-process.
+
+Genome regions are binned from the BAM header (read-free chroms skipped),
+the largest bin is bisected greedily until max bin < total/(2*threads),
+bins run as independent call workers (multiprocessing across host cores;
+each worker can additionally use the TPU screen), per-bin test counts are
+*summed globally* before the final quality filter — the same two-phase
+dynamic-Bonferroni structure as the reference — and per-bin variant lists
+are concatenated in BAM chromosome order.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import sys
+
+import numpy as np
+
+from ..core.phred import prob_to_phred
+from ..filt.filter import FilterConf, MtcFilter, run_filter
+from ..io.bai import BaiIndex, build_bai
+from ..io.bam import BamReader
+from ..io.vcf import VcfWriter, new_header
+
+BIN_PER_THREAD = 2
+
+
+def bins_from_bamheader(bam_path):
+    """[(chrom, start, end)] per chromosome with mapped reads
+    (bins_from_bamheader, lofreq2_call_pparallel.py:270-299)."""
+    rdr = BamReader(bam_path)
+    bai_path = str(bam_path) + ".bai"
+    if not os.path.exists(bai_path):
+        build_bai(bam_path)
+    idx = BaiIndex.load(bai_path)
+    bins = []
+    for tid, (name, length) in enumerate(rdr.header.references):
+        mapped, _un = idx.mapped_unmapped(tid)
+        if mapped == 0:
+            continue
+        bins.append((name, 0, length))
+    chrom_order = [name for name, _l in rdr.header.references]
+    rdr.close()
+    return bins, chrom_order
+
+
+def split_bins(bins, threads):
+    """Greedy bisection of the largest bin (lofreq2_call_pparallel.py:595)."""
+    total = sum(e - s for _c, s, e in bins)
+    if total == 0:
+        return bins
+    target = total / (BIN_PER_THREAD * threads)
+    bins = list(bins)
+    while True:
+        bins.sort(key=lambda b: b[2] - b[1], reverse=True)
+        chrom, s, e = bins[0]
+        if (e - s) <= target or (e - s) < 2:
+            break
+        mid = s + (e - s) // 2
+        bins[0] = (chrom, s, mid)
+        bins.append((chrom, mid, e))
+    return bins
+
+
+def sort_bins(bins, chrom_order):
+    order = {c: i for i, c in enumerate(chrom_order)}
+    return sorted(bins, key=lambda b: (order.get(b[0], 1 << 30), b[1]))
+
+
+def _worker(job):
+    (bam_path, ref_path, chrom, start, end, vconf_kw, pconf_kw,
+     bed_path) = job
+    from ..call.caller import VarcallConf
+    from ..io.bed import BedIndex
+    from ..pileup.engine import PileupConf
+    from .call_pipeline import run_call
+
+    vconf = VarcallConf(**vconf_kw)
+    pconf = PileupConf(**pconf_kw)
+    bed = BedIndex.read(bed_path) if bed_path else None
+    region = f"{chrom}:{start + 1}-{end}"
+    res = run_call(bam_path, ref_path, vconf=vconf, pconf=pconf,
+                   region=region, bed=bed)
+    return ([v.to_line() for v in res.vars], res.stats.num_snv_tests,
+            res.stats.num_indel_tests)
+
+
+def run_parallel_regions(bam_path, ref_path, vconf_kw, pconf_kw, threads,
+                         bed_path=None, pool=None):
+    """Returns (lines-in-order, num_snv_tests, num_indel_tests)."""
+    bins, chrom_order = bins_from_bamheader(bam_path)
+    bins = split_bins(bins, threads)
+    bins = sort_bins(bins, chrom_order)
+    jobs = [(str(bam_path), str(ref_path), c, s, e, vconf_kw, pconf_kw,
+             bed_path) for c, s, e in bins]
+    if threads > 1:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(threads) as p:
+            results = p.map(_worker, jobs)
+    else:
+        results = [_worker(j) for j in jobs]
+    lines = []
+    n_snv = 0
+    n_indel = 0
+    for ls, s, i in results:
+        lines.extend(ls)
+        n_snv += s
+        n_indel += i
+    return lines, n_snv, n_indel
+
+
+def run_call_parallel(args, extra) -> int:
+    """CLI glue for `call-parallel` (mirrors the wrapper's restrictions:
+    no -r/--plp-summary-only under the parallel driver)."""
+    from ..io.vcf import Var
+    from .call_pipeline import default_filter_conf
+    from ..call.caller import VarcallConf
+
+    if args.region:
+        print("FATAL: regions not allowed with call-parallel",
+              file=sys.stderr)
+        return 1
+    if args.plp_summary_only:
+        print("FATAL: --plp-summary-only not allowed with call-parallel",
+              file=sys.stderr)
+        return 1
+    from ..cli import confs_from_args
+
+    vconf, pconf = confs_from_args(args)
+    vconf_kw = {k: getattr(vconf, k) for k in vconf.__dataclass_fields__}
+    pconf_kw = {k: getattr(pconf, k) for k in pconf.__dataclass_fields__
+                if k != "bed"}
+    lines, n_snv, n_indel = run_parallel_regions(
+        args.bam, args.ref, vconf_kw, pconf_kw, args.pp_threads,
+        bed_path=args.bed,
+    )
+    vars_ = [Var.from_line(l) for l in lines]
+    header = new_header("lofreq_tpu call-parallel", args.ref)
+
+    # final filter with globally summed test counts
+    cfg = FilterConf(no_defaults=args.no_default_filter)
+    if vconf.bonf_dynamic:
+        snv_th = max(prob_to_phred(
+            np.float64(vconf.sig) / np.float64(max(n_snv, 1))), 0) \
+            if n_snv else 2**31 - 1
+        indel_th = max(prob_to_phred(
+            np.float64(vconf.sig) / np.float64(max(n_indel, 1))), 0) \
+            if n_indel else 2**31 - 1
+        cfg.snvqual = MtcFilter(thresh=int(snv_th))
+        cfg.indelqual = MtcFilter(thresh=int(indel_th))
+    header, out_vars = run_filter(header, vars_, cfg)
+    with VcfWriter(args.out, header) as w:
+        for v in out_vars:
+            w.write(v)
+    print(f"Number of substitution tests performed: {n_snv}",
+          file=sys.stderr)
+    print(f"Number of indel tests performed: {n_indel}", file=sys.stderr)
+    return 0

@@ -1,0 +1,95 @@
+"""--plp-summary-only: per-column text dump (plp_summary,
+lofreq_call.c:438-599 format)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..pileup.engine import NT4
+from .call_pipeline import run_call
+
+
+def run_plp_summary(bam_path, ref_path, vconf, pconf, region=None, bed=None,
+                    stream=None):
+    stream = stream or sys.stdout
+    from ..io.bam import BamReader
+    from ..io.fasta import Fasta
+    from ..pileup.engine import compile_columns, read_passes_filters, rows_from_reads
+    from .call_pipeline import _window_batches, parse_region
+
+    fa = Fasta(ref_path)
+    rdr = BamReader(bam_path)
+    pconf.bed = bed
+    if region:
+        chrom, rstart, rend = parse_region(region)
+        chroms = [(chrom, rstart, rend)]
+    else:
+        chroms = [(n, None, None) for n, _l in rdr.header.references]
+    for chrom, rstart, rend in chroms:
+        ref = fa.fetch(chrom)
+        reads = rdr.fetch(chrom, rstart, rend) if region else rdr.fetch(chrom)
+
+        def filtered():
+            for r in reads:
+                if read_passes_filters(r, pconf, chrom):
+                    if r.mapq > pconf.max_mq:
+                        r.mapq = pconf.max_mq
+                    yield r
+
+        for batch in _window_batches(filtered(), chrom, ref, pconf,
+                                     rstart, rend):
+            _print_batch(batch, vconf, stream)
+    rdr.close()
+
+
+def _print_batch(batch, vconf, stream):
+    C = len(batch.positions)
+    col_of = np.repeat(np.arange(C), np.diff(batch.col_start))
+    for c in range(C):
+        cons = batch.cons_indel[c]
+        if cons is not None:
+            cons_s = cons[0] + cons[1]
+        else:
+            cons_s = NT4[batch.cons_nt4[c]]
+        parts = [batch.target, str(batch.positions[c] + 1),
+                 NT4[batch.ref_nt4[c]], cons_s]
+        line = "\t".join(parts)
+        for i in range(5):
+            line += f"\t{NT4[i]}:{batch.fw_counts[c, i]}/{batch.rv_counts[c, i]}"
+        line += f"\theads:{batch.num_heads[c]}\ttails:{batch.num_tails[c]}"
+        line += f"\tins:{batch.num_ins[c]}\tdels:{batch.num_dels[c]}"
+        line += f"\thrun:{batch.hrun[c]}"
+        stream.write(line + "\n")
+        sel = col_of == c
+        titles = ["BQ", "BAQ", "MQ", "SQ"]
+        nx = 4 if vconf.use_sq else 3
+        for i in range(5):
+            m = sel & (batch.b_nt4 == i)
+            if not np.any(m):
+                continue
+            for x in range(nx):
+                arr = (batch.b_bq, batch.b_baq, batch.b_mq, batch.b_sq)[x]
+                if x == 1 and not vconf.use_baq:
+                    vals = ["-1"] * int(m.sum())
+                else:
+                    vals = [str(int(v)) for v in arr[m]]
+                stream.write(f"  {NT4[i]}\t{titles[x]} =\t " +
+                             " ".join(vals) + "\n")
+        for t, neq, events in (("+", batch.ins_neq[c], batch.ins_events[c]),
+                               ("-", batch.del_neq[c], batch.del_events[c])):
+            q, mq, _sq = neq if neq else ([], [], [])
+            stream.write(f"  {t}0\tIDQ =\t " + " ".join(map(str, q)) + "\n")
+            stream.write(f"  {t}0\tMQ =\t " + " ".join(map(str, mq)) + "\n")
+            for key, ev in (events or {}).items():
+                tag = "IQ" if t == "+" else "IDQ"
+                stream.write(f"  {t}{key}\t{tag} =\t " +
+                             " ".join(map(str, ev.quals)) + "\n")
+                stream.write(f"  {t}{key}\tMQ =\t " +
+                             " ".join(map(str, ev.map_quals)) + "\n")
+                stream.write(f"  {t}{key}\tAQ =\t " +
+                             " ".join(map(str, ev.aln_quals)) + "\n")
+                stream.write(f"  {t}{key}\tSQ =\t " +
+                             " ".join(map(str, ev.source_quals)) + "\n")
+        stream.write("\n")

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Generate Viterbi realignment golden file from the reference."""
+
+import json
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF = "/root/reference/src/lofreq"
+
+
+def build(tmp):
+    exe = os.path.join(tmp, "oracle_viterbi")
+    subprocess.run(
+        ["gcc", "-std=gnu99", "-O2", "-o", exe,
+         os.path.join(HERE, "oracle_viterbi.c"),
+         os.path.join(REF, "viterbi.c"), os.path.join(REF, "utils.c"),
+         os.path.join(REF, "log.c"),
+         "-I" + REF, "-I/root/reference/src/uthash", "-lm"],
+        check=True,
+    )
+    return exe
+
+
+def make_cases():
+    rng = np.random.default_rng(99)
+    cases = []
+
+    def add(ref, query, quals=None, q2def=20):
+        if quals is None:
+            quals = rng.integers(15, 40, len(query))
+        bq = "".join(chr(int(q) + 33) for q in quals)
+        cases.append(dict(ref=ref, query=query, bqual=bq, q2def=q2def))
+
+    # the reference's own self-test (viterbi.c:336)
+    add("CCATATGG", "CCATGG", quals=[30] * 6)
+    # simple shifts / indels in random sequence
+    for _ in range(25):
+        L = int(rng.integers(40, 80))
+        ref = "".join(rng.choice(list("ACGT"), L + 20))
+        q = list(ref[10 : 10 + L])
+        r = rng.random()
+        if r < 0.4:  # deletion in read
+            at = int(rng.integers(5, L - 8))
+            dl = int(rng.integers(1, 4))
+            q = q[:at] + q[at + dl :]
+        elif r < 0.8:  # insertion in read
+            at = int(rng.integers(5, L - 8))
+            il = int(rng.integers(1, 4))
+            q = q[:at] + list(rng.choice(list("ACGT"), il)) + q[at:]
+        else:  # mismatches only
+            for _m in range(2):
+                at = int(rng.integers(0, len(q)))
+                q[at] = str(rng.choice(list("ACGT")))
+        add(ref, "".join(q))
+    # homopolymer region: misplaced indel should left-align
+    add("AACCCCCCGGTT" + "ACGT" * 5, "AACCCCCGGTT" + "ACGT" * 5)
+    add("AATTTTTTGG" + "GCTA" * 6, "AATTTTTTTGG" + "GCTA" * 6)
+    # Q2 quals
+    add("ACGTACGTACGTACGTACGT", "ACGTACGACGTACGTACGT",
+        quals=[2] * 5 + [30] * 14, q2def=25)
+    return cases
+
+
+def main():
+    cases = make_cases()
+    with tempfile.TemporaryDirectory() as tmp:
+        exe = build(tmp)
+        inp = "".join(f"{c['ref']}\t{c['query']}\t{c['bqual']}\t{c['q2def']}\n"
+                      for c in cases)
+        out = subprocess.run([exe], input=inp, capture_output=True, text=True,
+                             check=True)
+        lines = out.stdout.strip("\n").split("\n")
+        assert len(lines) == len(cases)
+        for c, line in zip(cases, lines):
+            shift, aln = line.split("\t")
+            c["shift"] = int(shift)
+            c["aln"] = aln
+    with open(os.path.join(HERE, "..", "golden", "viterbi.json"), "w") as fh:
+        json.dump(cases, fh, indent=1)
+    print(f"wrote {len(cases)} viterbi golden cases")
+
+
+if __name__ == "__main__":
+    main()

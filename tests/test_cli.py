@@ -1,0 +1,161 @@
+"""CLI subcommand tests (in-process main() invocation)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from lofreq_tpu.cli import main
+from lofreq_tpu.io.bam import BamReader
+from lofreq_tpu.io.vcf import VcfReader
+from simulate import simulate
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("clisim")
+    return simulate(str(tmp), genome_len=3000, depth=300, seed=23,
+                    snvs=((0.1, 3), (0.5, 3)))
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    assert "version:" in capsys.readouterr().out
+
+
+def test_faidx_index_idxstats_checkref(sim, capsys):
+    assert main(["faidx", sim["fa"]]) == 0
+    assert os.path.exists(sim["fa"] + ".fai")
+    assert main(["index", sim["bam"]]) == 0
+    assert os.path.exists(sim["bam"] + ".bai")
+    assert main(["idxstats", sim["bam"]]) == 0
+    out = capsys.readouterr().out
+    fields = out.splitlines()[0].split("\t")
+    assert fields[0] == sim["chrom"]
+    assert int(fields[2]) > 0
+    assert main(["checkref", sim["fa"], sim["bam"]]) == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_call_cli(sim, tmp_path):
+    out = str(tmp_path / "cli.vcf")
+    rc = main(["call", "-f", sim["fa"], "-o", out, "-B", "-A", sim["bam"]])
+    assert rc == 0
+    header, vars_ = [], []
+    with VcfReader(out) as r:
+        header = r.header
+        vars_ = list(r)
+    assert "##source=" in header
+    truth_pos = {t[0] for t in sim["truth"]}
+    called_pos = {v.pos for v in vars_}
+    # all 50% and 10% SNVs found, no positions outside truth
+    assert truth_pos <= called_pos
+    assert not (called_pos - truth_pos)
+    # refuses overwrite
+    assert main(["call", "-f", sim["fa"], "-o", out, "-B", sim["bam"]]) == 1
+
+
+def test_call_parallel_equals_single(sim, tmp_path):
+    out1 = str(tmp_path / "single.vcf")
+    out2 = str(tmp_path / "par.vcf")
+    assert main(["call", "-f", sim["fa"], "-o", out1, "-B", "-A",
+                 sim["bam"]]) == 0
+    assert main(["call-parallel", "--pp-threads", "3", "-f", sim["fa"],
+                 "-o", out2, "-B", "-A", sim["bam"]]) == 0
+    v1 = [v.to_line() for v in VcfReader(out1)]
+    v2 = [v.to_line() for v in VcfReader(out2)]
+    # parallel == single (cf. ecoli-clone_incl_parallel.sh tolerance of 1)
+    assert v1 == v2
+
+
+def test_filter_cli(sim, tmp_path, capsys):
+    raw = str(tmp_path / "raw.vcf")
+    main(["call", "-f", sim["fa"], "-o", raw, "-B", "-A",
+          "--no-default-filter", "-b", "1", sim["bam"]])
+    out = str(tmp_path / "filt.vcf")
+    rc = main(["filter", "-i", raw, "-o", out, "-v", "100000"])
+    assert rc == 0
+    with VcfReader(out) as r:
+        header = r.header
+        vars_ = list(r)
+    assert "min_dp_100000" in header
+    assert not vars_  # everything fails min coverage 100000
+
+
+def test_vcfset_cli(sim, tmp_path, capsys):
+    a = str(tmp_path / "a.vcf")
+    main(["call", "-f", sim["fa"], "-o", a, "-B", "-A", sim["bam"]])
+    # self-complement = empty; self-intersect = all
+    rc = main(["vcfset", "-a", "complement", "-1", a, "-2", a,
+               "--count-only"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "0"
+    rc = main(["vcfset", "-a", "intersect", "-1", a, "-2", a,
+               "--count-only"])
+    n = int(capsys.readouterr().out.strip())
+    assert n == len(list(VcfReader(a)))
+
+
+def test_uniq_self_is_empty(sim, tmp_path, capsys):
+    """Variants from a BAM tested against the same BAM -> nothing uniq
+    (tests/uniq.sh)."""
+    a = str(tmp_path / "a.vcf")
+    main(["call", "-f", sim["fa"], "-o", a, "-B", "-A", sim["bam"]])
+    out = str(tmp_path / "uniq.vcf")
+    rc = main(["uniq", "-v", a, "-o", out, "--ref", sim["fa"], sim["bam"]])
+    assert rc == 0
+    got = list(VcfReader(out))
+    assert not got
+
+
+def test_indelqual_uniform(sim, tmp_path):
+    out = str(tmp_path / "iq.bam")
+    rc = main(["indelqual", "-u", "20,25", "-o", out, sim["bam"]])
+    assert rc == 0
+    r = next(iter(BamReader(out)))
+    bi = r.get_tag("BI")
+    bd = r.get_tag("BD")
+    assert bi == chr(20 + 33) * r.l_qseq
+    assert bd == chr(25 + 33) * r.l_qseq
+
+
+def test_indelqual_dindel(sim, tmp_path):
+    out = str(tmp_path / "dq.bam")
+    rc = main(["indelqual", "--dindel", "-f", sim["fa"], "-o", out,
+               sim["bam"]])
+    assert rc == 0
+    r = next(iter(BamReader(out)))
+    bi = r.get_tag("BI")
+    assert bi is not None and len(bi) == r.l_qseq
+    assert r.get_tag("BD") == bi
+
+
+def test_alnqual_cli(sim, tmp_path):
+    out = str(tmp_path / "aq.bam")
+    rc = main(["alnqual", "-f", sim["fa"], "-o", out, sim["bam"]])
+    assert rc == 0
+    r = next(iter(BamReader(out)))
+    lb = r.get_tag("lb")
+    assert lb is not None and len(lb) == r.l_qseq
+
+
+def test_viterbi_cli(sim, tmp_path):
+    out = str(tmp_path / "vit.bam")
+    rc = main(["viterbi", "-f", sim["fa"], "-o", out, sim["bam"]])
+    assert rc == 0
+    n_in = sum(1 for _ in BamReader(sim["bam"]))
+    n_out = sum(1 for _ in BamReader(out))
+    assert n_in == n_out
+
+
+def test_plpsummary(sim, capsys):
+    rc = main(["plpsummary", "-f", sim["fa"], "-B", "-A",
+               "-r", f"{sim['chrom']}:1-50", sim["bam"]])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith(sim["chrom"])]
+    assert lines
+    f = lines[0].split("\t")
+    assert f[0] == sim["chrom"]
+    assert f[2] in "ACGTN"

@@ -1,0 +1,123 @@
+"""Somatic pipeline end-to-end test: tumor/normal pair with planted
+germline + somatic SNVs (mirrors somatic_CHH966_chr22.sh's oracle: true
+somatic variants recovered, germline excluded)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lofreq_tpu.cli import main
+from lofreq_tpu.io.bai import build_bai
+from lofreq_tpu.io.bam import BamHeader, BamRead, BamWriter, FREVERSE
+from lofreq_tpu.io.fasta import write_fasta
+from lofreq_tpu.io.vcf import VcfReader
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def make_pair(tmpdir, genome_len=3000, depth=400, read_len=100, seed=5):
+    rng = np.random.default_rng(seed)
+    genome = BASES[rng.integers(0, 4, genome_len)]
+    margin = read_len + 10
+    positions = rng.choice(
+        np.arange(margin, genome_len - margin), 8, replace=False)
+    positions.sort()
+    germline = []  # present in both at ~50%
+    somatic = []  # tumor only at 20%
+    for i, pos in enumerate(positions):
+        ref_b = genome[pos]
+        alt_b = ref_b
+        while alt_b == ref_b:
+            alt_b = BASES[rng.integers(0, 4)]
+        if i % 2 == 0:
+            germline.append((int(pos), chr(ref_b), chr(alt_b)))
+        else:
+            somatic.append((int(pos), chr(ref_b), chr(alt_b)))
+
+    def write_bam(path, variants_af):
+        header = BamHeader("@HD\tVN:1.6\tSO:coordinate\n",
+                           [("chrS", genome_len)])
+        n_reads = genome_len * depth // read_len
+        starts = np.sort(rng.integers(0, genome_len - read_len, n_reads))
+        with BamWriter(path, header) as w:
+            for i, start in enumerate(starts):
+                r = BamRead()
+                r.qname = f"p{i}"
+                r.tid = 0
+                r.pos = int(start)
+                r.flag = FREVERSE if rng.random() < 0.5 else 0
+                r.mapq = 60
+                base = genome[start : start + read_len].copy()
+                for pos, _rb, ab, af in variants_af:
+                    if start <= pos < start + read_len and rng.random() < af:
+                        base[pos - start] = ord(ab)
+                qual = rng.integers(30, 39, read_len).astype(np.uint8)
+                errp = 10.0 ** (-qual.astype(np.float64) / 10.0)
+                for j in np.nonzero(rng.random(read_len) < errp)[0]:
+                    b = base[j]
+                    while b == base[j]:
+                        b = BASES[rng.integers(0, 4)]
+                    base[j] = b
+                r.seq = base.tobytes()
+                r.qual = qual
+                r.set_cigar_string(f"{read_len}M")
+                w.write(r)
+        build_bai(path)
+
+    n_vars = [(p, rb, ab, 0.5) for p, rb, ab in germline]
+    t_vars = n_vars + [(p, rb, ab, 0.2) for p, rb, ab in somatic]
+    fa = f"{tmpdir}/ref.fa"
+    write_fasta(fa, {"chrS": genome.tobytes().decode()})
+    nb = f"{tmpdir}/normal.bam"
+    tb = f"{tmpdir}/tumor.bam"
+    write_bam(nb, n_vars)
+    write_bam(tb, t_vars)
+    return dict(fa=fa, normal=nb, tumor=tb, germline=germline,
+                somatic=somatic)
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("som")
+    return make_pair(str(tmp))
+
+
+def test_somatic_pipeline(pair, tmp_path):
+    prefix = str(tmp_path / "out_")
+    rc = main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
+               "-f", pair["fa"], "-o", prefix, "--baq-off"])
+    assert rc == 0
+    fin = prefix + "somatic_final.snvs.vcf.gz"
+    assert os.path.exists(fin)
+    got = {(v.pos, v.ref, v.alt) for v in VcfReader(fin)}
+    som = set(pair["somatic"])
+    germ = set(pair["germline"])
+    # all somatic variants recovered (>=2 would match the reference test;
+    # we demand all since the simulation is clean)
+    missed = som - got
+    assert not missed, f"missed somatic: {missed}"
+    # no germline leaked through
+    leaked = got & germ
+    assert not leaked, f"germline leaked: {leaked}"
+    # SOMATIC tag present
+    v = next(iter(VcfReader(fin)))
+    assert v.has_info_key("SOMATIC")
+    assert v.has_info_key("UQ")
+
+
+def test_somatic_continue(pair, tmp_path):
+    prefix = str(tmp_path / "c_")
+    assert main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
+                 "-f", pair["fa"], "-o", prefix, "--baq-off"]) == 0
+    fin = prefix + "somatic_final.snvs.vcf.gz"
+    before = open(fin, "rb").read()
+    # rerun without --continue refuses
+    with pytest.raises(FileExistsError):
+        main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
+              "-f", pair["fa"], "-o", prefix, "--baq-off"])
+    # rerun with --continue reuses everything and leaves outputs unchanged
+    assert main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
+                 "-f", pair["fa"], "-o", prefix, "--baq-off",
+                 "--continue"]) == 0
+    assert open(fin, "rb").read() == before
