@@ -122,9 +122,12 @@ def snv_errprobs_for_batch(batch: ColumnBatch, conf: VarcallConf):
     sq_eff = sq if conf.use_sq else np.full_like(sq, -1)
 
     merged = merge_srcq_mapq_baq_and_bq(sq_eff, mq_eff, baq_eff, bq_eff)
-    merged_qual = PH.prob_to_phred_safe_vec(merged)
-    keep &= merged_qual >= conf.min_jq
-    keep &= ~is_alt | (merged_qual >= conf.min_alt_jq)
+    if conf.min_jq > 0 or conf.min_alt_jq > 0:
+        # joint-quality filters are phred-threshold comparisons; skip the
+        # (longdouble) phred conversion entirely at the 0 defaults
+        merged_qual = PH.prob_to_phred_safe_vec(merged)
+        keep &= merged_qual >= conf.min_jq
+        keep &= ~is_alt | (merged_qual >= conf.min_alt_jq)
     if conf.def_alt_jq > 0:
         merged = np.where(is_alt & keep,
                           PH.phred_to_prob(conf.def_alt_jq), merged)
@@ -325,8 +328,8 @@ def call_indels_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
         del_events = batch.del_events[c] or {}
         ign_nt = set()
         # multiallelic low-AF 1-bp poly-AT suppression (lofreq_call.c:643-681)
-        if batch.num_ins[c] and batch.ins_neq[c] and batch.num_dels[c] \
-                and batch.del_neq[c]:
+        if batch.num_ins[c] and batch.ins_neq_len(c) and batch.num_dels[c] \
+                and batch.del_neq_len(c):
             max_af = np.float32(0.05)
             denom = np.float32(batch.coverage_plp[c] - batch.num_tails[c])
             ins1 = {k: e.count for k, e in ins_events.items()
@@ -348,7 +351,7 @@ def call_indels_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                 if len(key) == 1 and key in ign_nt:
                     continue
                 probs = _indel_errprobs(
-                    batch.ins_neq[c] if is_ins else batch.del_neq[c],
+                    batch.ins_neq_at(c) if is_ins else batch.del_neq_at(c),
                     events, key, conf, is_ins,
                 )
                 if conf.bonf_dynamic:

@@ -397,12 +397,34 @@ class ColumnBatch:
     num_ign_indels: np.ndarray
     ins_events: list  # [C] dict key->IndelEvent (insertion-ordered)
     del_events: list
-    # per-column non-event indel quals (iq, mq, sq) for reads w/o that indel
-    ins_neq: list  # [C] (quals, map_quals, source_quals) lists
-    del_neq: list
+    # per-column non-event indel quals, CSR layout: *_neq_start [C+1] slices
+    # into flat (q, mq, sq) arrays for reads without that indel type
+    ins_neq_start: np.ndarray
+    ins_neq_q: np.ndarray
+    ins_neq_mq: np.ndarray
+    ins_neq_sq: np.ndarray
+    del_neq_start: np.ndarray
+    del_neq_q: np.ndarray
+    del_neq_mq: np.ndarray
+    del_neq_sq: np.ndarray
     non_ins_fw_rv: np.ndarray  # [C, 2]
     non_del_fw_rv: np.ndarray
     has_indel_aqs: np.ndarray  # [C] bool
+
+    def ins_neq_at(self, c):
+        """(quals, map_quals, source_quals) arrays of non-ins reads at col c."""
+        lo, hi = self.ins_neq_start[c], self.ins_neq_start[c + 1]
+        return self.ins_neq_q[lo:hi], self.ins_neq_mq[lo:hi], self.ins_neq_sq[lo:hi]
+
+    def del_neq_at(self, c):
+        lo, hi = self.del_neq_start[c], self.del_neq_start[c + 1]
+        return self.del_neq_q[lo:hi], self.del_neq_mq[lo:hi], self.del_neq_sq[lo:hi]
+
+    def ins_neq_len(self, c):
+        return int(self.ins_neq_start[c + 1] - self.ins_neq_start[c])
+
+    def del_neq_len(self, c):
+        return int(self.del_neq_start[c + 1] - self.del_neq_start[c])
 
 
 def get_hrun_array(ref: bytes) -> np.ndarray:
@@ -548,8 +570,14 @@ def compile_columns(
         num_ign_indels=np.zeros(C, dtype=np.int64),
         ins_events=[None] * C,
         del_events=[None] * C,
-        ins_neq=[None] * C,
-        del_neq=[None] * C,
+        ins_neq_start=np.zeros(C + 1, dtype=np.int64),
+        ins_neq_q=np.zeros(0, dtype=np.int64),
+        ins_neq_mq=np.zeros(0, dtype=np.int64),
+        ins_neq_sq=np.zeros(0, dtype=np.int64),
+        del_neq_start=np.zeros(C + 1, dtype=np.int64),
+        del_neq_q=np.zeros(0, dtype=np.int64),
+        del_neq_mq=np.zeros(0, dtype=np.int64),
+        del_neq_sq=np.zeros(0, dtype=np.int64),
         non_ins_fw_rv=np.zeros((C, 2), dtype=np.int64),
         non_del_fw_rv=np.zeros((C, 2), dtype=np.int64),
         has_indel_aqs=np.zeros(C, dtype=bool),
@@ -590,16 +618,28 @@ def _collect_indels(batch, rows, f, col_of_row, conf, ref):
     np.add.at(batch.non_ins_fw_rv,
               (col_of_row[nins_src], f["strand"][nins_src].astype(np.int64)), 1)
 
-    # per-column lists (python; indel columns are sparse)
-    cols_with = np.unique(np.concatenate([
-        col_of_row[process & (is_ins_row | is_del_row)],
-        col_of_row[ndel_src], col_of_row[nins_src],
-    ])) if np.any(process) else np.zeros(0, dtype=np.int64)
-    for c in cols_with:
+    # CSR pack of the non-event pools (sorted stably by column)
+    def pack(src_mask, qkey):
+        idx = np.nonzero(src_mask)[0]
+        order = np.argsort(col_of_row[idx], kind="stable")
+        idx = idx[order]
+        cols = col_of_row[idx]
+        start = np.zeros(C + 1, dtype=np.int64)
+        np.add.at(start, cols + 1, 1)
+        start = np.cumsum(start)
+        return (start, f[qkey][idx].astype(np.int64),
+                f["mq"][idx].astype(np.int64), f["sq"][idx].astype(np.int64))
+
+    (batch.del_neq_start, batch.del_neq_q, batch.del_neq_mq,
+     batch.del_neq_sq) = pack(ndel_src, "dq")
+    (batch.ins_neq_start, batch.ins_neq_q, batch.ins_neq_mq,
+     batch.ins_neq_sq) = pack(nins_src, "iq")
+
+    ev_cols = np.unique(col_of_row[is_ins_row | is_del_row]) \
+        if np.any(is_ins_row | is_del_row) else np.zeros(0, dtype=np.int64)
+    for c in ev_cols:
         batch.ins_events[c] = {}
         batch.del_events[c] = {}
-        batch.ins_neq[c] = ([], [], [])
-        batch.del_neq[c] = ([], [], [])
 
     refbytes = ref
 
@@ -615,21 +655,6 @@ def _collect_indels(batch, rows, f, col_of_row, conf, ref):
         ev.map_quals.append(int(mq))
         ev.source_quals.append(int(sq))
         ev.fw_rv[strand] += 1
-
-    idxs = np.nonzero(ndel_src)[0]
-    for i in idxs:
-        c = col_of_row[i]
-        t = batch.del_neq[c]
-        t[0].append(int(f["dq"][i]))
-        t[1].append(int(f["mq"][i]))
-        t[2].append(int(f["sq"][i]))
-    idxs = np.nonzero(nins_src)[0]
-    for i in idxs:
-        c = col_of_row[i]
-        t = batch.ins_neq[c]
-        t[0].append(int(f["iq"][i]))
-        t[1].append(int(f["mq"][i]))
-        t[2].append(int(f["sq"][i]))
 
     for i in np.nonzero(is_ins_row | is_del_row)[0]:
         c = col_of_row[i]
@@ -656,10 +681,15 @@ def _collect_indels(batch, rows, f, col_of_row, conf, ref):
             add_event(batch.del_events[c], seq_b.upper(), f["dq"][i], daq,
                       f["mq"][i], f["sq"][i], int(f["strand"][i]))
 
-    # consensus indel decision (plp.c:1231-1272)
-    for c in cols_with:
-        ins_ne_sum = sum(batch.ins_neq[c][0]) if batch.ins_neq[c] else 0
-        del_ne_sum = sum(batch.del_neq[c][0]) if batch.del_neq[c] else 0
+    # consensus indel decision (plp.c:1231-1272); only event columns can
+    # flip to an indel consensus (sums are >= 0)
+    ins_ne_cum = np.concatenate([[0], np.cumsum(batch.ins_neq_q)])
+    del_ne_cum = np.concatenate([[0], np.cumsum(batch.del_neq_q)])
+    for c in ev_cols:
+        ins_ne_sum = int(ins_ne_cum[batch.ins_neq_start[c + 1]]
+                         - ins_ne_cum[batch.ins_neq_start[c]])
+        del_ne_sum = int(del_ne_cum[batch.del_neq_start[c + 1]]
+                         - del_ne_cum[batch.del_neq_start[c]])
         best_ins = max(batch.ins_events[c].values(),
                        key=lambda e: e.cons_quals, default=None) \
             if batch.ins_events[c] else None

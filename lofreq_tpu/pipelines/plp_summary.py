@@ -77,9 +77,9 @@ def _print_batch(batch, vconf, stream):
                     vals = [str(int(v)) for v in arr[m]]
                 stream.write(f"  {NT4[i]}\t{titles[x]} =\t " +
                              " ".join(vals) + "\n")
-        for t, neq, events in (("+", batch.ins_neq[c], batch.ins_events[c]),
-                               ("-", batch.del_neq[c], batch.del_events[c])):
-            q, mq, _sq = neq if neq else ([], [], [])
+        for t, neq, events in (("+", batch.ins_neq_at(c), batch.ins_events[c]),
+                               ("-", batch.del_neq_at(c), batch.del_events[c])):
+            q, mq, _sq = neq
             stream.write(f"  {t}0\tIDQ =\t " + " ".join(map(str, q)) + "\n")
             stream.write(f"  {t}0\tMQ =\t " + " ".join(map(str, mq)) + "\n")
             for key, ev in (events or {}).items():
