@@ -503,6 +503,10 @@ void lfq_baq_batch(
     uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out)
 {
     for (int64_t i = 0; i < n_reads; i++) {
+        if (!want_baq[i] && !want_idaq[i]) {
+            flags_out[i] = 0;
+            continue;
+        }
         int n_cigar = (int)(cigar_start[i + 1] - cigar_start[i]);
         int l_qseq = (int)(seq_start[i + 1] - seq_start[i]);
         realn_one(

@@ -129,3 +129,41 @@ void lfq_phred2prob_vec(const int64_t *q, int64_t n, double *out)
     for (int64_t i = 0; i < n; i++)
         out[i] = pow(10.0, -0.1 * (double)q[i]);
 }
+
+/* Joint error probability
+ *   PJ = PM + (1-PM)PS + (1-PM)(1-PS)PBAQ + (1-PM)(1-PS)(1-PBAQ)PB
+ * with -1 == unknown (prob 0) and MQ==0 -> mq0_errprob.
+ * Same operation order as the scalar reference formula so results are
+ * bit-identical to a libm evaluation. */
+static double q2p_cache[4096];
+static int q2p_cache_done = 0;
+
+static inline double q2p(int32_t q)
+{
+    if (q < 0)
+        return 0.0;
+    if (q < 4096) {
+        if (!q2p_cache_done) {
+            for (int i = 0; i < 4096; i++)
+                q2p_cache[i] = pow(10.0, -0.1 * i);
+            q2p_cache_done = 1;
+        }
+        return q2p_cache[q];
+    }
+    return pow(10.0, -0.1 * (double)q);
+}
+
+void lfq_merge_quals(const int32_t *sq, const int32_t *mq,
+                     const int32_t *baq, const int32_t *bq,
+                     int64_t n, double mq0_errprob, double *out)
+{
+    q2p(0); /* warm cache */
+    for (int64_t i = 0; i < n; i++) {
+        double sp = q2p(sq[i]);
+        double mp = (mq[i] == 0) ? mq0_errprob : q2p(mq[i]);
+        double bap = q2p(baq[i]);
+        double bp = q2p(bq[i]);
+        out[i] = mp + (1.0 - mp) * sp + (1 - mp) * (1 - sp) * bap +
+                 (1 - mp) * (1 - sp) * (1 - bap) * bp;
+    }
+}

@@ -1,0 +1,607 @@
+/* ingest.c — native BAM-record ingest: parse raw (BGZF-inflated) BAM
+ * records, apply read-level filters, compute missing BAQ/IDAQ/source-qual,
+ * and expand reads into flat pileup-row arrays in one pass.
+ *
+ * This is the framework's native data loader: the Python layer hands over a
+ * concatenated [block_size int32][record] byte stream (straight out of the
+ * BGZF inflater) and preallocated output arrays; everything per-read then
+ * happens in C.  Semantics follow the reference's read hook + column
+ * expansion (see /root/reference/src/lofreq/plp.c:598,797).
+ *
+ * Build (one shared lib with the other native kernels):
+ *   gcc -O2 -shared -fPIC -o liblofreq_native.so ingest.c exact_stats.c \
+ *       baq.c realign.c -lm
+ */
+
+#include <float.h>
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* from baq.c */
+void lfq_baq_batch(
+    const char *ref, int64_t ref_len, int64_t n_reads,
+    const int64_t *read_pos, const uint32_t *cigars,
+    const int64_t *cigar_start, const char *seqs, const uint8_t *quals,
+    const int64_t *seq_start, const uint8_t *want_baq,
+    const uint8_t *want_idaq, int ext_baq, double par_d, double par_e,
+    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out,
+    uint8_t *flags_out);
+
+/* from exact_stats.c */
+void lfq_poissbin_dp_batch(
+    const double *probs, const int64_t *depths, const int64_t *ks,
+    const double *bonf, double sig, int64_t B, int64_t Dmax, int64_t Kmax,
+    double *state, int64_t *n_done);
+
+/* sam flags */
+#define XFPAIRED 0x1
+#define XFPROPER 0x2
+#define XFUNMAP 0x4
+#define XFREVERSE 0x10
+#define XFSECONDARY 0x100
+#define XFQCFAIL 0x200
+#define XFDUP 0x400
+
+#define OPM 0
+#define OPI 1
+#define OPD 2
+#define OPN 3
+#define OPS 4
+#define OPH 5
+#define OPEQ 7
+#define OPX 8
+
+static const char NT16_CHR[] = "=ACMGRSVTWYHKDBN";
+static const uint8_t NT16_TO_NT4[16] = {4, 0, 1, 4, 2, 4, 4, 4,
+                                        3, 4, 4, 4, 4, 4, 4, 4};
+
+typedef struct {
+    int32_t tid, pos;
+    uint8_t mapq;
+    uint16_t flag, n_cigar;
+    int32_t l_qseq;
+    const uint32_t *cigar;
+    const uint8_t *seq4;   /* 4-bit packed */
+    const uint8_t *qual;
+    const uint8_t *aux;
+    int64_t aux_len;
+    const char *qname;
+} rec_t;
+
+static int parse_rec(const uint8_t *p, int64_t sz, rec_t *r)
+{
+    if (sz < 32)
+        return -1;
+    r->tid = *(int32_t *)(p + 0);
+    r->pos = *(int32_t *)(p + 4);
+    uint8_t l_read_name = p[8];
+    r->mapq = p[9];
+    r->n_cigar = *(uint16_t *)(p + 12);
+    r->flag = *(uint16_t *)(p + 14);
+    r->l_qseq = *(int32_t *)(p + 16);
+    int64_t off = 32;
+    r->qname = (const char *)(p + off);
+    off += l_read_name;
+    r->cigar = (const uint32_t *)(p + off);
+    off += 4 * (int64_t)r->n_cigar;
+    r->seq4 = p + off;
+    off += (r->l_qseq + 1) / 2;
+    r->qual = p + off;
+    off += r->l_qseq;
+    r->aux = p + off;
+    r->aux_len = sz - off;
+    return (off <= sz) ? 0 : -1;
+}
+
+static int aux_size(const uint8_t *s, const uint8_t *end)
+{
+    switch (*s) {
+    case 'c': case 'C': case 'A': return 2;
+    case 's': case 'S': return 3;
+    case 'i': case 'I': case 'f': return 5;
+    case 'Z': case 'H': {
+        int len = 1;
+        const uint8_t *q = s + 1;
+        while (q < end && *q) { len++; q++; }
+        return len + 1;
+    }
+    case 'B': {
+        if (s + 6 > end) return (int)(end - s);
+        int n = *(int32_t *)(s + 2);
+        int esz;
+        switch (s[1]) {
+        case 'c': case 'C': esz = 1; break;
+        case 's': case 'S': esz = 2; break;
+        default: esz = 4; break;
+        }
+        return 1 + 5 + n * esz;
+    }
+    default: return 1;
+    }
+}
+
+/* find aux tag; returns pointer to type byte or NULL */
+static const uint8_t *aux_get(const rec_t *r, const char tag[2])
+{
+    const uint8_t *s = r->aux;
+    const uint8_t *end = r->aux + r->aux_len;
+    while (s + 3 <= end) {
+        if (s[0] == (uint8_t)tag[0] && s[1] == (uint8_t)tag[1])
+            return s + 2;
+        s += 2 + aux_size(s + 2, end);
+    }
+    return NULL;
+}
+
+static int64_t aux_int(const uint8_t *t)
+{
+    switch (*t) {
+    case 'c': return *(int8_t *)(t + 1);
+    case 'C': return *(uint8_t *)(t + 1);
+    case 's': return *(int16_t *)(t + 1);
+    case 'S': return *(uint16_t *)(t + 1);
+    case 'i': return *(int32_t *)(t + 1);
+    case 'I': return *(uint32_t *)(t + 1);
+    default: return 0;
+    }
+}
+
+typedef struct {
+    int32_t min_mq, max_mq;
+    int32_t no_orphan;
+    int32_t illumina13;
+    int32_t use_baq;     /* compute lb if missing (or redo) */
+    int32_t redo_baq;
+    int32_t ext_baq;
+    int32_t use_idaq;
+    int32_t redo_idaq;
+    int32_t use_sq;      /* compute per-read source qual */
+    int32_t def_nm_q;
+    int32_t sq_min_bq;   /* DEFAULT_MIN_BQ for count_cigar_ops */
+    int32_t tid;         /* -1 = all */
+    int64_t reg_beg, reg_end; /* region filter; reg_end<=0 = none */
+} ingest_conf_t;
+
+static int read_kept(const rec_t *r, const ingest_conf_t *c)
+{
+    if (r->tid < 0 || (r->flag & XFUNMAP))
+        return 0;
+    if (r->flag & (XFUNMAP | XFSECONDARY | XFQCFAIL | XFDUP))
+        return 0;
+    if (r->mapq < c->min_mq)
+        return 0;
+    if (c->no_orphan && (r->flag & XFPAIRED) && !(r->flag & XFPROPER))
+        return 0;
+    if (c->tid >= 0 && r->tid != c->tid)
+        return 0;
+    return 1;
+}
+
+static int64_t rec_endpos(const rec_t *r)
+{
+    int64_t x = r->pos;
+    for (int k = 0; k < r->n_cigar; k++) {
+        int op = r->cigar[k] & 0xf, l = r->cigar[k] >> 4;
+        if (op == OPM || op == OPD || op == OPN || op == OPEQ || op == OPX)
+            x += l;
+    }
+    return x;
+}
+
+/* count rows + events for one read */
+static void count_read(const rec_t *r, int64_t *nrows, int64_t *nev,
+                       int64_t *ev_seq_len)
+{
+    int prev_aligned = 0;
+    int64_t rows = 0;
+    for (int k = 0; k < r->n_cigar; k++) {
+        int op = r->cigar[k] & 0xf, l = r->cigar[k] >> 4;
+        if (op == OPM || op == OPEQ || op == OPX) {
+            rows += l;
+            prev_aligned = 1;
+        } else if (op == OPI) {
+            if (prev_aligned && rows > 0) {
+                (*nev)++;
+                (*ev_seq_len) += l;
+            }
+            prev_aligned = 0;
+        } else if (op == OPD) {
+            if (prev_aligned && rows > 0)
+                (*nev)++;
+            rows += l;
+            prev_aligned = 0;
+        } else if (op == OPN) {
+            rows += l;
+            prev_aligned = 0;
+        } else {
+            prev_aligned = 0;
+        }
+    }
+    *nrows += rows;
+}
+
+/* Pass 1: scan stream, count kept reads/rows/events.
+ * out_counts: [n_reads_kept, n_rows, n_events, ev_seq_total, seq_total] */
+int64_t lfq_ingest_count(const uint8_t *buf, int64_t buflen,
+                         const ingest_conf_t *conf, int64_t *out_counts)
+{
+    int64_t off = 0;
+    int64_t nreads = 0, nrows = 0, nev = 0, evseq = 0, seqtot = 0;
+    while (off + 4 <= buflen) {
+        int32_t sz = *(int32_t *)(buf + off);
+        off += 4;
+        if (off + sz > buflen)
+            return -1;
+        rec_t r;
+        if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
+            if (!(conf->reg_end > 0 &&
+                  (r.pos >= conf->reg_end || rec_endpos(&r) <= conf->reg_beg))) {
+                nreads++;
+                seqtot += r.l_qseq;
+                count_read(&r, &nrows, &nev, &evseq);
+            }
+        }
+        off += sz;
+    }
+    out_counts[0] = nreads;
+    out_counts[1] = nrows;
+    out_counts[2] = nev;
+    out_counts[3] = evseq;
+    out_counts[4] = seqtot;
+    return 0;
+}
+
+/* source qual for one read (plp.c:427-593 semantics, no ign-list) */
+static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
+                           int def_nm_q, int min_bq)
+{
+    int n = 0, nonmatch = 0;
+    int cap = r->l_qseq + r->n_cigar + 1;
+    double *probs = malloc(cap * sizeof(double));
+    int64_t tpos = r->pos;
+    int qpos = 0;
+    for (int k = 0; k < r->n_cigar; k++) {
+        int op = r->cigar[k] & 0xf, l = r->cigar[k] >> 4;
+        if (op == OPM || op == OPEQ || op == OPX) {
+            for (int j = 0; j < l; j++) {
+                char rb = (tpos + j < ref_len) ? ref[tpos + j] : 'N';
+                char qb = NT16_CHR[(r->seq4[(qpos + j) >> 1] >>
+                                    ((~(qpos + j) & 1) << 2)) & 0xf];
+                int bq = r->qual[qpos + j];
+                int mism = (rb != qb) || (op == OPX);
+                if (bq < min_bq)
+                    continue;
+                int q = (def_nm_q >= 0) ? def_nm_q : bq;
+                probs[n++] = pow(10.0, -0.1 * q);
+                if (mism)
+                    nonmatch++;
+            }
+            tpos += l;
+            qpos += l;
+        } else if (op == OPI || op == OPD) {
+            int q = (def_nm_q >= 0) ? def_nm_q : 45 /* INDEL_QUAL_DEFAULT */;
+            probs[n++] = pow(10.0, -0.1 * q);
+            nonmatch++;
+            if (op == OPI)
+                qpos += l;
+            else
+                tpos += l;
+        } else if (op == OPN) {
+            tpos += l;
+        } else if (op == OPS) {
+            qpos += l;
+        }
+    }
+    int sq;
+    if (n < 1) {
+        sq = 0;
+    } else if (nonmatch <= 1) {
+        /* PROB_TO_PHREDQUAL(LDBL_MIN) */
+        sq = (int)(-10.0L * log10l(LDBL_MIN));
+    } else {
+        nonmatch -= 1;
+        /* sort ascending */
+        int cmp(const void *a, const void *b) {
+            double x = *(const double *)a, y = *(const double *)b;
+            return (x > y) - (x < y);
+        }
+        qsort(probs, n, sizeof(double), cmp);
+        int64_t depth = n, kk = nonmatch, ndone;
+        double bonf = 1.0;
+        double *state = malloc((nonmatch + 1) * sizeof(double));
+        lfq_poissbin_dp_batch(probs, &depth, &kk, &bonf, 0.05, 1, n,
+                              nonmatch, state, &ndone);
+        double src_prob = exp(state[nonmatch - 1]);
+        if (src_prob == 0.0)
+            src_prob = DBL_MIN;
+        free(state);
+        long double p = 1.0L - (long double)src_prob;
+        sq = (p <= 0.0L) ? 2147483647 : (int)(-10.0L * log10l(p));
+        if (sq < 0)
+            sq = 0;
+    }
+    free(probs);
+    return sq;
+}
+
+/* Pass 2: fill row arrays.  All outputs preallocated by the caller using
+ * the pass-1 counts.  Row field arrays have length n_rows; event arrays
+ * n_events; ev_seq buffer ev_seq_total bytes.
+ *
+ * row_flags bits: 1 is_del, 2 is_refskip, 4 is_head, 8 is_tail, 16 strand,
+ *                 32 has_ai, 64 has_ad
+ */
+int64_t lfq_ingest_fill(
+    const uint8_t *buf, int64_t buflen, const ingest_conf_t *conf,
+    const char *ref, int64_t ref_len,
+    /* row outputs */
+    int64_t *o_pos, uint8_t *o_nt4, int16_t *o_bq, int16_t *o_baq,
+    int16_t *o_mq, int32_t *o_sq, uint8_t *o_flags, int32_t *o_indel,
+    int16_t *o_iq, int16_t *o_dq, int16_t *o_iaq, int16_t *o_daq,
+    int64_t *o_event_id,
+    /* event outputs */
+    uint8_t *o_ev_isins, int64_t *o_ev_seq_start, uint8_t *o_ev_seq,
+    int64_t *out_counts)
+{
+    /* first collect kept reads (pointers) so BAQ can run as one batch */
+    int64_t cap = 1024;
+    rec_t *recs = malloc(cap * sizeof(rec_t));
+    int64_t nreads = 0;
+    int64_t off = 0;
+    while (off + 4 <= buflen) {
+        int32_t sz = *(int32_t *)(buf + off);
+        off += 4;
+        rec_t r;
+        if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
+            if (!(conf->reg_end > 0 &&
+                  (r.pos >= conf->reg_end ||
+                   rec_endpos(&r) <= conf->reg_beg))) {
+                if (nreads == cap) {
+                    cap *= 2;
+                    recs = realloc(recs, cap * sizeof(rec_t));
+                }
+                recs[nreads++] = r;
+            }
+        }
+        off += sz;
+    }
+
+    /* per-read scratch: decoded seq chars + (possibly rescaled) quals */
+    int64_t seqtot = 0;
+    for (int64_t i = 0; i < nreads; i++)
+        seqtot += recs[i].l_qseq;
+    char *seqs = malloc(seqtot + 1);
+    uint8_t *quals = malloc(seqtot + 1);
+    int64_t *seq_start = malloc((nreads + 1) * sizeof(int64_t));
+    int64_t *cigar_start = malloc((nreads + 1) * sizeof(int64_t));
+    int64_t *read_pos = malloc((nreads + 1) * sizeof(int64_t));
+    int64_t ncig_tot = 0;
+    seq_start[0] = 0;
+    cigar_start[0] = 0;
+    for (int64_t i = 0; i < nreads; i++) {
+        rec_t *r = &recs[i];
+        int64_t s0 = seq_start[i];
+        for (int j = 0; j < r->l_qseq; j++)
+            seqs[s0 + j] =
+                NT16_CHR[(r->seq4[j >> 1] >> ((~j & 1) << 2)) & 0xf];
+        for (int j = 0; j < r->l_qseq; j++) {
+            uint8_t q = r->qual[j];
+            if (conf->illumina13)
+                q = q > 31 ? q - 31 : 0;
+            quals[s0 + j] = q;
+        }
+        seq_start[i + 1] = s0 + r->l_qseq;
+        ncig_tot += r->n_cigar;
+        cigar_start[i + 1] = ncig_tot;
+        read_pos[i] = r->pos;
+    }
+    uint32_t *cigars = malloc((ncig_tot + 1) * sizeof(uint32_t));
+    for (int64_t i = 0; i < nreads; i++)
+        memcpy(cigars + cigar_start[i], recs[i].cigar,
+               4 * (size_t)recs[i].n_cigar);
+
+    /* BAQ/IDAQ: reuse tags when present, compute otherwise */
+    uint8_t *baq_all = malloc(seqtot + nreads + 1);
+    uint8_t *iaq_all = malloc(seqtot + nreads + 1);
+    uint8_t *daq_all = malloc(seqtot + nreads + 1);
+    memset(baq_all, 0, seqtot + nreads + 1);
+    memset(iaq_all, 0, seqtot + nreads + 1);
+    memset(daq_all, 0, seqtot + nreads + 1);
+    uint8_t *have = calloc(nreads, 1); /* 1 lb, 2 ai, 4 ad */
+    if (conf->use_baq || conf->use_idaq) {
+        uint8_t *want_baq = calloc(nreads, 1);
+        uint8_t *want_idaq = calloc(nreads, 1);
+        for (int64_t i = 0; i < nreads; i++) {
+            rec_t *r = &recs[i];
+            int64_t o = seq_start[i] + i;
+            const uint8_t *t;
+            if (!conf->redo_baq && (t = aux_get(r, "lb")) && *t == 'Z') {
+                memcpy(baq_all + o, t + 1, r->l_qseq);
+                have[i] |= 1;
+            }
+            if (!conf->redo_idaq && (t = aux_get(r, "ai")) && *t == 'Z') {
+                memcpy(iaq_all + o, t + 1, r->l_qseq);
+                have[i] |= 2;
+            }
+            if (!conf->redo_idaq && (t = aux_get(r, "ad")) && *t == 'Z') {
+                memcpy(daq_all + o, t + 1, r->l_qseq);
+                have[i] |= 4;
+            }
+            int has_ins = 0, has_del = 0;
+            for (int k = 0; k < r->n_cigar; k++) {
+                int op = r->cigar[k] & 0xf;
+                if (op == OPI) has_ins = 1;
+                if (op == OPD) has_del = 1;
+            }
+            want_baq[i] = conf->use_baq && !(have[i] & 1);
+            int need_ai = conf->use_idaq && has_ins && !(have[i] & 2);
+            int need_ad = conf->use_idaq && has_del && !(have[i] & 4);
+            want_idaq[i] = need_ai || need_ad;
+        }
+        /* run the HMM only for reads needing something */
+        uint8_t *flags = calloc(nreads, 1);
+        lfq_baq_batch(ref, ref_len, nreads, read_pos, cigars, cigar_start,
+                      seqs, quals, seq_start, want_baq, want_idaq,
+                      conf->ext_baq, 0.00001, 0.4,
+                      baq_all, iaq_all, daq_all, flags);
+        for (int64_t i = 0; i < nreads; i++) {
+            if (flags[i] & 1) have[i] |= 1;
+            if (flags[i] & 2) have[i] |= 2;
+            if (flags[i] & 4) have[i] |= 4;
+        }
+        free(want_baq);
+        free(want_idaq);
+        free(flags);
+    }
+
+    /* expand rows */
+    int64_t row = 0, nev = 0, evseq_off = 0;
+    for (int64_t i = 0; i < nreads; i++) {
+        rec_t *r = &recs[i];
+        int64_t s0 = seq_start[i];
+        int64_t tago = s0 + i;
+        int strand = (r->flag & XFREVERSE) ? 1 : 0;
+        int16_t mq = r->mapq > conf->max_mq ? conf->max_mq : r->mapq;
+        int32_t sq = -1;
+        const uint8_t *sqt = aux_get(r, "sq");
+        if (sqt)
+            sq = (int32_t)aux_int(sqt);
+        else if (conf->use_sq)
+            sq = source_qual_one(r, ref, ref_len, conf->def_nm_q,
+                                 conf->sq_min_bq);
+        const uint8_t *bi = NULL, *bd = NULL;
+        const uint8_t *t;
+        if ((t = aux_get(r, "BI")) && *t == 'Z') bi = t + 1;
+        if ((t = aux_get(r, "BD")) && *t == 'Z') bd = t + 1;
+
+        int64_t x = r->pos;
+        int y = 0;
+        int prev_aligned = 0;
+        int64_t row0 = row;
+        for (int k = 0; k < r->n_cigar; k++) {
+            int op = r->cigar[k] & 0xf, l = r->cigar[k] >> 4;
+            if (op == OPM || op == OPEQ || op == OPX) {
+                for (int j = 0; j < l; j++) {
+                    o_pos[row] = x + j;
+                    int qp = y + j;
+                    char qc = seqs[s0 + qp];
+                    uint8_t nt4;
+                    switch (qc) {
+                    case 'A': nt4 = 0; break;
+                    case 'C': nt4 = 1; break;
+                    case 'G': nt4 = 2; break;
+                    case 'T': nt4 = 3; break;
+                    default: nt4 = 4; break;
+                    }
+                    o_nt4[row] = nt4;
+                    o_bq[row] = quals[s0 + qp];
+                    o_baq[row] = (have[i] & 1) ? (int16_t)baq_all[tago + qp] - 33
+                                               : -1;
+                    o_mq[row] = mq;
+                    o_sq[row] = sq;
+                    o_flags[row] = (strand ? 16 : 0) |
+                                   ((have[i] & 2) ? 32 : 0) |
+                                   ((have[i] & 4) ? 64 : 0);
+                    o_indel[row] = 0;
+                    o_iq[row] = bi ? (int16_t)bi[qp] - 33 : 0;
+                    o_dq[row] = bd ? (int16_t)bd[qp] - 33 : 0;
+                    o_iaq[row] = -1;
+                    o_daq[row] = -1;
+                    o_event_id[row] = -1;
+                    row++;
+                }
+                x += l;
+                y += l;
+                prev_aligned = 1;
+            } else if (op == OPI) {
+                if (prev_aligned && row > row0) {
+                    o_indel[row - 1] = l;
+                    o_event_id[row - 1] = nev;
+                    o_iaq[row - 1] = (have[i] & 2)
+                        ? (int16_t)iaq_all[tago + (y - 1)] - 33 : -1;
+                    o_ev_isins[nev] = 1;
+                    o_ev_seq_start[nev] = evseq_off;
+                    for (int j = 0; j < l; j++)
+                        o_ev_seq[evseq_off++] = seqs[s0 + y + j];
+                    nev++;
+                    o_ev_seq_start[nev] = evseq_off;
+                }
+                y += l;
+                prev_aligned = 0;
+            } else if (op == OPD) {
+                if (prev_aligned && row > row0) {
+                    o_indel[row - 1] = -l;
+                    o_event_id[row - 1] = nev;
+                    o_daq[row - 1] = (have[i] & 4)
+                        ? (int16_t)daq_all[tago + (y - 1)] - 33 : -1;
+                    o_ev_isins[nev] = 0;
+                    o_ev_seq_start[nev] = evseq_off;
+                    nev++;
+                    o_ev_seq_start[nev] = evseq_off;
+                }
+                int qp = y > 0 ? y - 1 : 0;
+                for (int j = 0; j < l; j++) {
+                    o_pos[row] = x + j;
+                    o_nt4[row] = 4;
+                    o_bq[row] = quals[s0 + qp];
+                    o_baq[row] = -1;
+                    o_mq[row] = mq;
+                    o_sq[row] = sq;
+                    o_flags[row] = 1 | (strand ? 16 : 0) |
+                                   ((have[i] & 2) ? 32 : 0) |
+                                   ((have[i] & 4) ? 64 : 0);
+                    o_indel[row] = 0;
+                    o_iq[row] = bi ? (int16_t)bi[qp] - 33 : 0;
+                    o_dq[row] = bd ? (int16_t)bd[qp] - 33 : 0;
+                    o_iaq[row] = -1;
+                    o_daq[row] = -1;
+                    o_event_id[row] = -1;
+                    row++;
+                }
+                x += l;
+                prev_aligned = 0;
+            } else if (op == OPN) {
+                int qp = y > 0 ? y - 1 : 0;
+                for (int j = 0; j < l; j++) {
+                    o_pos[row] = x + j;
+                    o_nt4[row] = 4;
+                    o_bq[row] = quals[s0 + qp];
+                    o_baq[row] = -1;
+                    o_mq[row] = mq;
+                    o_sq[row] = sq;
+                    o_flags[row] = 2 | (strand ? 16 : 0);
+                    o_indel[row] = 0;
+                    o_iq[row] = bi ? (int16_t)bi[qp] - 33 : 0;
+                    o_dq[row] = bd ? (int16_t)bd[qp] - 33 : 0;
+                    o_iaq[row] = -1;
+                    o_daq[row] = -1;
+                    o_event_id[row] = -1;
+                    row++;
+                }
+                x += l;
+                prev_aligned = 0;
+            } else if (op == OPS) {
+                y += l;
+                prev_aligned = 0;
+            } else {
+                prev_aligned = 0;
+            }
+        }
+        if (row > row0) {
+            o_flags[row0] |= 4;      /* is_head */
+            o_flags[row - 1] |= 8;   /* is_tail */
+        }
+    }
+
+    free(recs);
+    free(seqs); free(quals); free(seq_start); free(cigar_start);
+    free(read_pos); free(cigars);
+    free(baq_all); free(iaq_all); free(daq_all); free(have);
+    out_counts[0] = nreads;
+    out_counts[1] = row;
+    out_counts[2] = nev;
+    out_counts[3] = evseq_off;
+    return 0;
+}

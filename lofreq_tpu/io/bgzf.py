@@ -132,6 +132,26 @@ class BgzfReader(io.RawIOBase):
     def readable(self):
         return True
 
+    def read_until_voffset(self, vend: int) -> bytes:
+        """Read raw bytes from the current position up to virtual offset
+        vend (exclusive).  vend must lie at or after the current position."""
+        cend = vend >> 16
+        uend = vend & 0xFFFF
+        out = []
+        while True:
+            if not self._fill():
+                break
+            if self._block_coffset >= cend:
+                # final block: take up to uend
+                take = uend - self._within
+                if take > 0:
+                    out.append(self._block[self._within : self._within + take])
+                    self._within += take
+                break
+            out.append(self._block[self._within :])
+            self._within = len(self._block)
+        return b"".join(out)
+
     def readline(self, size=-1):
         out = []
         while True:

@@ -226,8 +226,10 @@ def expand_read(r: bamio.BamRead, conf: PileupConf, out: dict):
     out["nt4"].append(np.where(is_del | is_skip, 4,
                                nt4_read[qpos_c]).astype(np.uint8))
     out["bq"].append(np.asarray(qual[qpos_c], dtype=np.int16))
-    out["baq"].append(baq[qpos_c].astype(np.int16) if baq is not None
-                      else np.full(n, -1, dtype=np.int16))
+    # BAQ is only defined for aligned bases (del/refskip rows never read it)
+    out["baq"].append(
+        np.where(is_del | is_skip, np.int16(-1), baq[qpos_c].astype(np.int16))
+        if baq is not None else np.full(n, -1, dtype=np.int16))
     out["mq"].append(np.full(n, mq, dtype=np.int16))
     out["sq"].append(np.full(n, sq, dtype=np.int32))
     out["strand"].append(np.full(n, strand, dtype=np.uint8))
@@ -244,10 +246,18 @@ def expand_read(r: bamio.BamRead, conf: PileupConf, out: dict):
                      else np.zeros(n, dtype=np.int16))
     out["dq"].append(bd[qpos_c].astype(np.int16) if bd is not None
                      else np.zeros(n, dtype=np.int16))
-    out["iaq"].append(ai[qpos_c].astype(np.int16) if ai is not None
-                      else np.full(n, -1, dtype=np.int16))
-    out["daq"].append(ad[qpos_c].astype(np.int16) if ad is not None
-                      else np.full(n, -1, dtype=np.int16))
+    # indel alignment quals only exist at the indel anchor row (the only
+    # place compile_plp_col reads them, plp.c:1076-1078,1121-1123)
+    iaq_arr = np.full(n, -1, dtype=np.int16)
+    daq_arr = np.full(n, -1, dtype=np.int16)
+    if ai is not None:
+        m = indel > 0
+        iaq_arr[m] = ai[qpos_c[m]]
+    if ad is not None:
+        m = indel < 0
+        daq_arr[m] = ad[qpos_c[m]]
+    out["iaq"].append(iaq_arr)
+    out["daq"].append(daq_arr)
     out["has_ai"].append(np.full(n, ai is not None))
     out["has_ad"].append(np.full(n, ad is not None))
     out["event_id"].append(event_id)

@@ -1,0 +1,188 @@
+"""Native BAM ingest: ctypes bridge to csrc/ingest.c.
+
+Raw (BGZF-inflated) BAM record bytes go straight into C, which filters
+reads, computes BAQ/IDAQ/source-qual where needed, and returns flat pileup
+row arrays — the per-read Python work of pileup.engine.expand_read done
+natively in one pass.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..io.bai import BaiIndex, build_bai
+from ..io.bam import BamReader
+from .engine import PileupConf, ReadRows
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CSRC = os.path.join(_ROOT, "csrc")
+_BUILD = os.path.join(_CSRC, "build")
+_lock = threading.Lock()
+_lib = None
+
+_SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c"]
+
+
+class _IngestConf(ctypes.Structure):
+    _fields_ = [
+        ("min_mq", ctypes.c_int32), ("max_mq", ctypes.c_int32),
+        ("no_orphan", ctypes.c_int32), ("illumina13", ctypes.c_int32),
+        ("use_baq", ctypes.c_int32), ("redo_baq", ctypes.c_int32),
+        ("ext_baq", ctypes.c_int32), ("use_idaq", ctypes.c_int32),
+        ("redo_idaq", ctypes.c_int32), ("use_sq", ctypes.c_int32),
+        ("def_nm_q", ctypes.c_int32), ("sq_min_bq", ctypes.c_int32),
+        ("tid", ctypes.c_int32), ("reg_beg", ctypes.c_int64),
+        ("reg_end", ctypes.c_int64),
+    ]
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is None:
+            srcs = [os.path.join(_CSRC, s) for s in _SRCS]
+            out = os.path.join(_BUILD, "liblofreq_native.so")
+            os.makedirs(_BUILD, exist_ok=True)
+            newest = max(os.path.getmtime(s) for s in srcs)
+            if not (os.path.exists(out) and os.path.getmtime(out) >= newest):
+                tmp = out + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, *srcs,
+                     "-lm"],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, out)
+            _lib = ctypes.CDLL(out)
+    return _lib
+
+
+def _conf_struct(conf: PileupConf, tid: int, beg, end) -> _IngestConf:
+    from .. import defaults as D
+
+    return _IngestConf(
+        min_mq=conf.min_mq, max_mq=conf.max_mq,
+        no_orphan=1 if conf.no_orphan else 0,
+        illumina13=1 if conf.illumina13 else 0,
+        use_baq=1 if conf.use_baq else 0,
+        redo_baq=1 if conf.redo_baq else 0,
+        ext_baq=1 if conf.ext_baq else 0,
+        use_idaq=1 if conf.use_idaq else 0,
+        redo_idaq=1 if conf.redo_idaq else 0,
+        use_sq=1 if conf.use_sq else 0,
+        def_nm_q=conf.def_nm_q, sq_min_bq=D.DEFAULT_MIN_BQ,
+        tid=tid, reg_beg=beg if beg is not None else 0,
+        reg_end=end if end is not None else 0,
+    )
+
+
+def raw_records_for_region(rdr: BamReader, tid, beg, end) -> bytes:
+    """Raw [size][record] bytes covering the region, via the BAI when
+    present (whole remaining stream otherwise)."""
+    bai_path = rdr.path + ".bai"
+    if tid is not None and os.path.exists(bai_path):
+        idx = BaiIndex.load(bai_path)
+        chunks = idx.query(tid, beg or 0, end if end else 1 << 29)
+        parts = []
+        for cbeg, cend in chunks:
+            rdr._bgzf.seek_virtual(cbeg)
+            parts.append(rdr._bgzf.read_until_voffset(cend))
+        return b"".join(parts)
+    rdr.rewind()
+    return rdr._bgzf.read()
+
+
+def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
+                  tid: int, beg=None, end=None,
+                  raw: bytes = None) -> ReadRows:
+    """Run the native ingest for reads overlapping [beg, end) on tid."""
+    lib = get_lib()
+    if raw is None:
+        raw = raw_records_for_region(rdr, tid, beg, end)
+    if not raw:
+        return ReadRows.empty()
+    cs = _conf_struct(conf, tid, beg, end)
+    counts = np.zeros(5, dtype=np.int64)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    rc = lib.lfq_ingest_count(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(raw)), ctypes.byref(cs),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise IOError("native ingest: corrupt BAM record stream")
+    n_reads, n_rows, n_ev, ev_seq_total, _seq_total = counts
+    if n_rows == 0:
+        return ReadRows.empty()
+
+    o = dict(
+        pos=np.empty(n_rows, np.int64),
+        nt4=np.empty(n_rows, np.uint8),
+        bq=np.empty(n_rows, np.int16),
+        baq=np.empty(n_rows, np.int16),
+        mq=np.empty(n_rows, np.int16),
+        sq=np.empty(n_rows, np.int32),
+        flags=np.empty(n_rows, np.uint8),
+        indel=np.empty(n_rows, np.int32),
+        iq=np.empty(n_rows, np.int16),
+        dq=np.empty(n_rows, np.int16),
+        iaq=np.empty(n_rows, np.int16),
+        daq=np.empty(n_rows, np.int16),
+        event_id=np.empty(n_rows, np.int64),
+        ev_isins=np.empty(max(n_ev, 1), np.uint8),
+        ev_seq_start=np.zeros(n_ev + 1, np.int64),
+        ev_seq=np.empty(max(ev_seq_total, 1), np.uint8),
+    )
+
+    def p(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    out2 = np.zeros(4, dtype=np.int64)
+    rc = lib.lfq_ingest_fill(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(raw)), ctypes.byref(cs),
+        ref, ctypes.c_int64(len(ref)),
+        p(o["pos"], ctypes.c_int64), p(o["nt4"], ctypes.c_uint8),
+        p(o["bq"], ctypes.c_int16), p(o["baq"], ctypes.c_int16),
+        p(o["mq"], ctypes.c_int16), p(o["sq"], ctypes.c_int32),
+        p(o["flags"], ctypes.c_uint8), p(o["indel"], ctypes.c_int32),
+        p(o["iq"], ctypes.c_int16), p(o["dq"], ctypes.c_int16),
+        p(o["iaq"], ctypes.c_int16), p(o["daq"], ctypes.c_int16),
+        p(o["event_id"], ctypes.c_int64),
+        p(o["ev_isins"], ctypes.c_uint8),
+        p(o["ev_seq_start"], ctypes.c_int64),
+        p(o["ev_seq"], ctypes.c_uint8),
+        out2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise IOError("native ingest fill failed")
+    assert out2[1] == n_rows, (out2, counts)
+
+    flags = o["flags"]
+    events = []
+    starts = o["ev_seq_start"]
+    seqbuf = o["ev_seq"].tobytes()
+    for i in range(n_ev):
+        if o["ev_isins"][i]:
+            events.append((seqbuf[starts[i] : starts[i + 1]].decode().upper(),
+                           True))
+        else:
+            events.append((None, False))
+    return ReadRows(
+        pos=o["pos"], nt4=o["nt4"], bq=o["bq"], baq=o["baq"], mq=o["mq"],
+        sq=o["sq"], strand=((flags >> 4) & 1).astype(np.uint8),
+        is_del=(flags & 1).astype(bool),
+        is_refskip=((flags >> 1) & 1).astype(bool),
+        is_head=((flags >> 2) & 1).astype(bool),
+        is_tail=((flags >> 3) & 1).astype(bool),
+        indel=o["indel"].astype(np.int64),
+        iq=o["iq"], dq=o["dq"], iaq=o["iaq"], daq=o["daq"],
+        has_ai=((flags >> 5) & 1).astype(bool),
+        has_ad=((flags >> 6) & 1).astype(bool),
+        event_id=o["event_id"],
+        events=events,
+    )

@@ -97,6 +97,60 @@ def _window_batches(reads_iter, chrom, ref, pconf: PileupConf,
             buf = [b for b in buf if b.endpos() > win_start]
 
 
+def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
+                           window=WINDOW):
+    """Yield ColumnBatches via the native ingest engine (csrc/ingest.c)."""
+    import numpy as _np
+
+    from ..pileup.engine import compile_columns
+    from ..pileup.native_ingest import ingest_region
+
+    lo = rstart if rstart is not None else 0
+    hi = rend if rend is not None else len(ref)
+    win = (lo // window) * window
+    while win < hi:
+        win_e = win + window
+        rows = ingest_region(rdr, pconf, ref, tid, beg=max(win, lo),
+                             end=min(win_e, hi))
+        if len(rows.pos):
+            keep = (rows.pos >= max(win, lo)) & (rows.pos < min(win_e, hi))
+            if pconf.bed is not None:
+                keep &= pconf.bed.overlap_mask(chrom, rows.pos)
+            if _np.any(keep):
+                for name in ("pos", "nt4", "bq", "baq", "mq", "sq", "strand",
+                             "is_del", "is_refskip", "is_head", "is_tail",
+                             "indel", "iq", "dq", "iaq", "daq", "has_ai",
+                             "has_ad", "event_id"):
+                    setattr(rows, name, getattr(rows, name)[keep])
+                batch = compile_columns(rows, pconf, ref, chrom)
+                if batch is not None:
+                    yield batch
+        win = win_e
+
+
+def _can_use_native(bam_path, ign_pos, pconf) -> bool:
+    import os as _os
+
+    from ..io.bgzf import is_bgzf
+
+    if ign_pos is not None and pconf.use_sq:
+        return False  # ign-list not supported natively yet
+    try:
+        if not is_bgzf(bam_path):
+            return False
+    except OSError:
+        return False
+    bai = str(bam_path) + ".bai"
+    if not _os.path.exists(bai):
+        try:
+            from ..io.bai import build_bai
+
+            build_bai(bam_path)
+        except OSError:
+            return False
+    return True
+
+
 def run_call(
     bam_path,
     ref_path,
@@ -106,6 +160,7 @@ def run_call(
     bed=None,
     ign_pos=None,
     progress=None,
+    native: bool = True,
 ) -> CallResult:
     """Run variant calling; returns unfiltered variants + stats.
 
@@ -118,6 +173,7 @@ def run_call(
     res = CallResult()
     fa = Fasta(ref_path)
     rdr = BamReader(bam_path)
+    use_native = native and _can_use_native(bam_path, ign_pos, pconf)
 
     if region:
         chrom, rstart, rend = parse_region(region)
@@ -135,6 +191,15 @@ def run_call(
                 f"reference length mismatch for {chrom}: fasta "
                 f"{len(ref)} vs BAM {rdr.header.references[tid][1]}"
             )
+
+        if use_native:
+            for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
+                                                rstart, rend):
+                vs = call_vars_batch(batch, vconf, res.stats)
+                res.vars.extend(vs)
+                if progress:
+                    progress(chrom, int(batch.positions[-1]))
+            continue
 
         if region:
             reads = rdr.fetch(chrom, rstart, rend)

@@ -1,0 +1,101 @@
+"""Native ingest engine consistency: C path rows/calls == Python path."""
+
+import numpy as np
+import pytest
+
+from lofreq_tpu.call.caller import VarcallConf
+from lofreq_tpu.io.bam import BamReader
+from lofreq_tpu.io.fasta import Fasta
+from lofreq_tpu.pileup.engine import PileupConf, rows_from_reads, read_passes_filters
+from lofreq_tpu.pileup.native_ingest import ingest_region
+from lofreq_tpu.pipelines.call_pipeline import run_call
+from simulate import simulate
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("nat")
+    return simulate(str(tmp), genome_len=4000, depth=300, seed=31,
+                    snvs=((0.1, 2), (0.5, 2)),
+                    indels=((0.3, 1, 2, "ins"), (0.3, 1, 3, "del")))
+
+
+@pytest.mark.parametrize("use_baq,use_sq", [(False, False), (True, False),
+                                            (False, True), (True, True)])
+def test_rows_match_python(sim, use_baq, use_sq):
+    pconf = PileupConf(use_baq=use_baq, use_idaq=use_baq, use_sq=use_sq)
+    fa = Fasta(sim["fa"])
+    ref = fa.fetch(sim["chrom"])
+    rdr = BamReader(sim["bam"])
+    native = ingest_region(rdr, pconf, ref, 0)
+
+    # python path: same reads, tags attached the same way
+    rdr2 = BamReader(sim["bam"])
+    reads = [r for r in rdr2.fetch(sim["chrom"])
+             if read_passes_filters(r, pconf, sim["chrom"])]
+    for r in reads:
+        r.mapq = min(r.mapq, pconf.max_mq)
+    if use_baq:
+        from lofreq_tpu.ops.baq import add_alnqual_tags
+
+        add_alnqual_tags(reads, ref, baq=True, ext_baq=pconf.ext_baq,
+                         idaq=pconf.use_idaq)
+    if use_sq:
+        from lofreq_tpu.pileup.sourcequal import compute_source_quals
+
+        compute_source_quals(reads, ref, pconf.def_nm_q)
+    py = rows_from_reads(reads, pconf)
+
+    # row multisets must match; native rows are ordered by read, python's
+    # fast path groups reads, so compare after a stable global sort
+    def canon(rows):
+        key = np.lexsort((
+            rows.daq, rows.iaq, rows.dq, rows.iq, rows.indel, rows.sq,
+            rows.mq, rows.baq, rows.strand, rows.bq, rows.nt4, rows.is_del,
+            rows.pos,
+        ))
+        return key
+
+    nk = canon(native)
+    pk = canon(py)
+    assert len(nk) == len(pk)
+    for field in ("pos", "nt4", "bq", "baq", "mq", "sq", "strand", "is_del",
+                  "is_refskip", "indel", "iq", "dq", "iaq", "daq"):
+        a = getattr(native, field)[nk]
+        b = getattr(py, field)[pk]
+        if not np.array_equal(a, b):
+            bad = np.nonzero(a != b)[0][:5]
+            raise AssertionError(
+                f"{field} mismatch at {bad}: native={a[bad]} py={b[bad]} "
+                f"pos={native.pos[nk][bad]}")
+    assert int(native.is_head.sum()) == int(py.is_head.sum())
+    assert int(native.is_tail.sum()) == int(py.is_tail.sum())
+
+
+def test_calls_match_python(sim, tmp_path):
+    for call_indels in (False, True):
+        vk = dict(use_baq=True, use_idaq=call_indels,
+                  no_indels=not call_indels)
+        pk = dict(use_baq=True, use_idaq=call_indels,
+                  collect_indels=call_indels)
+        res_n = run_call(sim["bam"], sim["fa"], vconf=VarcallConf(**vk),
+                         pconf=PileupConf(**pk), native=True)
+        res_p = run_call(sim["bam"], sim["fa"], vconf=VarcallConf(**vk),
+                         pconf=PileupConf(**pk), native=False)
+        a = [v.to_line() for v in res_n.vars]
+        b = [v.to_line() for v in res_p.vars]
+        assert a == b, f"call_indels={call_indels}"
+        assert res_n.stats.num_snv_tests == res_p.stats.num_snv_tests
+        assert res_n.stats.num_indel_tests == res_p.stats.num_indel_tests
+
+
+def test_region_ingest(sim):
+    pconf = PileupConf(use_baq=False, use_idaq=False)
+    fa = Fasta(sim["fa"])
+    ref = fa.fetch(sim["chrom"])
+    rdr = BamReader(sim["bam"])
+    rows = ingest_region(rdr, pconf, ref, 0, beg=1000, end=1500)
+    assert len(rows.pos)
+    # only reads overlapping the region contribute rows
+    assert rows.pos.min() >= 1000 - 110
+    assert rows.pos.max() < 1500 + 110

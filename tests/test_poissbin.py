@@ -70,3 +70,20 @@ def test_snpcaller_batch_contract():
         np.full((1, 10), 0.4), np.array([10]), np.array([[2, 1, 0]]), 1.0, 0.01
     )
     assert np.all(pv2 > 1e300)
+
+
+def test_merge_quals_native_matches_py():
+    from lofreq_tpu.core.quals import (
+        merge_srcq_mapq_baq_and_bq,
+        merge_srcq_mapq_baq_and_bq_py,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    sq = rng.choice([-1, 0, 13, 40, 49314], n)
+    mq = rng.choice([-1, 0, 1, 37, 60, 254], n)
+    baq = rng.integers(-1, 94, n)
+    bq = rng.integers(0, 94, n)
+    a = merge_srcq_mapq_baq_and_bq(sq, mq, baq, bq)
+    b = merge_srcq_mapq_baq_and_bq_py(sq, mq, baq, bq)
+    np.testing.assert_array_equal(a, b)
