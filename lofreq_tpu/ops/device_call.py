@@ -86,10 +86,13 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
         alt_counts = jnp.take_along_axis(alt_cnt5[:, :4], alt_nt, axis=1)
         alt_raw = jnp.take_along_axis(alt_raw5[:, :4], alt_nt, axis=1)
 
-        # ascending error probs (pad sorts last and is masked via depths)
+        # The Poisson-binomial tail is permutation invariant, so the
+        # screening DP streams the *unsorted* masked probs (2.0 = invalid,
+        # skipped per-step) — no device sort needed.  A sorted prefix mode
+        # (s < D) remains for cheap partial screening.
         masked = jnp.where(keep, merged, 2.0)
         if s is None or s >= Dd:
-            prefix = jnp.sort(masked, axis=1)
+            prefix = masked
             s_eff = Dd
         else:
             neg_top, _ = jax.lax.top_k(-masked, s)
@@ -114,6 +117,7 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
 
         def step(state, n_and_p):
             n, p = n_and_p
+            valid = p < 1.5
             p = jnp.clip(p, 1e-30, 1.0 - 1e-7)
             lp = jnp.log(p)
             l1p = jnp.log1p(-p)
@@ -124,8 +128,9 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
             new = jnp.where(is_tail, tail, std)
             new = new.at[:, 0].set(state[:, 0] + l1p)
             new = jnp.where(beyond, NEG, new)
-            active = (n < depths)[:, None]
-            return jnp.where(active, new, state), None
+            if s_eff < Dd:
+                valid &= n < depths  # prefix mode: pad sorted to the end
+            return jnp.where(valid[:, None], new, state), None
 
         state, _ = jax.lax.scan(
             step, state0, (jnp.arange(s_eff), prefix.astype(jnp.float32).T))

@@ -91,3 +91,22 @@ def test_graft_dryrun_multichip():
 
     n = min(8, len(jax.devices()))
     ge.dryrun_multichip(n)
+
+
+def test_pallas_poissbin_matches_exact():
+    """Pallas screening kernel (interpret mode on the CPU mesh) vs the
+    exact DP, on unsorted masked probs."""
+    from lofreq_tpu.core.poissbin import pruned_prob_dist_batch
+    from lofreq_tpu.ops.pallas_poissbin import poissbin_tail_pallas
+
+    rng = np.random.default_rng(7)
+    B, D = 128, 64
+    probs = rng.uniform(1e-4, 1e-2, (B, D)).astype(np.float32)
+    valid = rng.random((B, D)) < 0.9
+    ks = rng.integers(1, 9, B)
+    tail = poissbin_tail_pallas(probs, valid, ks)
+    ps_sorted = np.sort(np.where(valid, probs, 2.0), axis=1)
+    state, _ = pruned_prob_dist_batch(
+        ps_sorted.astype(np.float64), valid.sum(axis=1), ks, 1e-300, 1.0)
+    exact = state[np.arange(B), ks]
+    assert np.abs(tail - exact).max() < 1e-3
