@@ -259,6 +259,17 @@ def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf):
     pvalues = np.full((B, 3), PH.LDBL_MAX, dtype=np.longdouble)
     ks = alt_counts.max(axis=1)
     run_mask = ks > 0
+    if conf.approx_threshold_n > 0 and B:
+        # Poisson approximation pre-filter (snpcaller.c:1128-1142): skip
+        # columns whose approximate tail is already insignificant
+        from scipy.stats import poisson
+
+        deep = depths > conf.approx_threshold_n
+        if np.any(deep):
+            valid = probs <= 1.0
+            mu = np.where(valid, probs, 0.0).sum(axis=1)
+            approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
+            run_mask &= ~(deep & (approx * bonf > conf.sig))
     if conf.use_device_screen and B:
         from ..ops.screen import screen_candidates
 

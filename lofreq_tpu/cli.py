@@ -391,10 +391,11 @@ def cmd_somatic(args) -> int:
 
     sc = SomaticCaller(
         tumor_bam=args.tumor, normal_bam=args.normal, ref=args.ref,
-        out_prefix=args.outprefix, dbsnp=args.dbsnp,
+        out_prefix=args.outprefix, dbsnp=args.dbsnp, bed=args.bed,
         threads=args.threads, call_indels=args.call_indels,
         continue_interrupted=args.cont, min_cov=args.min_cov,
         use_orphan=args.use_orphan, baq_off=args.baq_off,
+        do_germline=args.germline,
     )
     return sc.run()
 
@@ -510,7 +511,32 @@ def build_parser():
     p.add_argument("--min-cov", type=int, default=7)
     p.add_argument("--use-orphan", action="store_true")
     p.add_argument("--baq-off", action="store_true")
+    p.add_argument("--germline", action="store_true")
+    p.add_argument("-l", "--bed")
     p.add_argument("--verbose", action="store_true")
+
+    p = sub.add_parser("indel-ovlp", help="resolve overlapping indels")
+    p.add_argument("vcf")
+    p.add_argument("-o", "--out", default="-")
+
+    p = sub.add_parser("add-fake-gt",
+                       help="add FORMAT=GT + unknown-genotype samples")
+    p.add_argument("-i", "--vcf-in", required=True)
+    p.add_argument("-o", "--vcf-out", default="-")
+    p.add_argument("-s", "--samples", nargs="+", required=True)
+
+    p = sub.add_parser("add-sample", help="alias of add-fake-gt")
+    p.add_argument("-i", "--vcf-in", required=True)
+    p.add_argument("-o", "--vcf-out", default="-")
+    p.add_argument("-s", "--samples", nargs="+", required=True)
+
+    p = sub.add_parser("cluster", help="cluster variants by AF CI overlap")
+    p.add_argument("vcf")
+
+    p = sub.add_parser("vcfplot", help="VCF statistics plots")
+    p.add_argument("-i", "--vcf-in", required=True)
+    p.add_argument("-o", "--out", default="vcfplot.pdf")
+    p.add_argument("--summary-only", action="store_true")
 
     p = sub.add_parser("version", help="print version")
     return ap
@@ -557,6 +583,26 @@ def main(argv=None) -> int:
         return cmd_vcfset(args)
     if args.cmd == "somatic":
         return cmd_somatic(args)
+    if args.cmd == "indel-ovlp":
+        from .tools.vcftools import indel_ovlp
+
+        indel_ovlp(args.vcf, args.out)
+        return 0
+    if args.cmd in ("add-fake-gt", "add-sample"):
+        from .tools.vcftools import add_fake_gt
+
+        add_fake_gt(args.vcf_in, args.vcf_out, args.samples)
+        return 0
+    if args.cmd == "cluster":
+        from .tools.vcftools import cluster_vars
+
+        cluster_vars(args.vcf)
+        return 0
+    if args.cmd == "vcfplot":
+        from .tools.vcfplot import vcfplot
+
+        vcfplot(args.vcf_in, args.out, summary_only=args.summary_only)
+        return 0
     return 1
 
 

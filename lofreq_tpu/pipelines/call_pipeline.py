@@ -8,6 +8,7 @@ filter chain runs in-process at the end.
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -24,6 +25,7 @@ from ..pileup.engine import PileupConf, compile_columns, read_passes_filters, ro
 from ..pileup.sourcequal import compute_source_quals
 
 WINDOW = 100_000
+HEARTBEAT_COLS = 100_000  # progress log cadence (cf. plp.c:1434-1438)
 
 
 @dataclass
@@ -193,10 +195,18 @@ def run_call(
             )
 
         if use_native:
+            n_cols = 0
+            next_beat = HEARTBEAT_COLS
             for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
                                                 rstart, rend):
                 vs = call_vars_batch(batch, vconf, res.stats)
                 res.vars.extend(vs)
+                n_cols += len(batch.positions)
+                if n_cols >= next_beat:
+                    print(f"Alive and happily crunching away on pos "
+                          f"{int(batch.positions[-1]) + 1} of {chrom}...",
+                          file=sys.stderr)
+                    next_beat += HEARTBEAT_COLS
                 if progress:
                     progress(chrom, int(batch.positions[-1]))
             continue

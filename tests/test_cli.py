@@ -159,3 +159,26 @@ def test_plpsummary(sim, capsys):
     f = lines[0].split("\t")
     assert f[0] == sim["chrom"]
     assert f[2] in "ACGTN"
+
+
+def test_tools_subcommands(sim, tmp_path, capsys):
+    a = str(tmp_path / "t.vcf")
+    main(["call", "-f", sim["fa"], "-o", a, "-B", "-A", sim["bam"]])
+    # indel-ovlp passthrough (no overlaps in SNV-only output)
+    out = str(tmp_path / "ovlp.vcf")
+    assert main(["indel-ovlp", a, "-o", out]) == 0
+    assert len(list(VcfReader(out))) == len(list(VcfReader(a)))
+    # add-fake-gt
+    gt = str(tmp_path / "gt.vcf")
+    assert main(["add-fake-gt", "-i", a, "-o", gt, "-s", "s1", "s2"]) == 0
+    with VcfReader(gt) as r:
+        assert "FORMAT\ts1\ts2" in r.header
+        v = next(iter(r))
+        assert v.format == "GT" and v.samples == ["./.", "./."]
+    # cluster + vcfplot summary
+    assert main(["cluster", a]) == 0
+    assert "cluster1" in capsys.readouterr().out
+    assert main(["vcfplot", "-i", a, "-o", str(tmp_path / "p.pdf")]) == 0
+    import os as _os
+
+    assert _os.path.exists(str(tmp_path / "p.pdf"))
