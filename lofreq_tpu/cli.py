@@ -136,6 +136,11 @@ def cmd_call(args) -> int:
         no_default_filter=args.no_default_filter, region=args.region,
         bed=bed, ign_pos=ign_pos,
     )
+    if res.stats.indel_calls_wo_idaq and vconf.use_idaq:
+        print(f"WARNING: {res.stats.indel_calls_wo_idaq} indel calls "
+              "(before filtering) were made without indel alignment-quality!"
+              " Did you forget to add indel alignment-quality to your"
+              " bam-file?", file=sys.stderr)
     # load-bearing log lines: parsed by somatic/call-parallel wrappers
     print(f"Number of substitution tests performed: {res.stats.num_snv_tests}",
           file=sys.stderr)

@@ -1,0 +1,147 @@
+"""Multi-host / multi-chip execution helpers.
+
+Design (SURVEY §2.3 mapping): the genome is the long axis.
+  * DCN level (hosts): contiguous region bins assigned per host by the
+    greedy-bisection scheduler — each host streams its regions' reads from
+    its BAM replica (BAI random access), exactly like the reference's
+    process-parallel wrapper but across machines.
+  * ICI level (chips of one host): column batches sharded over the "cols"
+    mesh axis via shard_map (ops.device_call.build_sharded_column_call);
+    the tested-column counter is psum'd on-device.
+  * Global reduction: per-host (num_snv_tests, num_indel_tests) counters
+    are all-reduced so the final dynamic-Bonferroni threshold is identical
+    on every host (the reference sums them by parsing worker logs).
+  * Output: each host writes its regions' VCF shard; shards concatenate in
+    region order (region order == genome order by construction).
+
+Everything here degrades gracefully to a single process so it can be
+exercised on the CPU-device mesh in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def initialize(coordinator: str = None, num_processes: int = None,
+               process_id: int = None):
+    """jax.distributed.initialize wrapper (no-op when single-process)."""
+    import jax
+
+    if num_processes is None:
+        num_processes = int(os.environ.get("LOFREQ_TPU_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def local_mesh(axis: str = "cols"):
+    """Mesh over this process's addressable devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.local_devices())
+    return Mesh(devs, (axis,))
+
+
+def global_mesh(axis: str = "cols"):
+    """Mesh over all devices in the (possibly multi-host) runtime."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices())
+    return Mesh(devs, (axis,))
+
+
+def host_region_assignment(bins, num_hosts: int, host_id: int):
+    """Round-robin contiguous assignment of region bins to hosts, keeping
+    genome order within each host (so shard concatenation stays sorted)."""
+    return [b for i, b in enumerate(bins) if i % num_hosts == host_id]
+
+
+def allreduce_counters(local_counts, mesh=None):
+    """Sum per-host scalar counters across the runtime.
+
+    Uses a tiny jitted psum over the global mesh; with one process this is
+    an identity.  local_counts: dict[str, int].
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1 and len(jax.devices()) == 1:
+        return dict(local_counts)
+    mesh = mesh or global_mesh()
+    keys = sorted(local_counts)
+    vals = jnp.asarray([float(local_counts[k]) for k in keys])
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    n = mesh.devices.size
+
+    def red(x):
+        return jax.lax.psum(x, "cols")
+
+    # replicate the host-local values to every device, psum divides by n
+    tiled = jnp.tile(vals[None, :], (n, 1)) / n
+    f = jax.jit(shard_map(red, mesh=mesh, in_specs=P("cols"),
+                          out_specs=P()))
+    out = np.asarray(f(tiled)).reshape(-1)[: len(keys)]
+    return {k: int(round(float(out[i]))) for i, k in enumerate(keys)}
+
+
+def run_distributed_call(bam_path, ref_path, vconf_kw, pconf_kw,
+                         out_prefix, threads_per_host=1):
+    """Multi-host region-parallel call: each process handles its assigned
+    bins, counters are all-reduced, and each process writes
+    `{out_prefix}.shard{pid}.vcf` plus (on process 0 after reduction) the
+    threshold info needed for the final merge+filter.
+
+    Single-process fallback returns the same structure as
+    pipelines.parallel_call.run_parallel_regions.
+    """
+    import jax
+
+    from ..pipelines.parallel_call import (
+        bins_from_bamheader,
+        run_parallel_regions,
+        sort_bins,
+        split_bins,
+    )
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    bins, chrom_order = bins_from_bamheader(bam_path)
+    bins = sort_bins(split_bins(bins, max(threads_per_host * nproc, 1)),
+                     chrom_order)
+    mine = host_region_assignment(bins, nproc, pid)
+
+    lines = []
+    n_snv = 0
+    n_indel = 0
+    from ..pipelines.parallel_call import _worker
+
+    for chrom, s, e in mine:
+        ls, a, b = _worker((str(bam_path), str(ref_path), chrom, s, e,
+                            vconf_kw, pconf_kw, None))
+        lines.extend(ls)
+        n_snv += a
+        n_indel += b
+
+    totals = allreduce_counters({"snv": n_snv, "indel": n_indel})
+    shard_path = f"{out_prefix}.shard{pid}.vcf"
+    with open(shard_path, "w") as fh:
+        for l in lines:
+            fh.write(l + "\n")
+    return dict(shard=shard_path, num_snv_tests=totals["snv"],
+                num_indel_tests=totals["indel"], n_local_vars=len(lines))

@@ -118,3 +118,29 @@ def test_device_screen_equivalence(sim, called, tmp_path):
     b = [v.to_line() for v in res_scr.vars]
     assert a == b
     assert res_scr.stats.num_snv_tests == res_exact.stats.num_snv_tests
+
+
+def test_bonf_auto_vs_fixed(sim, called, tmp_path):
+    """Dynamic vs precomputed-bonferroni give identical output
+    (tests/bonf_auto_vs_dyn.sh)."""
+    res_dyn, _ = called
+    fixed = res_dyn.stats.num_snv_tests  # final factor the dynamic run used
+    vconf = VarcallConf(use_baq=False, use_idaq=False, bonf_dynamic=False,
+                        bonf_subst=fixed, bonf_indel=fixed)
+    out = str(tmp_path / "fixedbonf.vcf")
+    res_fix = call_and_filter(sim["bam"], sim["fa"], out, vconf=vconf,
+                              pconf=PileupConf(use_baq=False, use_idaq=False))
+    a = [v.to_line() for v in res_dyn.vars]
+    b = [v.to_line() for v in res_fix.vars]
+    assert a == b
+
+
+def test_no_indel_calls_on_indel_free_bam(sim, tmp_path):
+    """Indel-free BAM -> 0 indel calls (tests/indel_misc.sh)."""
+    vconf = VarcallConf(use_baq=False, use_idaq=True, no_indels=False)
+    pconf = PileupConf(use_baq=False, use_idaq=True, collect_indels=True)
+    out = str(tmp_path / "ind.vcf")
+    res = call_and_filter(sim["bam"], sim["fa"], out, vconf=vconf,
+                          pconf=pconf)
+    indels = [v for v in res.vars if v.is_indel()]
+    assert not indels

@@ -1,0 +1,43 @@
+"""Distributed helpers on the virtual CPU mesh."""
+
+import numpy as np
+
+from lofreq_tpu.parallel.distributed import (
+    allreduce_counters,
+    global_mesh,
+    host_region_assignment,
+    run_distributed_call,
+)
+
+
+def test_allreduce_counters():
+    out = allreduce_counters({"snv": 123, "indel": 7})
+    assert out == {"snv": 123, "indel": 7}
+
+
+def test_host_region_assignment():
+    bins = [("c", i * 10, (i + 1) * 10) for i in range(7)]
+    a0 = host_region_assignment(bins, 2, 0)
+    a1 = host_region_assignment(bins, 2, 1)
+    assert sorted(a0 + a1) == sorted(bins)
+    assert a0 == sorted(a0, key=lambda b: b[1])
+
+
+def test_run_distributed_call_single_process(tmp_path):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from simulate import simulate
+
+    sim = simulate(str(tmp_path), genome_len=2000, depth=200, seed=9,
+                   snvs=((0.5, 2),))
+    vk = dict(use_baq=False, use_idaq=False)
+    pk = dict(use_baq=False, use_idaq=False, collect_indels=False)
+    res = run_distributed_call(sim["bam"], sim["fa"], vk, pk,
+                               str(tmp_path / "dist"))
+    assert res["num_snv_tests"] > 0
+    lines = open(res["shard"]).read().splitlines()
+    assert res["n_local_vars"] == len(lines)
+    called = {int(l.split("\t")[1]) - 1 for l in lines}
+    truth = {t[0] for t in sim["truth"]}
+    assert truth <= called
