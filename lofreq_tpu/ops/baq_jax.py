@@ -1,0 +1,260 @@
+"""Batched BAQ forward/backward HMM on device (JAX).
+
+TPU-native rendition of the banded glocal probabilistic alignment
+(csrc/baq.c:glocal is the exact host version; see
+/root/reference/src/lofreq/kprobaln_ext.c:80 for the original).  Instead of
+band-relative cell indexing, each DP row spans the full reference window
+(~read length + 2*band ≈ 128 lanes) and the band is applied as a mask —
+wasting a few x FLOPs the VPU doesn't notice in exchange for perfectly
+regular shapes.  The D state's within-row first-order recurrence
+   fD[k] = a[k] + beta * fD[k-1]
+is evaluated with an associative scan.
+
+Batched over reads of one length bucket; f32.  Returns per-base MAP phred
+posteriors and states, matching the exact C kernel to ~1 phred (the C path
+remains the bit-exact oracle; this is the throughput path for device-side
+read rescoring).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+NEG0 = 0.0
+
+PAR_D = 0.00001
+PAR_E = 0.4
+EI = 0.25
+EM = 0.33333333333
+
+
+@lru_cache(maxsize=64)
+def _build(L, Lr, bw):
+    import jax
+    import jax.numpy as jnp
+
+    sM = sI = 1.0 / (2 * L + 2)
+    m00 = (1 - PAR_D - PAR_D) * (1 - sM)
+    m01 = m02 = PAR_D * (1 - sM)
+    m10 = (1 - PAR_E) * (1 - sI)
+    m11 = PAR_E * (1 - sI)
+    m20 = 1 - PAR_E
+    m22 = PAR_E
+
+    ks = jnp.arange(1, Lr + 1)  # 1-based ref positions within window
+
+    def band_mask(i, l_ref):
+        lo = jnp.maximum(1, i - bw)
+        hi = jnp.minimum(l_ref, i + bw)
+        return (ks >= lo) & (ks <= hi)
+
+    def emission(refw, qual_i, query_i):
+        # refw: [B, Lr] codes; query_i: [B] code; qual_i: [B] err prob
+        amb = (refw > 3) | (query_i[:, None] > 3)
+        match = refw == query_i[:, None]
+        return jnp.where(amb, 1.0,
+                         jnp.where(match, 1.0 - qual_i[:, None],
+                                   qual_i[:, None] * EM))
+
+    def d_scan(a):
+        """fD[k] = a[k] + m22 * fD[k-1], fD[0-] = 0, along last axis."""
+        def comb(x, y):
+            bx, ax = x
+            by, ay = y
+            return bx * by, ay + by * ax
+
+        b0 = jnp.full_like(a, m22)
+        _, out = jax.lax.associative_scan(comb, (b0, a), axis=-1)
+        return out
+
+    def d_scan_rev(a):
+        return jnp.flip(d_scan(jnp.flip(a, axis=-1)), axis=-1)
+
+    @jax.jit
+    def run(refw, query, qualp, l_ref):
+        """refw [B, Lr] ref codes (0..4; pad 4), query [B, L] codes,
+        qualp [B, L] error probs (float table applied), l_ref [B].
+        Returns (q [B, L] phred ints, state [B, L], pd_m/pd_i/pd_d
+        [B, L, Lr] posteriors for IDAQ)."""
+        B = query.shape[0]
+        in_ref = ks[None, :] <= l_ref[:, None]
+        # begin-state transitions use the *per-read* window length
+        bM = ((1 - PAR_D) / l_ref)[:, None]
+        bI = (PAR_D / l_ref)[:, None]
+
+        # ---- forward ----
+        def fwd_step(carry, xs):
+            fM, fI, fD, i = carry
+            q_i, query_i = xs
+            e = emission(refw, q_i, query_i)
+            mask = band_mask(i, l_ref[:, None]) & in_ref
+            fM1 = jnp.pad(fM, ((0, 0), (1, 0)))[:, :-1]  # fM[i-1, k-1]
+            fD1 = jnp.pad(fD, ((0, 0), (1, 0)))[:, :-1]
+            newM = e * (m00 * fM1 + m10 * jnp.pad(fI, ((0, 0), (1, 0)))[:, :-1]
+                        + m20 * fD1)
+            newI = EI * (m01 * fM + m11 * fI)
+            newM = jnp.where(mask, newM, 0.0)
+            newI = jnp.where(mask, newI, 0.0)
+            # first-row boundary handled by caller's init (i starts at 2)
+            aD = m02 * jnp.pad(newM, ((0, 0), (1, 0)))[:, :-1]
+            newD = d_scan(aD)
+            newD = jnp.where(mask, newD, 0.0)
+            s = jnp.sum(newM + newI + newD, axis=1)
+            s = jnp.maximum(s, 1e-30)
+            inv = 1.0 / s
+            return ((newM * inv[:, None], newI * inv[:, None],
+                     newD * inv[:, None], i + 1),
+                    (newM * inv[:, None], newI * inv[:, None],
+                     newD * inv[:, None], s))
+
+        # row 1 init
+        e1 = emission(refw, qualp[:, 0], query[:, 0])
+        mask1 = band_mask(1, l_ref[:, None]) & in_ref & (
+            ks[None, :] <= jnp.minimum(l_ref, bw + 1)[:, None])
+        fM = jnp.where(mask1, e1 * bM, 0.0)
+        fI = jnp.where(mask1, EI * bI, 0.0)
+        fD = jnp.zeros_like(fM)
+        s1 = jnp.maximum(jnp.sum(fM + fI, axis=1), 1e-30)
+        fM = fM / s1[:, None]
+        fI = fI / s1[:, None]
+
+        (fMn, fIn, fDn, _), (Ms, Is, Ds, ss) = jax.lax.scan(
+            fwd_step, (fM, fI, fD, jnp.int32(2)),
+            (qualp[:, 1:].T, query[:, 1:].T))
+        # stack row 1 + rows 2..L  -> [L, B, Lr]
+        Ms = jnp.concatenate([fM[None], Ms], axis=0)
+        Is = jnp.concatenate([fI[None], Is], axis=0)
+        Ds = jnp.concatenate([fD[None], Ds], axis=0)
+        ss = jnp.concatenate([s1[None], ss], axis=0)  # [L, B]
+        sL1 = jnp.sum(Ms[-1] * sM + Is[-1] * sI, axis=1)  # s[L+1]
+
+        # ---- backward ----
+        bM_L = jnp.where(in_ref, sM / ss[-1][:, None] / sL1[:, None], 0.0)
+        bI_L = jnp.where(in_ref, sI / ss[-1][:, None] / sL1[:, None], 0.0)
+        bD_L = jnp.zeros_like(bM_L)
+        maskL = band_mask(L, l_ref[:, None]) & in_ref
+        bM_L = jnp.where(maskL, bM_L, 0.0)
+        bI_L = jnp.where(maskL, bI_L, 0.0)
+
+        def bwd_step(carry, xs):
+            bMc, bIc, bDc, i = carry  # row i+1 values
+            q_i1, query_i1, s_i = xs  # quals/query of row i+1, scale s[i]
+            e = emission(refw, q_i1, query_i1)
+            # e_{k+1} * b_{i+1}[k+1]
+            eb = e * bMc
+            eb_shift = jnp.pad(eb, ((0, 0), (0, 1)))[:, 1:]  # [k] <- k+1
+            common = EI * bIc
+            # bD[i][k] = (e*m20*b[i+1]M[k+1] + m22*bD[i][k+1]) * y
+            # mask the scan *inputs* to this row's band: out-of-band cells
+            # are zero in the reference and must not feed the chain
+            y = (i > 1).astype(jnp.float32)
+            mask = band_mask(i, l_ref[:, None]) & in_ref
+            bDn = d_scan_rev(jnp.where(mask, eb_shift * m20, 0.0)) * y
+            bDn = jnp.where(mask, bDn, 0.0)
+            bD_next = jnp.pad(bDn, ((0, 0), (0, 1)))[:, 1:]  # bD[i][k+1]
+            bMn = eb_shift * m00 + m01 * common + m02 * bD_next
+            bIn = eb_shift * m10 + m11 * common
+            bMn = jnp.where(mask, bMn, 0.0)
+            bIn = jnp.where(mask, bIn, 0.0)
+            inv = 1.0 / s_i[:, None]
+            return ((bMn * inv, bIn * inv, bDn * inv, i - 1),
+                    (bMn * inv, bIn * inv, bDn * inv))
+
+        idx = jnp.arange(L - 1, 0, -1)  # rows L-1 .. 1
+        xs = (qualp[:, 1:].T[::-1], query[:, 1:].T[::-1], ss[:-1][::-1])
+        (_, _, _, _), (bMs_r, bIs_r, bDs_r) = jax.lax.scan(
+            bwd_step, (bM_L, bI_L, bD_L, jnp.int32(L - 1)), xs)
+        _ = idx
+        bMs = jnp.concatenate([bMs_r[::-1], bM_L[None]], axis=0)
+        bIs = jnp.concatenate([bIs_r[::-1], bI_L[None]], axis=0)
+        bDs = jnp.concatenate([bDs_r[::-1], bD_L[None]], axis=0)
+
+        # ---- MAP + posteriors ----
+        zM = Ms * bMs  # [L, B, Lr]
+        zI = Is * bIs
+        zD = Ds * bDs
+        best_m = jnp.max(zM, axis=2)
+        best_i = jnp.max(zI, axis=2)
+        is_ins = best_i > best_m
+        best = jnp.where(is_ins, best_i, best_m)
+        best_k = jnp.where(
+            is_ins, jnp.argmax(zI, axis=2), jnp.argmax(zM, axis=2))
+        # failure mass computed directly (sum minus the winning cell via
+        # masking, not 1 - max/tot): f32 would otherwise saturate for
+        # posteriors near 1 (BAQ > ~72)
+        lane = jnp.arange(zM.shape[2])[None, None, :]
+        win_m = (~is_ins)[..., None] & (lane == best_k[..., None])
+        win_i = is_ins[..., None] & (lane == best_k[..., None])
+        rest = (jnp.sum(jnp.where(win_m, 0.0, zM), axis=2)
+                + jnp.sum(jnp.where(win_i, 0.0, zI), axis=2))
+        pfail = rest / jnp.maximum(rest + best, 1e-30)
+        qphred = (-4.343 * jnp.log(jnp.maximum(pfail, 1e-38)) + 0.499)
+        qphred = qphred.astype(jnp.int32)
+        qphred = jnp.where(qphred > 100, 99, qphred)  # C: k>100 ? 99 : k
+        state = (best_k.astype(jnp.int32) << 2) | is_ins.astype(jnp.int32)
+        pd_scale = ss[:, :, None]
+        return (qphred.T, state.T,
+                (zM * pd_scale).transpose(1, 0, 2),
+                (zI * pd_scale).transpose(1, 0, 2),
+                (zD * pd_scale).transpose(1, 0, 2))
+
+    return run
+
+
+_BASECODE = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _BASECODE[ord(_c)] = _i
+    _BASECODE[ord(_c.lower())] = _i
+
+_Q2P = np.array([np.float32(10.0 ** (-q / 10.0)) for q in range(256)],
+                dtype=np.float32)
+
+
+def baq_batch_jax(reads_info, ref: bytes):
+    """Device BAQ for a batch of same-length reads.
+
+    reads_info: list of (pos, seq bytes, qual np.uint8, xb, xe) where
+    [xb, xe) is the reference window (as computed by the driver's band
+    logic).  All reads must share l_qseq and window length.
+    Returns (q [B, L] int, state [B, L] int).
+    """
+    import jax.numpy as jnp
+
+    B = len(reads_info)
+    L = len(reads_info[0][1])
+    Lr = max(r[4] - r[3] for r in reads_info)
+    Lr_pad = -(-Lr // 128) * 128
+    refarr = np.frombuffer(ref, dtype=np.uint8)
+    refw = np.full((B, Lr_pad), 4, dtype=np.int8)
+    l_ref = np.zeros(B, dtype=np.int32)
+    query = np.zeros((B, L), dtype=np.int8)
+    qualp = np.zeros((B, L), dtype=np.float32)
+    for i, (pos, seq, qual, xb, xe) in enumerate(reads_info):
+        w = _BASECODE[refarr[xb:xe]]
+        refw[i, : len(w)] = w
+        l_ref[i] = len(w)
+        query[i] = _BASECODE[np.frombuffer(seq, dtype=np.uint8)]
+        qualp[i] = _Q2P[qual]
+    bw = 7  # driver guarantees simple-band reads in this bucket
+    run = _build(L, Lr_pad, bw)
+    q, state, _pm, _pi, _pd = run(
+        jnp.asarray(refw.astype(np.int32)), jnp.asarray(query.astype(np.int32)),
+        jnp.asarray(qualp), jnp.asarray(l_ref))
+    return np.asarray(q), np.asarray(state)
+
+
+def extract_baq(q, state, pos, xb, ext=True):
+    """Host-side BAQ extraction for an all-match read (the general cigar
+    walk lives in csrc/baq.c; this covers the M-only bucket the device
+    path handles): zero off-diagonal states, then ext smoothing."""
+    L = len(q)
+    diag = pos - xb + np.arange(L)
+    ok = ((state & 3) == 0) & ((state >> 2) == diag)
+    bq = np.where(ok, q, 0)
+    if ext:
+        left = np.maximum.accumulate(bq)
+        right = np.maximum.accumulate(bq[::-1])[::-1]
+        bq = np.minimum(left, right)
+    return np.minimum(bq, 93)
