@@ -1,0 +1,264 @@
+/* columns.c — fused column builder for the SNV calling path.
+ *
+ * Takes the flat pileup-row arrays from ingest.c and produces, in one C
+ * pass per window: per-column stats (coverage, filtered bases, strand
+ * counts, consensus), the merged+filtered error-probability CSR (sorted
+ * ascending per column, exactly the multiset plp_to_errprobs builds — see
+ * /root/reference/src/lofreq/snpcaller.c:345 for the original), per-alt
+ * filtered/raw counts, and the light indel sums needed for the
+ * consensus-indel SNV gate.  Replaces several numpy passes over tens of
+ * millions of rows with a single cache-friendly sweep.
+ */
+
+#include <float.h>
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+static double q2p_tab[256];
+static int q2p_tab_done = 0;
+
+static inline double q2p8(int q)
+{
+    if (!q2p_tab_done) {
+        for (int i = 0; i < 256; i++)
+            q2p_tab[i] = pow(10.0, -0.1 * i);
+        q2p_tab_done = 1;
+    }
+    return q2p_tab[q & 0xff];
+}
+
+static inline double q2p_full(int32_t q)
+{
+    if (q < 0)
+        return 0.0;
+    if (q < 256)
+        return q2p8(q);
+    return pow(10.0, -0.1 * (double)q);
+}
+
+static int dbl_asc(const void *a, const void *b)
+{
+    double x = *(const double *)a, y = *(const double *)b;
+    return (x > y) - (x < y);
+}
+
+typedef struct {
+    int32_t min_plp_bq;
+    int32_t min_bq, min_alt_bq, def_alt_bq;
+    int32_t min_jq, min_alt_jq, def_alt_jq;
+    int32_t use_baq, use_mq, use_sq;
+    int32_t min_plp_idq;
+    double mq0_errprob;
+} colconf_t;
+
+/* row flag bits (ingest.c): 1 is_del, 2 is_refskip, 4 is_head, 8 is_tail,
+ * 16 strand */
+
+/* Build columns for rows whose pos lies in [win_beg, win_end).
+ *
+ * Outputs (caller-preallocated, win_len = win_end - win_beg):
+ *   o_positions[win_len], per-column stats arrays [win_len],
+ *   o_fw/o_rv [win_len*5], o_alt_cnt/o_alt_raw [win_len*5],
+ *   o_col_start [win_len+1], o_probs [n_rows] (only first total_kept used)
+ * Returns C = number of covered columns (or -1 on error).
+ */
+int64_t lfq_build_columns(
+    const int64_t *pos, const uint8_t *nt4, const int16_t *bq,
+    const int16_t *baq, const int16_t *mq, const int32_t *sq,
+    const uint8_t *flags, const int32_t *indel,
+    const int16_t *iq, const int16_t *dq,
+    int64_t n_rows, int64_t win_beg, int64_t win_end,
+    const char *ref, int64_t ref_len, const colconf_t *cf,
+    /* outputs */
+    int64_t *o_positions, int64_t *o_coverage, int64_t *o_num_bases,
+    int64_t *o_heads, int64_t *o_tails, uint8_t *o_ref_nt4,
+    uint8_t *o_cons_nt4, int64_t *o_fw, int64_t *o_rv,
+    int64_t *o_alt_cnt, int64_t *o_alt_raw,
+    int64_t *o_col_start, double *o_probs,
+    /* light indel outputs */
+    int64_t *o_num_ins, int64_t *o_num_dels, int64_t *o_num_non_indels,
+    int64_t *o_num_ign, int64_t *o_ins_ne_sum, int64_t *o_del_ne_sum,
+    int64_t *o_ins_ev_max, int64_t *o_del_ev_max)
+{
+    int64_t win_len = win_end - win_beg;
+    if (win_len <= 0)
+        return 0;
+
+    /* pass 1: per-position row counts (counting sort) */
+    int64_t *count = calloc(win_len + 1, sizeof(int64_t));
+    if (!count)
+        return -1;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t p = pos[r] - win_beg;
+        if (p >= 0 && p < win_len)
+            count[p + 1]++;
+    }
+    int64_t *offset = malloc((win_len + 1) * sizeof(int64_t));
+    offset[0] = 0;
+    for (int64_t i = 0; i < win_len; i++)
+        offset[i + 1] = offset[i] + count[i + 1];
+    int64_t total = offset[win_len];
+    int64_t *order = malloc((total ? total : 1) * sizeof(int64_t));
+    {
+        int64_t *cur = malloc((win_len + 1) * sizeof(int64_t));
+        memcpy(cur, offset, (win_len + 1) * sizeof(int64_t));
+        for (int64_t r = 0; r < n_rows; r++) {
+            int64_t p = pos[r] - win_beg;
+            if (p >= 0 && p < win_len)
+                order[cur[p]++] = r;
+        }
+        free(cur);
+    }
+
+    /* base code tables */
+    static const char NT4C[] = "ACGTN";
+    (void)NT4C;
+
+    int64_t C = 0;
+    int64_t prob_off = 0;
+    /* per-event accumulation for the light consensus-indel check:
+     * we track per-column the max single-event cons_quals by summing per
+     * (event sequence) -- without hashing we approximate with the sum of
+     * *all* event quals of the type, which upper-bounds the max event.
+     * The exact event split happens on the Python side when needed; here
+     * we only need a conservative trigger: report sum as ev_max.  A column
+     * only flips to indel consensus when ev > nonevent, and the Python
+     * caller re-checks exactly for flagged columns. */
+    for (int64_t p = 0; p < win_len; p++) {
+        int64_t n_here = count[p + 1];
+        if (n_here == 0)
+            continue;
+        int64_t ci = C++;
+        int64_t gpos = win_beg + p;
+        o_positions[ci] = gpos;
+        o_coverage[ci] = n_here;
+        char refc = (gpos < ref_len) ? ref[gpos] : 'N';
+        uint8_t ref4;
+        switch (refc) {
+        case 'A': ref4 = 0; break;
+        case 'C': ref4 = 1; break;
+        case 'G': ref4 = 2; break;
+        case 'T': ref4 = 3; break;
+        default: ref4 = 4; break;
+        }
+        o_ref_nt4[ci] = ref4;
+
+        int64_t nb = 0, heads = 0, tails = 0;
+        int64_t fw[5] = {0}, rv[5] = {0};
+        double bc[5] = {0};
+        int64_t acnt[5] = {0}, araw[5] = {0};
+        int64_t nins = 0, ndel = 0, nnon = 0, nign = 0;
+        int64_t ins_ne = 0, del_ne = 0, ins_ev = 0, del_ev = 0;
+        double *probs = o_probs + prob_off;
+        int64_t np = 0;
+
+        for (int64_t j = offset[p]; j < offset[p] + n_here; j++) {
+            int64_t r = order[j];
+            uint8_t fl = flags[r];
+            int is_del = fl & 1, is_skip = fl & 2;
+            int b = bq[r];
+            if (!is_del && !is_skip) {
+                if (fl & 4) heads++;
+                if (fl & 8) tails++;
+                if (b >= cf->min_plp_bq) {
+                    nb++;
+                    int bb = b > 93 ? 93 : b;
+                    uint8_t n4 = nt4[r];
+                    if (fl & 16) rv[n4]++; else fw[n4]++;
+                    double incr = 1.0 - q2p8(bb);
+                    if (incr == 0.0) incr = DBL_MIN;
+                    bc[n4] += incr;
+                    /* err-prob path (plp_to_errprobs) */
+                    if (n4 != 4) {
+                        int is_alt = n4 != ref4;
+                        if (is_alt) araw[n4]++;
+                        if (bb >= cf->min_bq &&
+                            (!is_alt || bb >= cf->min_alt_bq)) {
+                            int use_b = bb;
+                            if (is_alt && cf->def_alt_bq > 0)
+                                use_b = cf->def_alt_bq;
+                            int32_t mqe = cf->use_mq
+                                ? (mq[r] == 255 ? -1 : mq[r]) : -1;
+                            int32_t bqe = cf->use_baq ? baq[r] : -1;
+                            int32_t sqe = cf->use_sq ? sq[r] : -1;
+                            /* inline quality merge (same op order as
+                             * lfq_merge_quals => bit-identical) */
+                            double spv = q2p_full(sqe);
+                            double mpv = (mqe == 0) ? cf->mq0_errprob
+                                                    : q2p_full(mqe);
+                            double bav = q2p_full(bqe);
+                            double bpv = q2p_full(use_b);
+                            double mp = mpv + (1.0 - mpv) * spv +
+                                (1 - mpv) * (1 - spv) * bav +
+                                (1 - mpv) * (1 - spv) * (1 - bav) * bpv;
+                            int keep = 1;
+                            if (cf->min_jq > 0 || cf->min_alt_jq > 0) {
+                                int mqual = mp <= 0.0 ? 2147483647
+                                    : (int)(-10.0L * log10l((long double)mp));
+                                if (mqual < cf->min_jq) keep = 0;
+                                if (is_alt && mqual < cf->min_alt_jq)
+                                    keep = 0;
+                            }
+                            if (keep) {
+                                if (is_alt && cf->def_alt_jq > 0)
+                                    mp = q2p8(cf->def_alt_jq);
+                                if (is_alt) acnt[n4]++;
+                                probs[np++] = mp;
+                            }
+                        }
+                    }
+                }
+            }
+            /* light indel accounting (plp.c:1062-1192) */
+            int iqv = iq[r], dqv = dq[r];
+            if (iqv < cf->min_plp_idq || dqv < cf->min_plp_idq) {
+                if (indel[r] != 0 || is_del)
+                    nign++;
+            } else if (indel[r] > 0) {
+                nins++;
+                ins_ev += iqv;
+                del_ne += dqv;
+            } else if (indel[r] < 0) {
+                ndel++;
+                del_ev += dqv;
+                ins_ne += iqv;
+            } else {
+                nnon++;
+                ins_ne += iqv;
+                del_ne += dqv;
+            }
+        }
+        qsort(probs, np, sizeof(double), dbl_asc);
+        o_num_bases[ci] = nb;
+        o_heads[ci] = heads;
+        o_tails[ci] = tails;
+        /* consensus: argmax, ties -> lowest index */
+        int mx = 0;
+        for (int k = 1; k < 5; k++)
+            if (bc[k] > bc[mx]) mx = k;
+        o_cons_nt4[ci] = (uint8_t)mx;
+        for (int k = 0; k < 5; k++) {
+            o_fw[ci * 5 + k] = fw[k];
+            o_rv[ci * 5 + k] = rv[k];
+            o_alt_cnt[ci * 5 + k] = acnt[k];
+            o_alt_raw[ci * 5 + k] = araw[k];
+        }
+        o_col_start[ci] = prob_off;
+        prob_off += np;
+        o_num_ins[ci] = nins;
+        o_num_dels[ci] = ndel;
+        o_num_non_indels[ci] = nnon;
+        o_num_ign[ci] = nign;
+        o_ins_ne_sum[ci] = ins_ne;
+        o_del_ne_sum[ci] = del_ne;
+        o_ins_ev_max[ci] = ins_ev;
+        o_del_ev_max[ci] = del_ev;
+    }
+    o_col_start[C] = prob_off;
+    free(count);
+    free(offset);
+    free(order);
+    return C;
+}

@@ -186,7 +186,9 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
         & ~(batch.num_bases * 2 < batch.coverage_plp)
     )
 
-    ep = snv_errprobs_for_batch(batch, conf)
+    ep = getattr(batch, "ep", None)
+    if ep is None:
+        ep = snv_errprobs_for_batch(batch, conf)
     got_alt = ep["alt_counts"].sum(axis=1) > 0
     test = gate & got_alt
     n_test = int(test.sum())

@@ -195,7 +195,14 @@ class VcfReader:
             if p == "-":
                 self._fh = sys.stdin
             elif is_gzip(p):
-                self._fh = io.TextIOWrapper(BgzfReader(p))
+                from .bgzf import is_bgzf
+
+                if is_bgzf(p):
+                    self._fh = io.TextIOWrapper(BgzfReader(p))
+                else:  # plain gzip (htslib's BGZF reads these too)
+                    import gzip
+
+                    self._fh = gzip.open(p, "rt")
             else:
                 self._fh = open(p)
         else:

@@ -1,0 +1,200 @@
+"""Fused C column builder (csrc/columns.c) for the SNV calling path.
+
+Produces a ColumnBatch plus the precomputed err-prob CSR in one native
+sweep, replacing compile_columns + snv_errprobs_for_batch when indels are
+not being called (the default `call` configuration).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .. import defaults as D
+from .engine import ColumnBatch, PileupConf
+from .native_ingest import get_lib
+
+
+class _ColConf(ctypes.Structure):
+    _fields_ = [
+        ("min_plp_bq", ctypes.c_int32),
+        ("min_bq", ctypes.c_int32), ("min_alt_bq", ctypes.c_int32),
+        ("def_alt_bq", ctypes.c_int32),
+        ("min_jq", ctypes.c_int32), ("min_alt_jq", ctypes.c_int32),
+        ("def_alt_jq", ctypes.c_int32),
+        ("use_baq", ctypes.c_int32), ("use_mq", ctypes.c_int32),
+        ("use_sq", ctypes.c_int32),
+        ("min_plp_idq", ctypes.c_int32),
+        ("mq0_errprob", ctypes.c_double),
+    ]
+
+
+def supports_fused(vconf) -> bool:
+    """The fused path covers the SNV-only configuration (no per-event indel
+    pools) and the non-median def_alt_bq modes."""
+    return vconf.no_indels and vconf.def_alt_bq != -1
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
+                    target: str, pconf: PileupConf, vconf) -> ColumnBatch:
+    """Run the fused builder; returns a ColumnBatch with `.ep` attached
+    (the errprob dict consumed by call_snvs_batch) or None if empty."""
+    lib = get_lib()
+    n = len(rows.pos)
+    if n == 0:
+        return None
+    win_len = int(win_end - win_beg)
+    cf = _ColConf(
+        min_plp_bq=pconf.min_plp_bq,
+        min_bq=vconf.min_bq, min_alt_bq=vconf.min_alt_bq,
+        def_alt_bq=vconf.def_alt_bq,
+        min_jq=vconf.min_jq, min_alt_jq=vconf.min_alt_jq,
+        def_alt_jq=vconf.def_alt_jq,
+        use_baq=1 if vconf.use_baq else 0,
+        use_mq=1 if vconf.use_mq else 0,
+        use_sq=1 if vconf.use_sq else 0,
+        min_plp_idq=pconf.min_plp_idq,
+        mq0_errprob=D.MQ0_ERRPROB,
+    )
+    W = win_len
+    out = dict(
+        positions=np.empty(W, np.int64), coverage=np.empty(W, np.int64),
+        num_bases=np.empty(W, np.int64), heads=np.empty(W, np.int64),
+        tails=np.empty(W, np.int64),
+        ref_nt4=np.empty(W, np.uint8), cons_nt4=np.empty(W, np.uint8),
+        fw=np.empty(W * 5, np.int64), rv=np.empty(W * 5, np.int64),
+        alt_cnt=np.empty(W * 5, np.int64), alt_raw=np.empty(W * 5, np.int64),
+        col_start=np.empty(W + 1, np.int64), probs=np.empty(n, np.float64),
+        num_ins=np.empty(W, np.int64), num_dels=np.empty(W, np.int64),
+        num_non=np.empty(W, np.int64), num_ign=np.empty(W, np.int64),
+        ins_ne=np.empty(W, np.int64), del_ne=np.empty(W, np.int64),
+        ins_ev=np.empty(W, np.int64), del_ev=np.empty(W, np.int64),
+    )
+    pos = np.ascontiguousarray(rows.pos, dtype=np.int64)
+    nt4 = np.ascontiguousarray(rows.nt4, dtype=np.uint8)
+    bq = np.ascontiguousarray(rows.bq, dtype=np.int16)
+    baq = np.ascontiguousarray(rows.baq, dtype=np.int16)
+    mq = np.ascontiguousarray(rows.mq, dtype=np.int16)
+    sq = np.ascontiguousarray(rows.sq, dtype=np.int32)
+    indel = np.ascontiguousarray(rows.indel, dtype=np.int32)
+    iq = np.ascontiguousarray(rows.iq, dtype=np.int16)
+    dq = np.ascontiguousarray(rows.dq, dtype=np.int16)
+    flags_raw = np.ascontiguousarray(flags_raw, dtype=np.uint8)
+
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    lib.lfq_build_columns.restype = ctypes.c_int64
+    C = lib.lfq_build_columns(
+        _i64p(pos), nt4.ctypes.data_as(u8), bq.ctypes.data_as(i16),
+        baq.ctypes.data_as(i16), mq.ctypes.data_as(i16),
+        sq.ctypes.data_as(i32), flags_raw.ctypes.data_as(u8),
+        indel.ctypes.data_as(i32), iq.ctypes.data_as(i16),
+        dq.ctypes.data_as(i16),
+        ctypes.c_int64(n), ctypes.c_int64(win_beg), ctypes.c_int64(win_end),
+        ref, ctypes.c_int64(len(ref)), ctypes.byref(cf),
+        _i64p(out["positions"]), _i64p(out["coverage"]),
+        _i64p(out["num_bases"]), _i64p(out["heads"]), _i64p(out["tails"]),
+        out["ref_nt4"].ctypes.data_as(u8),
+        out["cons_nt4"].ctypes.data_as(u8),
+        _i64p(out["fw"]), _i64p(out["rv"]),
+        _i64p(out["alt_cnt"]), _i64p(out["alt_raw"]),
+        _i64p(out["col_start"]), out["probs"].ctypes.data_as(f64),
+        _i64p(out["num_ins"]), _i64p(out["num_dels"]), _i64p(out["num_non"]),
+        _i64p(out["num_ign"]), _i64p(out["ins_ne"]), _i64p(out["del_ne"]),
+        _i64p(out["ins_ev"]), _i64p(out["del_ev"]),
+    )
+    if C <= 0:
+        return None
+    C = int(C)
+
+    # consensus-indel gate: ev-sum > ne-sum is a conservative trigger (the
+    # sum over all events bounds the max single event); re-check flagged
+    # columns exactly using the sparse event rows
+    cons_indel = [None] * C
+    flag_ins = out["ins_ev"][:C] > out["ins_ne"][:C]
+    flag_del = out["del_ev"][:C] > out["del_ne"][:C]
+    flagged = np.nonzero(flag_ins | flag_del)[0]
+    if len(flagged):
+        flag_pos = set(out["positions"][flagged].tolist())
+        ev_rows = np.nonzero((rows.indel != 0)
+                             & np.isin(rows.pos, list(flag_pos)))[0]
+        per_col_ins: dict = {}
+        per_col_del: dict = {}
+        for r in ev_rows:
+            p = int(rows.pos[r])
+            if rows.indel[r] > 0:
+                seq = rows.events[rows.event_id[r]][0] \
+                    if rows.event_id[r] >= 0 else ""
+                per_col_ins.setdefault(p, {}).setdefault(seq, 0)
+                per_col_ins[p][seq] += int(rows.iq[r])
+            else:
+                l = -int(rows.indel[r])
+                seq = ref[p + 1 : p + 1 + l].decode()
+                per_col_del.setdefault(p, {}).setdefault(seq, 0)
+                per_col_del[p][seq] += int(rows.dq[r])
+        pos_to_ci = {int(out["positions"][ci]): ci for ci in flagged}
+        for p, ci in pos_to_ci.items():
+            ins_max = max(per_col_ins.get(p, {"": 0}).values())
+            del_max = max(per_col_del.get(p, {"": 0}).values())
+            if ins_max > out["ins_ne"][ci]:
+                key = max(per_col_ins[p], key=per_col_ins[p].get)
+                cons_indel[ci] = ("+", key)
+            elif del_max > out["del_ne"][ci]:
+                key = max(per_col_del[p], key=per_col_del[p].get)
+                cons_indel[ci] = ("-", key)
+
+    z = np.zeros(0, dtype=np.int64)
+    batch = ColumnBatch(
+        target=target,
+        positions=out["positions"][:C],
+        ref_nt4=out["ref_nt4"][:C],
+        coverage_plp=out["coverage"][:C],
+        num_bases=out["num_bases"][:C],
+        num_heads=out["heads"][:C],
+        num_tails=out["tails"][:C],
+        fw_counts=out["fw"][: C * 5].reshape(C, 5),
+        rv_counts=out["rv"][: C * 5].reshape(C, 5),
+        cons_nt4=out["cons_nt4"][:C],
+        cons_indel=cons_indel,
+        hrun=np.ones(C, dtype=np.int64),
+        col_start=np.zeros(C + 1, dtype=np.int64),
+        b_nt4=z.astype(np.uint8), b_bq=z.astype(np.int16),
+        b_baq=z.astype(np.int16), b_mq=z.astype(np.int16),
+        b_sq=z.astype(np.int32),
+        num_ins=out["num_ins"][:C],
+        num_dels=out["num_dels"][:C],
+        num_non_indels=out["num_non"][:C],
+        num_ign_indels=out["num_ign"][:C],
+        ins_events=[None] * C, del_events=[None] * C,
+        ins_neq_start=np.zeros(C + 1, np.int64), ins_neq_q=z,
+        ins_neq_mq=z, ins_neq_sq=z,
+        del_neq_start=np.zeros(C + 1, np.int64), del_neq_q=z,
+        del_neq_mq=z, del_neq_sq=z,
+        non_ins_fw_rv=np.zeros((C, 2), np.int64),
+        non_del_fw_rv=np.zeros((C, 2), np.int64),
+        has_indel_aqs=np.zeros(C, bool),
+    )
+    # precomputed errprob bundle for call_snvs_batch
+    alt_nt = np.array(
+        [[b for b in range(4) if b != r] if r < 4 else [0, 1, 2]
+         for r in range(5)], dtype=np.int64
+    )[batch.ref_nt4]
+    rowsC = np.arange(C)[:, None]
+    col_start = out["col_start"][: C + 1]
+    depths = np.diff(col_start)
+    batch.ep = dict(
+        flat_probs=out["probs"][: col_start[-1]],
+        starts=col_start,
+        depths=depths,
+        alt_nt=alt_nt,
+        alt_counts=out["alt_cnt"][: C * 5].reshape(C, 5)[rowsC, alt_nt],
+        alt_raw_counts=out["alt_raw"][: C * 5].reshape(C, 5)[rowsC, alt_nt],
+    )
+    return batch

@@ -25,7 +25,7 @@ _BUILD = os.path.join(_CSRC, "build")
 _lock = threading.Lock()
 _lib = None
 
-_SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c"]
+_SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c", "columns.c"]
 
 
 class _IngestConf(ctypes.Structure):
@@ -163,6 +163,7 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     assert out2[1] == n_rows, (out2, counts)
 
     flags = o["flags"]
+    _raw_flags = flags  # kept for the fused column builder
     events = []
     starts = o["ev_seq_start"]
     seqbuf = o["ev_seq"].tobytes()
@@ -172,7 +173,7 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
                            True))
         else:
             events.append((None, False))
-    return ReadRows(
+    rr = ReadRows(
         pos=o["pos"], nt4=o["nt4"], bq=o["bq"], baq=o["baq"], mq=o["mq"],
         sq=o["sq"], strand=((flags >> 4) & 1).astype(np.uint8),
         is_del=(flags & 1).astype(bool),
@@ -186,3 +187,5 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
         event_id=o["event_id"],
         events=events,
     )
+    rr.raw_flags = _raw_flags
+    return rr

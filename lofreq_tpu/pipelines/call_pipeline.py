@@ -100,13 +100,16 @@ def _window_batches(reads_iter, chrom, ref, pconf: PileupConf,
 
 
 def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
-                           window=WINDOW):
+                           window=WINDOW, vconf=None):
     """Yield ColumnBatches via the native ingest engine (csrc/ingest.c)."""
     import numpy as _np
 
     from ..pileup.engine import compile_columns
+    from ..pileup.fast_columns import build_snv_batch, supports_fused
     from ..pileup.native_ingest import ingest_region
 
+    fused = (vconf is not None and supports_fused(vconf)
+             and pconf.bed is None)
     lo = rstart if rstart is not None else 0
     hi = rend if rend is not None else len(ref)
     win = (lo // window) * window
@@ -114,6 +117,13 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
         win_e = win + window
         rows = ingest_region(rdr, pconf, ref, tid, beg=max(win, lo),
                              end=min(win_e, hi))
+        if fused and len(rows.pos):
+            batch = build_snv_batch(rows, rows.raw_flags, max(win, lo),
+                                    min(win_e, hi), ref, chrom, pconf, vconf)
+            if batch is not None:
+                yield batch
+            win = win_e
+            continue
         if len(rows.pos):
             keep = (rows.pos >= max(win, lo)) & (rows.pos < min(win_e, hi))
             if pconf.bed is not None:
@@ -198,7 +208,7 @@ def run_call(
             n_cols = 0
             next_beat = HEARTBEAT_COLS
             for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
-                                                rstart, rend):
+                                                rstart, rend, vconf=vconf):
                 vs = call_vars_batch(batch, vconf, res.stats)
                 res.vars.extend(vs)
                 n_cols += len(batch.positions)

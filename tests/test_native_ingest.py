@@ -99,3 +99,18 @@ def test_region_ingest(sim):
     # only reads overlapping the region contribute rows
     assert rows.pos.min() >= 1000 - 110
     assert rows.pos.max() < 1500 + 110
+
+
+def test_fused_columns_match(sim):
+    """The fused C column builder yields identical calls to the generic
+    path on the SNV-only configuration."""
+    vk = dict(use_baq=True, use_idaq=False)
+    res_fused = run_call(sim["bam"], sim["fa"], vconf=VarcallConf(**vk),
+                         pconf=PileupConf(use_baq=True, use_idaq=False,
+                                          collect_indels=False), native=True)
+    res_py = run_call(sim["bam"], sim["fa"], vconf=VarcallConf(**vk),
+                      pconf=PileupConf(use_baq=True, use_idaq=False,
+                                       collect_indels=False), native=False)
+    assert [v.to_line() for v in res_fused.vars] == \
+        [v.to_line() for v in res_py.vars]
+    assert res_fused.stats.num_snv_tests == res_py.stats.num_snv_tests
