@@ -1,0 +1,38 @@
+"""Single builder/loader for the native C library (csrc/ -> one .so)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CSRC = os.path.join(_ROOT, "csrc")
+_BUILD = os.path.join(_CSRC, "build")
+SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c", "columns.c"]
+
+_lock = threading.Lock()
+_lib = None
+
+
+def get_native_lib() -> ctypes.CDLL:
+    """Build (if stale) and load csrc/build/liblofreq_native.so."""
+    global _lib
+    with _lock:
+        if _lib is None:
+            srcs = [os.path.join(_CSRC, s) for s in SRCS]
+            out = os.path.join(_BUILD, "liblofreq_native.so")
+            os.makedirs(_BUILD, exist_ok=True)
+            newest = max(os.path.getmtime(s) for s in srcs)
+            if not (os.path.exists(out)
+                    and os.path.getmtime(out) >= newest):
+                tmp = out + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, *srcs,
+                     "-lm"],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, out)
+            _lib = ctypes.CDLL(out)
+    return _lib

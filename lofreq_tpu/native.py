@@ -8,15 +8,11 @@ next to the sources keyed on mtime.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_CSRC = os.path.join(_ROOT, "csrc")
-_BUILD = os.path.join(_CSRC, "build")
+from ._native_build import get_native_lib
 
 _lock = threading.Lock()
 _lib = None
@@ -25,26 +21,11 @@ _i64 = ctypes.POINTER(ctypes.c_int64)
 _f64 = ctypes.POINTER(ctypes.c_double)
 
 
-def _build_lib() -> str:
-    src = os.path.join(_CSRC, "exact_stats.c")
-    out = os.path.join(_BUILD, "liblofreq_exact.so")
-    os.makedirs(_BUILD, exist_ok=True)
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out
-    tmp = out + f".tmp{os.getpid()}"
-    subprocess.run(
-        ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, src, "-lm"],
-        check=True, capture_output=True,
-    )
-    os.replace(tmp, out)
-    return out
-
-
 def get_lib():
     global _lib
     with _lock:
         if _lib is None:
-            lib = ctypes.CDLL(_build_lib())
+            lib = get_native_lib()
             lib.lfq_poissbin_dp_batch.argtypes = [
                 _f64, _i64, _i64, _f64, ctypes.c_double,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f64, _i64,

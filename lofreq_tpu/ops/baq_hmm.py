@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
@@ -15,9 +13,8 @@ from .. import defaults as D
 PAR_D = 0.00001
 PAR_E = 0.4
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_CSRC = os.path.join(_ROOT, "csrc")
-_BUILD = os.path.join(_CSRC, "build")
+from .._native_build import get_native_lib
+
 _lock = threading.Lock()
 _lib = None
 
@@ -31,18 +28,7 @@ def _get_lib():
     global _lib
     with _lock:
         if _lib is None:
-            src = os.path.join(_CSRC, "baq.c")
-            out = os.path.join(_BUILD, "liblofreq_baq.so")
-            os.makedirs(_BUILD, exist_ok=True)
-            if not (os.path.exists(out)
-                    and os.path.getmtime(out) >= os.path.getmtime(src)):
-                tmp = out + f".tmp{os.getpid()}"
-                subprocess.run(
-                    ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, src, "-lm"],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp, out)
-            lib = ctypes.CDLL(out)
+            lib = get_native_lib()
             lib.lfq_baq_batch.argtypes = [
                 _ch, ctypes.c_int64, ctypes.c_int64,
                 _i64, _u32, _i64, _ch, _u8, _i64,

@@ -9,8 +9,6 @@ the cigar (re-attaching soft clips) and shift the position if needed.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
@@ -26,11 +24,10 @@ from ..io.bam import (
     FUNMAP,
 )
 
+from .._native_build import get_native_lib
+
 RWIN = 10
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_CSRC = os.path.join(_ROOT, "csrc")
-_BUILD = os.path.join(_CSRC, "build")
 _lock = threading.Lock()
 _lib = None
 
@@ -39,18 +36,7 @@ def _get_lib():
     global _lib
     with _lock:
         if _lib is None:
-            src = os.path.join(_CSRC, "realign.c")
-            out = os.path.join(_BUILD, "liblofreq_realign.so")
-            os.makedirs(_BUILD, exist_ok=True)
-            if not (os.path.exists(out)
-                    and os.path.getmtime(out) >= os.path.getmtime(src)):
-                tmp = out + f".tmp{os.getpid()}"
-                subprocess.run(
-                    ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, src, "-lm"],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp, out)
-            lib = ctypes.CDLL(out)
+            lib = get_native_lib()
             lib.lfq_viterbi_one.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                 ctypes.c_int, ctypes.c_char_p,

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 
 import numpy as np
 
@@ -19,13 +17,7 @@ from ..io.bai import BaiIndex, build_bai
 from ..io.bam import BamReader
 from .engine import PileupConf, ReadRows
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_CSRC = os.path.join(_ROOT, "csrc")
-_BUILD = os.path.join(_CSRC, "build")
-_lock = threading.Lock()
-_lib = None
-
-_SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c", "columns.c"]
+from .._native_build import get_native_lib
 
 
 class _IngestConf(ctypes.Structure):
@@ -42,23 +34,7 @@ class _IngestConf(ctypes.Structure):
 
 
 def get_lib():
-    global _lib
-    with _lock:
-        if _lib is None:
-            srcs = [os.path.join(_CSRC, s) for s in _SRCS]
-            out = os.path.join(_BUILD, "liblofreq_native.so")
-            os.makedirs(_BUILD, exist_ok=True)
-            newest = max(os.path.getmtime(s) for s in srcs)
-            if not (os.path.exists(out) and os.path.getmtime(out) >= newest):
-                tmp = out + f".tmp{os.getpid()}"
-                subprocess.run(
-                    ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, *srcs,
-                     "-lm"],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp, out)
-            _lib = ctypes.CDLL(out)
-    return _lib
+    return get_native_lib()
 
 
 def _conf_struct(conf: PileupConf, tid: int, beg, end) -> _IngestConf:
