@@ -131,16 +131,32 @@ class SomaticCaller:
         if not self.call_indels:
             pconf.collect_indels = False
 
-        bed = BedIndex.read(self.bed) if self.bed else None
-        res = run_call(bam, self.ref, vconf=vconf, pconf=pconf, bed=bed)
-        write_vcf(out_vcf, res.vars,
-                  new_header("lofreq_tpu somatic call_rlx", self.ref))
+        if self.threads >= 2:
+            # region-parallel like the reference (lofreq2_somatic.py:291-295)
+            from ..io.vcf import Var
+            from .parallel_call import run_parallel_regions
+
+            vconf_kw = {k: getattr(vconf, k)
+                        for k in vconf.__dataclass_fields__}
+            pconf_kw = {k: getattr(pconf, k)
+                        for k in pconf.__dataclass_fields__ if k != "bed"}
+            lines, n_snv, n_indel = run_parallel_regions(
+                bam, self.ref, vconf_kw, pconf_kw, self.threads,
+                bed_path=self.bed)
+            vars_ = [Var.from_line(l) for l in lines]
+            write_vcf(out_vcf, vars_,
+                      new_header("lofreq_tpu somatic call_rlx", self.ref))
+        else:
+            bed = BedIndex.read(self.bed) if self.bed else None
+            res = run_call(bam, self.ref, vconf=vconf, pconf=pconf, bed=bed)
+            write_vcf(out_vcf, res.vars,
+                      new_header("lofreq_tpu somatic call_rlx", self.ref))
+            n_snv = res.stats.num_snv_tests
+            n_indel = res.stats.num_indel_tests
         with open(out_log, "w") as fh:
-            fh.write(f"Number of substitution tests performed: "
-                     f"{res.stats.num_snv_tests}\n")
-            fh.write(f"Number of indel tests performed: "
-                     f"{res.stats.num_indel_tests}\n")
-        return res.stats.num_snv_tests, res.stats.num_indel_tests
+            fh.write(f"Number of substitution tests performed: {n_snv}\n")
+            fh.write(f"Number of indel tests performed: {n_indel}\n")
+        return n_snv, n_indel
 
     def rlx_to_str(self, sample_type, num_tests):
         from ..filt.filter import FilterConf, MtcFilter, run_filter

@@ -182,3 +182,36 @@ def test_tools_subcommands(sim, tmp_path, capsys):
     import os as _os
 
     assert _os.path.exists(str(tmp_path / "p.pdf"))
+
+
+def test_src_qual_with_ign_vcf(sim, tmp_path):
+    """-s with -S ign-vcf: ignored positions raise per-read source quality
+    (they no longer count as mismatches)."""
+    a = str(tmp_path / "sq1.vcf")
+    b = str(tmp_path / "sq2.vcf")
+    assert main(["call", "-f", sim["fa"], "-o", a, "-B", "-A", "-s",
+                 sim["bam"]]) == 0
+    # use the own calls as ign list: known variants shouldn't count
+    assert main(["call", "-f", sim["fa"], "-o", b, "-B", "-A", "-s",
+                 "-S", a, sim["bam"]]) == 0
+    va = {(v.pos, v.alt) for v in VcfReader(a)}
+    vb = {(v.pos, v.alt) for v in VcfReader(b)}
+    # ign-list can only help recover true variants
+    assert va <= vb
+
+
+def test_uniq_det_lim(sim, tmp_path):
+    a = str(tmp_path / "dl.vcf")
+    main(["call", "-f", sim["fa"], "-o", a, "-B", "-A", sim["bam"]])
+    out = str(tmp_path / "dlo.vcf")
+    rc = main(["uniq", "-v", a, "-o", out, "--ref", sim["fa"],
+               "--use-det-lim", sim["bam"]])
+    assert rc == 0
+    got = list(VcfReader(out))
+    # det-lim mode writes all vars; high-AF variants are flagged UNIQ
+    # because they *would have been detectable* (that's the semantics:
+    # detectability, not presence — lofreq_uniq.c:321-333)
+    assert len(got) == len(list(VcfReader(a)))
+    high = [v for v in got
+            if float(v.info_value("AF")[1]) >= 0.3]
+    assert high and all(v.has_info_key("UNIQ") for v in high)

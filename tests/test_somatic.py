@@ -121,3 +121,18 @@ def test_somatic_continue(pair, tmp_path):
                  "-f", pair["fa"], "-o", prefix, "--baq-off",
                  "--continue"]) == 0
     assert open(fin, "rb").read() == before
+
+
+def test_somatic_parallel_matches_single(pair, tmp_path):
+    p1 = str(tmp_path / "s1_")
+    p2 = str(tmp_path / "s2_")
+    assert main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
+                 "-f", pair["fa"], "-o", p1, "--baq-off"]) == 0
+    assert main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
+                 "-f", pair["fa"], "-o", p2, "--baq-off",
+                 "--threads", "3"]) == 0
+    a = [v.to_line() for v in
+         VcfReader(p1 + "somatic_final.snvs.vcf.gz")]
+    b = [v.to_line() for v in
+         VcfReader(p2 + "somatic_final.snvs.vcf.gz")]
+    assert a == b and a
