@@ -1,0 +1,34 @@
+"""Device Viterbi vs the exact C realigner."""
+
+import json
+import os
+
+import numpy as np
+
+from lofreq_tpu.ops.viterbi import viterbi_align
+from lofreq_tpu.ops.viterbi_jax import viterbi_batch_jax
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "viterbi.json")
+with open(GOLDEN) as fh:
+    CASES = json.load(fh)
+
+
+def test_viterbi_jax_matches_c():
+    # bucket cases of one (query len, ref len): run per case batch of 1
+    n_match = 0
+    n = 0
+    for c in CASES:
+        bq = np.frombuffer(c["bqual"].encode("latin-1"), np.uint8) - 33
+        got = viterbi_batch_jax([c["ref"].encode()], [c["query"].encode()],
+                                [bq], [c["q2def"]])
+        shift, aln = got[0]
+        c_shift, c_aln = viterbi_align(c["ref"].encode(),
+                                       c["query"].encode(),
+                                       c["bqual"].encode(), c["q2def"])
+        n += 1
+        if (shift, aln) == (c_shift, c_aln):
+            n_match += 1
+        else:
+            # score-tie or f32 rounding divergences allowed but rare
+            print(f"diff: jax=({shift},{aln}) c=({c_shift},{c_aln})")
+    assert n_match >= n - 1, f"{n_match}/{n} matched"
