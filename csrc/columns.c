@@ -50,6 +50,7 @@ typedef struct {
     int32_t min_jq, min_alt_jq, def_alt_jq;
     int32_t use_baq, use_mq, use_sq;
     int32_t min_plp_idq;
+    int32_t max_depth;   /* cap on reads per column (0 = uncapped) */
     double mq0_errprob;
 } colconf_t;
 
@@ -130,6 +131,8 @@ int64_t lfq_build_columns(
         int64_t n_here = count[p + 1];
         if (n_here == 0)
             continue;
+        if (cf->max_depth > 0 && n_here > cf->max_depth)
+            n_here = cf->max_depth;  /* bam_mplp_set_maxcnt semantics */
         int64_t ci = C++;
         int64_t gpos = win_beg + p;
         o_positions[ci] = gpos;

@@ -26,6 +26,7 @@ class _ColConf(ctypes.Structure):
         ("use_baq", ctypes.c_int32), ("use_mq", ctypes.c_int32),
         ("use_sq", ctypes.c_int32),
         ("min_plp_idq", ctypes.c_int32),
+        ("max_depth", ctypes.c_int32),
         ("mq0_errprob", ctypes.c_double),
     ]
 
@@ -59,6 +60,8 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
         use_mq=1 if vconf.use_mq else 0,
         use_sq=1 if vconf.use_sq else 0,
         min_plp_idq=pconf.min_plp_idq,
+        max_depth=pconf.max_depth if pconf.max_depth
+        and pconf.max_depth < (1 << 30) else 0,
         mq0_errprob=D.MQ0_ERRPROB,
     )
     W = win_len

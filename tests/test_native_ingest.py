@@ -114,3 +114,53 @@ def test_fused_columns_match(sim):
     assert [v.to_line() for v in res_fused.vars] == \
         [v.to_line() for v in res_py.vars]
     assert res_fused.stats.num_snv_tests == res_py.stats.num_snv_tests
+
+
+def test_read_flag_filters(tmp_path):
+    """Secondary/qcfail/dup/unmapped/orphan reads are excluded in both
+    ingest paths; max_depth caps column coverage."""
+    from lofreq_tpu.io.bai import build_bai
+    from lofreq_tpu.io.bam import (
+        BamHeader, BamRead, BamWriter, FDUP, FPAIRED, FQCFAIL, FSECONDARY,
+        FUNMAP,
+    )
+
+    genome = b"ACGT" * 100
+    header = BamHeader("@HD\tVN:1.6\tSO:coordinate\n", [("c", 400)])
+    flags = [0, FSECONDARY, FQCFAIL, FDUP, FUNMAP, FPAIRED,  # orphan
+             FPAIRED | 0x2, 0, 0, 0]
+    path = str(tmp_path / "f.bam")
+    with BamWriter(path, header) as w:
+        for i, fl in enumerate(flags):
+            r = BamRead()
+            r.qname = f"f{i}"
+            r.tid = -1 if fl & FUNMAP else 0
+            r.pos = 100
+            r.seq = genome[100:150]
+            r.qual = np.full(50, 30, dtype=np.uint8)
+            r.set_cigar_string("50M")
+            r.flag = fl
+            r.mapq = 60
+            w.write(r)
+    build_bai(path)
+    pconf = PileupConf(use_baq=False, use_idaq=False)
+    rdr = BamReader(path)
+    rows = ingest_region(rdr, pconf, genome, 0)
+    # kept: flags 0, proper-pair, 0, 0 -> 5 reads? (0, pp, 0, 0, 0)
+    n_reads = len(rows.pos) // 50
+    assert n_reads == 5
+    # python path agrees
+    rdr2 = BamReader(path)
+    kept = [r for r in rdr2.fetch("c")
+            if read_passes_filters(r, pconf, "c")]
+    assert len(kept) == 5
+
+    # max_depth cap via the fused builder
+    from lofreq_tpu.call.caller import VarcallConf
+    from lofreq_tpu.pileup.fast_columns import build_snv_batch
+
+    pconf2 = PileupConf(use_baq=False, use_idaq=False, max_depth=3)
+    rows2 = ingest_region(BamReader(path), pconf2, genome, 0)
+    batch = build_snv_batch(rows2, rows2.raw_flags, 0, 400, genome, "c",
+                            pconf2, VarcallConf(use_baq=False))
+    assert int(batch.coverage_plp.max()) == 3
