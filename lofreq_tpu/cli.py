@@ -538,6 +538,20 @@ def build_parser():
     p = sub.add_parser("cluster", help="cluster variants by AF CI overlap")
     p.add_argument("vcf")
 
+    p = sub.add_parser("alt-allele-in-normal",
+                       help="MuTect observed-in-control somatic filter")
+    p.add_argument("-i", "--vcf-in", required=True)
+    p.add_argument("-o", "--out", default="-")
+    p.add_argument("-b", "--normal-bam", required=True)
+    p.add_argument("--print-filtered", action="store_true")
+
+    p = sub.add_parser("analyze-somatic-fn",
+                       help="explain somatic false negatives")
+    p.add_argument("--truth", required=True)
+    p.add_argument("--calls", required=True)
+    p.add_argument("-t", "--tumor", required=True)
+    p.add_argument("-n", "--normal", required=True)
+
     p = sub.add_parser("vcfplot", help="VCF statistics plots")
     p.add_argument("-i", "--vcf-in", required=True)
     p.add_argument("-o", "--out", default="vcfplot.pdf")
@@ -602,6 +616,18 @@ def main(argv=None) -> int:
         from .tools.vcftools import cluster_vars
 
         cluster_vars(args.vcf)
+        return 0
+    if args.cmd == "alt-allele-in-normal":
+        from .tools.somatic_filters import alt_allele_in_normal
+
+        n = alt_allele_in_normal(args.vcf_in, args.normal_bam, args.out,
+                                 print_filtered=args.print_filtered)
+        print(f"filtered {n} variants", file=sys.stderr)
+        return 0
+    if args.cmd == "analyze-somatic-fn":
+        from .tools.somatic_filters import analyze_somatic_fn
+
+        analyze_somatic_fn(args.truth, args.calls, args.tumor, args.normal)
         return 0
     if args.cmd == "vcfplot":
         from .tools.vcfplot import vcfplot

@@ -136,3 +136,26 @@ def test_somatic_parallel_matches_single(pair, tmp_path):
     b = [v.to_line() for v in
          VcfReader(p2 + "somatic_final.snvs.vcf.gz")]
     assert a == b and a
+
+
+def test_alt_allele_in_normal_and_fn_analysis(pair, tmp_path, capsys):
+    # call tumor alone: somatic + germline all present
+    t_calls = str(tmp_path / "t.vcf")
+    main(["call", "-f", pair["fa"], "-o", t_calls, "-B", "-A",
+          pair["tumor"]])
+    out = str(tmp_path / "aan.vcf")
+    rc = main(["alt-allele-in-normal", "-i", t_calls, "-o", out,
+               "-b", pair["normal"]])
+    assert rc == 0
+    kept = {(v.pos, v.alt) for v in VcfReader(out)}
+    germ = {(p, a) for p, r, a in pair["germline"]}
+    som = {(p, a) for p, r, a in pair["somatic"]}
+    assert not (kept & germ), "germline survived observed-in-control filter"
+    assert som <= kept
+
+    # FN analysis: truth = tumor calls, calls = aan-filtered output
+    rc = main(["analyze-somatic-fn", "--truth", t_calls, "--calls", out,
+               "-t", pair["tumor"], "-n", pair["normal"]])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "present-in-normal" in outp
