@@ -552,6 +552,21 @@ def build_parser():
     p.add_argument("-t", "--tumor", required=True)
     p.add_argument("-n", "--normal", required=True)
 
+    p = sub.add_parser("bias", help="quality-bias tests (MB/BB/CB tags)")
+    p.add_argument("-b", "--bam", required=True,
+                   help="Input BAM file matching vcf")
+    p.add_argument("-i", "--vcfin", required=True)
+    p.add_argument("-o", "--vcfout", default="-")
+    p.add_argument("-m", "--mtc", default="fdr",
+                   choices=["bonf", "holmbonf", "fdr", "None"])
+    p.add_argument("--mtc-alpha", type=float, default=0.001)
+    p.add_argument("-t", "--mtc-tag", default="BB",
+                   choices=["BB", "MB", "CB"])
+    p.add_argument("--mq-filter", dest="min_mq", type=int, default=-1)
+    p.add_argument("--bq-filter", dest="min_bq", type=int, default=6)
+    p.add_argument("-a", "--use-orphan", action="store_true")
+    p.add_argument("-p", "--pass-only", action="store_true")
+
     p = sub.add_parser("vcfplot", help="VCF statistics plots")
     p.add_argument("-i", "--vcf-in", required=True)
     p.add_argument("-o", "--out", default="vcfplot.pdf")
@@ -628,6 +643,14 @@ def main(argv=None) -> int:
         from .tools.somatic_filters import analyze_somatic_fn
 
         analyze_somatic_fn(args.truth, args.calls, args.tumor, args.normal)
+        return 0
+    if args.cmd == "bias":
+        from .tools.bias import run_bias
+
+        run_bias(args.bam, args.vcfin, args.vcfout, mtc=args.mtc,
+                 mtc_alpha=args.mtc_alpha, mtc_tag=args.mtc_tag,
+                 min_mq=args.min_mq, min_bq=args.min_bq,
+                 use_orphan=args.use_orphan, pass_only=args.pass_only)
         return 0
     if args.cmd == "vcfplot":
         from .tools.vcfplot import vcfplot

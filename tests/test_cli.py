@@ -215,3 +215,72 @@ def test_uniq_det_lim(sim, tmp_path):
     high = [v for v in got
             if float(v.info_value("AF")[1]) >= 0.3]
     assert high and all(v.has_info_key("UNIQ") for v in high)
+
+
+def _mini_bias_bam(tmp_path):
+    """Two SNV sites on a 200bp chrom: pos 50 with alt bases at low BQ
+    (biased), pos 150 with alt bases at matching quality (unbiased)."""
+    import numpy as np
+    from lofreq_tpu.io.bai import build_bai
+    from lofreq_tpu.io.bam import BamHeader, BamRead, BamWriter
+    from lofreq_tpu.io.fasta import write_fasta
+
+    ref = ("A" * 200).encode()
+    header = BamHeader("@HD\tVN:1.6\tSO:coordinate\n", [("bt", 200)])
+    reads = []
+    rng = np.random.default_rng(5)
+    for i in range(60):
+        r = BamRead()
+        r.qname = f"b{i}"
+        r.tid = 0
+        r.flag = 0
+        r.mapq = 60
+        r.pos = 0
+        seq = bytearray(b"A" * 200)
+        qual = np.full(200, 37, np.uint8)
+        is_alt1 = i < 15          # biased site: alt reads get low BQ
+        if is_alt1:
+            seq[50] = ord("C")
+            qual[50] = 8 + int(rng.integers(0, 4))
+        is_alt2 = i % 3 == 0      # unbiased site: same qual as ref
+        if is_alt2:
+            seq[150] = ord("G")
+        r.seq = bytes(seq)
+        r.qual = qual
+        r.set_cigar_string("200M")
+        reads.append(r)
+    bam = str(tmp_path / "bias.bam")
+    with BamWriter(bam, header) as w:
+        for r in reads:
+            w.write(r)
+    build_bai(bam)
+    fa = str(tmp_path / "bias.fa")
+    write_fasta(fa, {"bt": ref.decode()})
+    vcf = str(tmp_path / "bias_in.vcf")
+    from lofreq_tpu.io.vcf import new_header
+    with open(vcf, "w") as fh:
+        fh.write(new_header())
+        fh.write("bt\t51\t.\tA\tC\t100\tPASS\tDP=60;AF=0.25\n")
+        fh.write("bt\t151\t.\tA\tG\t100\tPASS\tDP=60;AF=0.33\n")
+    return bam, vcf
+
+
+def test_bias_cli(tmp_path, capsys):
+    bam, vcf = _mini_bias_bam(tmp_path)
+    out = str(tmp_path / "bias_out.vcf")
+    rc = main(["bias", "-b", bam, "-i", vcf, "-o", out,
+                   "--bq-filter", "3"])
+    assert rc == 0
+    from lofreq_tpu.io.vcf import read_vcf
+    _, vs = read_vcf(out)
+    assert len(vs) == 2
+    biased, unbiased = vs
+    bb1 = int(biased.info_value("BB")[1])
+    bb2 = int(unbiased.info_value("BB")[1])
+    # low-BQ alt site shows strong base-quality bias; clean site doesn't
+    assert bb1 > 30
+    assert bb2 == 0
+    assert not biased.passes()      # fdr<0.001 FILTER applied
+    assert unbiased.passes()
+    # CB combines MB (no mapping bias -> 0) and BB
+    assert int(biased.info_value("CB")[1]) > 0
