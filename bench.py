@@ -32,7 +32,7 @@ def make_batch(B, D, seed=0):
     return nt4, bq, baq, mq, sq, valid, ref_nt4, bonf
 
 
-def bench_device(B=8192, D=2000, iters=5):
+def bench_device(B=32768, D=2000, iters=5):
     import jax
 
     from lofreq_tpu.ops.device_call import build_column_call
@@ -42,12 +42,13 @@ def bench_device(B=8192, D=2000, iters=5):
     args = [jax.device_put(a) for a in args]
     out = fn(*args)
     _ = int(out["num_tested"])  # compile + full sync via host fetch
-    t0 = time.perf_counter()
+    times = []
     for _i in range(iters):
+        t0 = time.perf_counter()
         out = fn(*args)
         _ = int(out["num_tested"])  # force completion each step
-    dt = (time.perf_counter() - t0) / iters
-    return B / dt
+        times.append(time.perf_counter() - t0)
+    return B / float(np.median(times))
 
 
 def bench_reference_c(B=2048, D=2000):
@@ -57,6 +58,13 @@ def bench_reference_c(B=2048, D=2000):
     from lofreq_tpu.core.quals import merge_srcq_mapq_baq_and_bq
 
     nt4, bq, baq, mq, sq, valid, ref_nt4, bonf = make_batch(B, D, seed=1)
+    # warm up the native lib + page cache so the baseline isn't a cold run
+    warm = np.sort(merge_srcq_mapq_baq_and_bq(
+        sq[:64].reshape(-1), mq[:64].reshape(-1), baq[:64].reshape(-1),
+        bq[:64].reshape(-1)).reshape(64, D), axis=1)
+    native.poissbin_dp_batch(warm, np.full(64, D, np.int64),
+                             np.full(64, 2, np.int64),
+                             np.full(64, 30000.0), 0.01)
     t0 = time.perf_counter()
     merged = merge_srcq_mapq_baq_and_bq(
         sq.reshape(-1), mq.reshape(-1), baq.reshape(-1), bq.reshape(-1)
@@ -72,12 +80,15 @@ def bench_reference_c(B=2048, D=2000):
 
 
 def main():
+    # baseline first: once jax/axon client threads are up they contend
+    # with the single-core C run and starve it 5-8x.  Best-of-2 full runs:
+    # the first pass warms the native lib + allocator + page cache
+    baseline = max(bench_reference_c(), bench_reference_c())
     cols_per_sec = bench_device()
-    baseline = bench_reference_c()
     print(json.dumps({
         "metric": "pileup_columns_per_sec_per_chip",
         "value": round(cols_per_sec, 1),
-        "unit": "columns/s (B=8192, depth=2000, merge+filter+count+screen)",
+        "unit": "columns/s (B=32768, depth=2000, merge+filter+count+screen)",
         "vs_baseline": round(cols_per_sec / baseline, 2),
     }))
     return 0

@@ -6,8 +6,8 @@ confirmation.
 Per column batch [B, D] (D = padded depth):
   1. merge qualities  PJ = PM + (1-PM)PS + (1-PM)(1-PS)PBAQ + ...PB   (VPU)
   2. base filters (min_bq / min_alt_bq / min_jq) + alt counts (segment sums)
-  3. top-S smallest error probs per column (the DP prefix)
-  4. fixed-length screening DP -> candidate mask
+  3. linear-space screening DP over the full depth (pure FMA scan;
+     filtered reads enter as p=0 = exact identity) -> candidate mask
 
 Multi-chip: columns are data-parallel over the mesh ("cols" axis); the only
 cross-chip reduction is the per-shard tested-column count (psum), mirroring
@@ -22,7 +22,7 @@ from functools import partial
 import numpy as np
 
 from .. import defaults as D
-from .screen import KMAX, MARGIN, NEG, SCREEN_S
+from .screen import KMAX, MARGIN
 
 MQ0_ERRPROB = D.MQ0_ERRPROB
 
@@ -87,16 +87,25 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
         alt_raw = jnp.take_along_axis(alt_raw5[:, :4], alt_nt, axis=1)
 
         # The Poisson-binomial tail is permutation invariant, so the
-        # screening DP streams the *unsorted* masked probs (2.0 = invalid,
-        # skipped per-step) — no device sort needed.  A sorted prefix mode
-        # (s < D) remains for cheap partial screening.
-        masked = jnp.where(keep, merged, 2.0)
+        # screening DP streams the *unsorted* masked probs — no device sort
+        # needed.  The DP runs in LINEAR f32 space: each step is then pure
+        # multiply-add (no transcendentals), ~4x faster than a log-space
+        # scan on the VPU.  Filtered-out reads are encoded as p=0, which is
+        # an *exact* identity update (a zero-error-prob read multiplies
+        # every cell by 1-p=1).  f32 underflow can only shrink the partial
+        # tail, and a smaller tail only *adds* candidates — conservative in
+        # the safe direction (the exact host DP confirms all candidates).
+        masked = jnp.where(keep, merged, 0.0).astype(jnp.float32)
         if s is None or s >= Dd:
             prefix = masked
             s_eff = Dd
         else:
-            neg_top, _ = jax.lax.top_k(-masked, s)
-            prefix = -neg_top  # ascending smallest S
+            # prefix mode: DP over only the s smallest nonzero probs
+            # (2.0 sentinel keeps zeros out of the bottom-k, then maps
+            # back to the p=0 identity)
+            neg_top, _ = jax.lax.top_k(
+                -jnp.where(masked > 0.0, masked, 2.0), s)
+            prefix = jnp.where(-neg_top > 1.5, 0.0, -neg_top)
             s_eff = s
 
         ks = jnp.max(alt_counts, axis=1)
@@ -108,33 +117,27 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
 
         kc = jnp.minimum(jnp.maximum(ks, 1), kmax)
         cell = jnp.arange(kmax + 1)[None, :]
-        is_tail = cell == kc[:, None]
-        beyond = cell > kc[:, None]
+        is_tail = (cell == kc[:, None]).astype(jnp.float32)
+        not_beyond = (cell <= kc[:, None]).astype(jnp.float32)
         # tie the carry to a batch-varying input so shard_map's varying-axis
-        # tracking accepts the scan carry
-        state0 = jnp.where(cell == 0, 0.0, NEG).astype(jnp.float32) \
+        # tracking accepts the scan carry.  state[j<kc] = P(exactly j
+        # errors), state[kc] = tail accumulator P(>= kc) (snpcaller.c:830).
+        state0 = jnp.where(cell == 0, 1.0, 0.0).astype(jnp.float32) \
             + 0.0 * prefix[:, :1]
+        prefix = jnp.clip(prefix, 0.0, 1.0)
 
-        def step(state, n_and_p):
-            n, p = n_and_p
-            valid = p < 1.5
-            p = jnp.clip(p, 1e-30, 1.0 - 1e-7)
-            lp = jnp.log(p)
-            l1p = jnp.log1p(-p)
+        def step(state, p):
             shifted = jnp.concatenate(
-                [jnp.full((B, 1), NEG, jnp.float32), state[:, :-1]], axis=1)
-            std = jnp.logaddexp(state + l1p[:, None], shifted + lp[:, None])
-            tail = jnp.logaddexp(state, shifted + lp[:, None])
-            new = jnp.where(is_tail, tail, std)
-            new = new.at[:, 0].set(state[:, 0] + l1p)
-            new = jnp.where(beyond, NEG, new)
-            if s_eff < Dd:
-                valid &= n < depths  # prefix mode: pad sorted to the end
-            return jnp.where(valid[:, None], new, state), None
+                [state[:, :1] * 0.0, state[:, :-1]], axis=1)
+            adv = shifted * p[:, None]
+            std = state * (1.0 - p)[:, None] + adv
+            tail = state + adv
+            new = (is_tail * tail + (1.0 - is_tail) * std) * not_beyond
+            return new, None
 
-        state, _ = jax.lax.scan(
-            step, state0, (jnp.arange(s_eff), prefix.astype(jnp.float32).T))
-        tail_val = jnp.take_along_axis(state, kc[:, None], axis=1)[:, 0]
+        state, _ = jax.lax.scan(step, state0, prefix.T, unroll=16)
+        lin_tail = jnp.take_along_axis(state, kc[:, None], axis=1)[:, 0]
+        tail_val = jnp.log(jnp.maximum(lin_tail, jnp.float32(1e-37)))
         # tail_val after min(depth, s_eff) reads is a lower bound of the
         # final tail (exact when the whole depth was processed), so
         # "bound >= threshold" safely rules a column out.  Columns whose

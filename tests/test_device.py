@@ -110,3 +110,63 @@ def test_pallas_poissbin_matches_exact():
         ps_sorted.astype(np.float64), valid.sum(axis=1), ks, 1e-300, 1.0)
     exact = state[np.arange(B), ks]
     assert np.abs(tail - exact).max() < 1e-3
+
+
+def test_device_screen_conservative_vs_exact():
+    """Linear-space device screen must keep every column the exact host DP
+    finds significant (planted variants -> non-trivial candidate set)."""
+    import jax
+
+    rng = np.random.default_rng(17)
+    B, D = 256, 400
+    ref_nt4 = rng.integers(0, 4, B).astype(np.int8)
+    nt4 = np.repeat(ref_nt4[:, None], D, axis=1).astype(np.int8)
+    bq = rng.integers(25, 41, (B, D)).astype(np.int16)
+    valid = rng.random((B, D)) < 0.97
+    # plant variants of varying strength in every 4th column
+    planted = {}
+    for c in range(0, B, 4):
+        k = int(rng.integers(2, 12))
+        alt = (ref_nt4[c] + 1) % 4
+        idx = rng.choice(D, k, replace=False)
+        nt4[c, idx] = alt
+        bq[c, idx] = 35
+        valid[c, idx] = True
+        planted[c] = k
+    # sprinkle background errors
+    err = rng.random((B, D)) < 0.002
+    for c, r in zip(*np.nonzero(err)):
+        nt4[c, r] = rng.integers(0, 4)
+    mq = np.full((B, D), 60, np.int16)
+    baq = np.full((B, D), -1, np.int16)
+    sq = np.full((B, D), -1, np.int16)
+    bonf = np.full(B, 3000.0, np.float32)
+
+    fn = jax.jit(build_column_call(use_baq=False))
+    out = fn(nt4, bq, baq, mq, sq, valid, ref_nt4, bonf)
+    cand = np.asarray(out["candidate"])
+
+    # exact host path on identical inputs
+    sig = 0.01
+    n_missed = 0
+    n_sig = 0
+    for c in range(B):
+        keep = valid[c] & (bq[c] >= 6)
+        probs = merge_srcq_mapq_baq_and_bq(
+            sq[c][keep], mq[c][keep], baq[c][keep], bq[c][keep])
+        probs = np.sort(probs)
+        counts = np.zeros((1, 3), dtype=np.int64)
+        for i, b in enumerate([x for x in range(4) if x != ref_nt4[c]]):
+            counts[0, i] = int((keep & (nt4[c] == b)).sum())
+        if counts.max() == 0:
+            continue
+        pv = snpcaller_batch(probs[None, :], np.array([keep.sum()]),
+                             counts, np.array([3000.0]), sig)
+        if (pv * 3000.0 < sig).any():
+            n_sig += 1
+            if not cand[c]:
+                n_missed += 1
+    assert n_sig > 20, f"test should plant detectable variants, got {n_sig}"
+    assert n_missed == 0, f"screen dropped {n_missed} significant columns"
+    # and it must still rule out a decent share of non-variant columns
+    assert cand.sum() < B * 0.6
