@@ -3,10 +3,11 @@
 The reference prunes per column with a data-dependent early exit
 (snpcaller.c:950): with ascending-sorted error probs, the running tail
 P(X >= K) only grows, so once the partial tail exceeds sig/bonf the column
-is insignificant.  On TPU we make this compiler-friendly: a *fixed-length*
-DP over the S smallest error probs yields a lower bound of the tail; columns
-whose bound already exceeds (sig * MARGIN) / bonf can never be called and
-are screened out.  Everything else is confirmed by the exact native DP.
+is insignificant.  On TPU we make this compiler-friendly: a fixed-length
+linear-space f32 DP over the (bucket-padded) sorted probs yields a lower
+bound of the tail; columns whose bound already exceeds (sig * MARGIN) / bonf
+can never be called and are screened out.  Everything else is confirmed by
+the exact native DP.
 
 The screen is conservative by construction (lower bound + f32 margin), so
 final output is identical to running the exact DP everywhere.
@@ -37,36 +38,38 @@ def _build_screen_fn():
 
     @partial(jax.jit, static_argnames=("s", "kmax"))
     def screen(probs, depths, ks, log_thresh, s=SCREEN_S, kmax=KMAX):
-        """probs [B, s] f32 ascending; depths [B]; ks [B] (>=1);
-        log_thresh [B] = log(sig * MARGIN / bonf).
-        Returns candidate mask [B] (True = needs exact confirmation)."""
+        """probs [B, s] f32 ascending (2.0 = padding); depths [B]; ks [B]
+        (>=1); log_thresh [B] = log(sig * MARGIN / bonf).
+        Returns candidate mask [B] (True = needs exact confirmation).
+
+        Linear f32 space: each step is pure multiply-add; a p=0 read
+        multiplies every cell by (1-p)=1, so padding and rows beyond a
+        column's depth map to an exact identity (masked to 0 up front).
+        Underflow only shrinks the partial tail, which only adds
+        candidates — the safe, conservative direction."""
         B = probs.shape[0]
         kc = jnp.minimum(ks, kmax)
         cell = jnp.arange(kmax + 1)[None, :]
-        is_tail = cell == kc[:, None]
-        beyond = cell > kc[:, None]
-        state0 = jnp.where(cell == 0, 0.0, NEG).astype(jnp.float32)
+        is_tail = (cell == kc[:, None]).astype(jnp.float32)
+        not_beyond = (cell <= kc[:, None]).astype(jnp.float32)
+        state0 = jnp.where(cell == 0, 1.0, 0.0).astype(jnp.float32)
         state0 = jnp.broadcast_to(state0, (B, kmax + 1))
+        in_depth = jnp.arange(s)[None, :] < depths[:, None]
+        p_all = jnp.clip(
+            jnp.where(in_depth & (probs <= 1.5), probs, 0.0), 0.0, 1.0)
 
-        def step(state, n_and_p):
-            n, p = n_and_p
-            p = jnp.clip(p, 1e-30, 1.0 - 1e-7)
-            lp = jnp.log(p)
-            l1p = jnp.log1p(-p)
+        def step(state, p):
             shifted = jnp.concatenate(
-                [jnp.full((B, 1), NEG, jnp.float32), state[:, :-1]], axis=1
-            )
-            std = jnp.logaddexp(state + l1p[:, None], shifted + lp[:, None])
-            tail = jnp.logaddexp(state, shifted + lp[:, None])
-            new = jnp.where(is_tail, tail, std)
-            new = new.at[:, 0].set(state[:, 0] + l1p)
-            new = jnp.where(beyond, NEG, new)
-            active = (n < depths)[:, None]
-            return jnp.where(active, new, state), None
+                [state[:, :1] * 0.0, state[:, :-1]], axis=1)
+            adv = shifted * p[:, None]
+            std = state * (1.0 - p)[:, None] + adv
+            tail = state + adv
+            new = (is_tail * tail + (1.0 - is_tail) * std) * not_beyond
+            return new, None
 
-        ns = jnp.arange(s)
-        state, _ = jax.lax.scan(step, state0, (ns, probs.T))
-        tail_val = jnp.take_along_axis(state, kc[:, None], axis=1)[:, 0]
+        state, _ = jax.lax.scan(step, state0, p_all.T, unroll=16)
+        lin_tail = jnp.take_along_axis(state, kc[:, None], axis=1)[:, 0]
+        tail_val = jnp.log(jnp.maximum(lin_tail, jnp.float32(1e-37)))
         # candidate if the lower bound is below the (slackened) threshold;
         # K beyond the clipped tail cell can't be ruled out (clipped tail
         # is an upper bound there)
