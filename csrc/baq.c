@@ -22,9 +22,11 @@
 
 #include <float.h>
 #include <math.h>
+#include <pthread.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 
 #define EI 0.25
 #define EM 0.33333333333
@@ -492,6 +494,61 @@ static void realn_one(
 }
 
 /* Batch API over packed per-read arrays. */
+typedef struct {
+    const char *ref;
+    int64_t ref_len, n_reads;
+    const int64_t *read_pos;
+    const uint32_t *cigars;
+    const int64_t *cigar_start;
+    const char *seqs;
+    const uint8_t *quals;
+    const int64_t *seq_start;
+    const uint8_t *want_baq, *want_idaq;
+    int ext_baq;
+    double par_d, par_e;
+    uint8_t *baq_out, *iaq_out, *daq_out, *flags_out;
+    int tid, nth;
+} baq_job_t;
+
+static void *baq_worker(void *arg)
+{
+    baq_job_t *j = arg;
+    for (int64_t i = j->tid; i < j->n_reads; i += j->nth) {
+        if (!j->want_baq[i] && !j->want_idaq[i]) {
+            j->flags_out[i] = 0;
+            continue;
+        }
+        int n_cigar = (int)(j->cigar_start[i + 1] - j->cigar_start[i]);
+        int l_qseq = (int)(j->seq_start[i + 1] - j->seq_start[i]);
+        realn_one(
+            j->ref, j->ref_len, j->read_pos[i],
+            j->cigars + j->cigar_start[i], n_cigar,
+            j->seqs + j->seq_start[i], j->quals + j->seq_start[i], l_qseq,
+            j->want_baq[i], j->ext_baq, j->want_idaq[i], j->par_d, j->par_e,
+            j->baq_out + j->seq_start[i] + i, /* +i: room for per-read NUL */
+            j->iaq_out + j->seq_start[i] + i,
+            j->daq_out + j->seq_start[i] + i,
+            j->flags_out + i);
+    }
+    return NULL;
+}
+
+/* LOFREQ_NATIVE_THREADS: worker count for the per-read BAQ/IDAQ loop
+ * (1 = serial; unset = online CPUs, capped at 8).  The parallel call
+ * wrapper pins workers to 1 thread each to avoid oversubscription. */
+static int baq_threads(void)
+{
+    const char *e = getenv("LOFREQ_NATIVE_THREADS");
+    if (e && *e) {
+        int n = atoi(e);
+        return n < 1 ? 1 : (n > 64 ? 64 : n);
+    }
+    long n = sysconf(_SC_NPROCESSORS_ONLN);
+    if (n < 1)
+        n = 1;
+    return n > 8 ? 8 : (int)n;
+}
+
 void lfq_baq_batch(
     const char *ref, int64_t ref_len,
     int64_t n_reads,
@@ -502,21 +559,39 @@ void lfq_baq_batch(
     int ext_baq, double par_d, double par_e,
     uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out)
 {
-    for (int64_t i = 0; i < n_reads; i++) {
-        if (!want_baq[i] && !want_idaq[i]) {
-            flags_out[i] = 0;
-            continue;
-        }
-        int n_cigar = (int)(cigar_start[i + 1] - cigar_start[i]);
-        int l_qseq = (int)(seq_start[i + 1] - seq_start[i]);
-        realn_one(
-            ref, ref_len, read_pos[i],
-            cigars + cigar_start[i], n_cigar,
-            seqs + seq_start[i], quals + seq_start[i], l_qseq,
-            want_baq[i], ext_baq, want_idaq[i], par_d, par_e,
-            baq_out + seq_start[i] + i,   /* +i: room for per-read NUL */
-            iaq_out + seq_start[i] + i,
-            daq_out + seq_start[i] + i,
-            flags_out + i);
+    /* init shared lookup tables before any worker touches them */
+    q2p_init();
+    base_code_init();
+    int nth = baq_threads();
+    if ((int64_t)nth > n_reads)
+        nth = n_reads > 0 ? (int)n_reads : 1;
+    baq_job_t base = {
+        ref, ref_len, n_reads, read_pos, cigars, cigar_start, seqs, quals,
+        seq_start, want_baq, want_idaq, ext_baq, par_d, par_e,
+        baq_out, iaq_out, daq_out, flags_out, 0, nth,
+    };
+    if (nth <= 1 || n_reads < 64) {
+        base.nth = 1;
+        baq_worker(&base);
+        return;
     }
+    pthread_t tids[64];
+    baq_job_t jobs[64];
+    for (int t = 0; t < nth; t++) {
+        jobs[t] = base;
+        jobs[t].tid = t;
+    }
+    for (int t = 1; t < nth; t++)
+        if (pthread_create(&tids[t], NULL, baq_worker, &jobs[t]) != 0)
+            jobs[t].nth = 0; /* mark failed; fall back below */
+    baq_worker(&jobs[0]);
+    for (int t = 1; t < nth; t++)
+        if (jobs[t].nth)
+            pthread_join(tids[t], NULL);
+    /* serial fallback for any stripe whose thread failed to start */
+    for (int t = 1; t < nth; t++)
+        if (!jobs[t].nth) {
+            jobs[t].nth = nth;
+            baq_worker(&jobs[t]);
+        }
 }

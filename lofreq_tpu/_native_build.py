@@ -30,7 +30,7 @@ def get_native_lib() -> ctypes.CDLL:
                 tmp = out + f".tmp{os.getpid()}"
                 subprocess.run(
                     ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, *srcs,
-                     "-lm"],
+                     "-lm", "-lpthread"],
                     check=True, capture_output=True,
                 )
                 os.replace(tmp, out)

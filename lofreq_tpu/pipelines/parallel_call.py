@@ -96,9 +96,21 @@ def run_parallel_regions(bam_path, ref_path, vconf_kw, pconf_kw, threads,
     jobs = [(str(bam_path), str(ref_path), c, s, e, vconf_kw, pconf_kw,
              bed_path) for c, s, e in bins]
     if threads > 1:
+        import os
+
         ctx = mp.get_context("fork")
-        with ctx.Pool(threads) as p:
-            results = p.map(_worker, jobs)
+        # process-parallel workers each get a single native BAQ thread —
+        # region parallelism already saturates the cores
+        prev = os.environ.get("LOFREQ_NATIVE_THREADS")
+        os.environ["LOFREQ_NATIVE_THREADS"] = "1"
+        try:
+            with ctx.Pool(threads) as p:
+                results = p.map(_worker, jobs)
+        finally:
+            if prev is None:
+                os.environ.pop("LOFREQ_NATIVE_THREADS", None)
+            else:
+                os.environ["LOFREQ_NATIVE_THREADS"] = prev
     else:
         results = [_worker(j) for j in jobs]
     lines = []
