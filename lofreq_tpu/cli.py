@@ -329,6 +329,13 @@ def cmd_viterbi(args) -> int:
 def cmd_alnqual(args) -> int:
     from .pipelines.indelqual import run_alnqual
 
+    ref = args.ref or args.ref_pos
+    if ref is None:
+        print("FATAL: alnqual needs a reference "
+              "(lofreq alnqual <aln.bam> <ref.fasta> or -f ref.fasta)",
+              file=sys.stderr)
+        return 1
+    args.ref = ref
     run_alnqual(args.bam, args.out, args.ref, baq=not args.no_baq,
                 ext_baq=not args.no_ext_baq, idaq=not args.no_idaq,
                 redo_baq=args.redo_baq, redo_idaq=args.redo_baq)
@@ -449,7 +456,9 @@ def build_parser():
     p.add_argument("bam")
 
     p = sub.add_parser("alnqual", help="add BAQ/IDAQ alignment qualities")
-    p.add_argument("-f", "--ref", required=True)
+    # reference form: lofreq alnqual [options] <aln.bam> <ref.fasta>
+    # (lofreq_alnqual.c:52); -f kept as an alternative spelling
+    p.add_argument("-f", "--ref")
     p.add_argument("-o", "--out", default="-")
     p.add_argument("-B", "--no-baq", action="store_true")
     p.add_argument("-A", "--no-idaq", action="store_true")
@@ -457,6 +466,7 @@ def build_parser():
     p.add_argument("-r", "--redo-baq", action="store_true")
     p.add_argument("-u", "--uncompressed", action="store_true")
     p.add_argument("bam")
+    p.add_argument("ref_pos", nargs="?", metavar="ref.fasta")
 
     p = sub.add_parser("indelqual", help="insert indel qualities (BI/BD)")
     p.add_argument("-u", "--uniform")
