@@ -107,6 +107,25 @@ class ReadRows:
             has_ai=z(bool), has_ad=z(bool), event_id=z(np.int64), events=[],
         )
 
+    # native ingest constructs instances with only the hot columns set and
+    # the packed flags byte attached as raw_flags; the bit-expanded arrays
+    # (2s of astype per 50M rows otherwise) materialize lazily on access
+    _FLAG_LAZY = {
+        "is_del": (0, bool), "is_refskip": (1, bool), "is_head": (2, bool),
+        "is_tail": (3, bool), "strand": (4, np.uint8),
+        "has_ai": (5, bool), "has_ad": (6, bool),
+    }
+
+    def __getattr__(self, name):
+        lazy = type(self)._FLAG_LAZY.get(name)
+        fl = self.__dict__.get("raw_flags")
+        if lazy is None or fl is None:
+            raise AttributeError(name)
+        bit, dt = lazy
+        val = ((fl >> bit) & 1).astype(dt)
+        setattr(self, name, val)
+        return val
+
 
 def read_passes_filters(r: bamio.BamRead, conf: PileupConf, chrom_name=None) -> bool:
     """mplp_func read-level filters (plp.c:613-721), minus BAQ/SQ compute."""

@@ -46,7 +46,6 @@ def run_plp_summary(bam_path, ref_path, vconf, pconf, region=None, bed=None,
 
 def _print_batch(batch, vconf, stream):
     C = len(batch.positions)
-    col_of = np.repeat(np.arange(C), np.diff(batch.col_start))
     for c in range(C):
         cons = batch.cons_indel[c]
         if cons is not None:
@@ -62,15 +61,18 @@ def _print_batch(batch, vconf, stream):
         line += f"\tins:{batch.num_ins[c]}\tdels:{batch.num_dels[c]}"
         line += f"\thrun:{batch.hrun[c]}"
         stream.write(line + "\n")
-        sel = col_of == c
+        # rows of column c are the CSR slice [col_start[c], col_start[c+1])
+        lo, hi = int(batch.col_start[c]), int(batch.col_start[c + 1])
+        nt4_c = batch.b_nt4[lo:hi]
         titles = ["BQ", "BAQ", "MQ", "SQ"]
         nx = 4 if vconf.use_sq else 3
         for i in range(5):
-            m = sel & (batch.b_nt4 == i)
+            m = nt4_c == i
             if not np.any(m):
                 continue
             for x in range(nx):
-                arr = (batch.b_bq, batch.b_baq, batch.b_mq, batch.b_sq)[x]
+                arr = (batch.b_bq, batch.b_baq, batch.b_mq,
+                       batch.b_sq)[x][lo:hi]
                 if x == 1 and not vconf.use_baq:
                     vals = ["-1"] * int(m.sum())
                 else:
