@@ -33,7 +33,7 @@ static void q2p_tab_init(void)
 {
     if (!q2p_tab_done) {
         for (int i = 0; i < 256; i++)
-            q2p_tab[i] = pow(10.0, -0.1 * i);
+            q2p_tab[i] = pow(10.0, -1.0 * i / 10.0);
         q2p_tab_done = 1;
     }
 }
@@ -49,7 +49,7 @@ static inline double q2p_full(int32_t q)
         return 0.0;
     if (q < 256)
         return q2p8(q);
-    return pow(10.0, -0.1 * (double)q);
+    return pow(10.0, -1.0 * (double)q / 10.0);
 }
 
 static int dbl_asc(const void *a, const void *b)

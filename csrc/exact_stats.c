@@ -127,7 +127,7 @@ void lfq_exp_vec(const double *x, int64_t n, double *out)
 void lfq_phred2prob_vec(const int64_t *q, int64_t n, double *out)
 {
     for (int64_t i = 0; i < n; i++)
-        out[i] = pow(10.0, -0.1 * (double)q[i]);
+        out[i] = pow(10.0, -1.0 * (double)q[i] / 10.0);
 }
 
 /* Joint error probability
@@ -145,12 +145,12 @@ static inline double q2p(int32_t q)
     if (q < 4096) {
         if (!q2p_cache_done) {
             for (int i = 0; i < 4096; i++)
-                q2p_cache[i] = pow(10.0, -0.1 * i);
+                q2p_cache[i] = pow(10.0, -1.0 * i / 10.0);
             q2p_cache_done = 1;
         }
         return q2p_cache[q];
     }
-    return pow(10.0, -0.1 * (double)q);
+    return pow(10.0, -1.0 * (double)q / 10.0);
 }
 
 void lfq_merge_quals(const int32_t *sq, const int32_t *mq,

@@ -274,7 +274,7 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
                 if (bq < min_bq)
                     continue;
                 int q = (def_nm_q >= 0) ? def_nm_q : bq;
-                probs[n++] = pow(10.0, -0.1 * q);
+                probs[n++] = pow(10.0, -1.0 * q / 10.0);
                 if (mism)
                     nonmatch++;
             }
@@ -282,7 +282,7 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
             qpos += l;
         } else if (op == OPI || op == OPD) {
             int q = (def_nm_q >= 0) ? def_nm_q : 45 /* INDEL_QUAL_DEFAULT */;
-            probs[n++] = pow(10.0, -0.1 * q);
+            probs[n++] = pow(10.0, -1.0 * q / 10.0);
             nonmatch++;
             if (op == OPI)
                 qpos += l;

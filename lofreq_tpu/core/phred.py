@@ -26,7 +26,8 @@ LDBL_MAX = np.finfo(np.longdouble).max
 
 _TABLE_SIZE = 1 << 17
 _PHRED2PROB = np.array(
-    [math.pow(10.0, -0.1 * q) for q in range(_TABLE_SIZE)], dtype=np.float64
+    [math.pow(10.0, -1.0 * q / 10.0) for q in range(_TABLE_SIZE)],
+    dtype=np.float64
 )
 
 
@@ -46,7 +47,7 @@ def phred_to_prob(q):
 def phred_to_prob_scalar(q: int) -> float:
     if q == INT_MAX:
         return DBL_MIN
-    return math.pow(10.0, -0.1 * q)
+    return math.pow(10.0, -1.0 * q / 10.0)
 
 
 def prob_to_phred(p) -> int:

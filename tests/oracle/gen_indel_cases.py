@@ -1,0 +1,87 @@
+"""Case generator/packer for the indel-errprob oracle (oracle_indel.c).
+
+--emit-input prints the oracle's stdin; --pack merges cases + oracle output
+into tests/golden/indel_errprobs.json.
+"""
+
+import json
+import random
+import sys
+
+BASES = "ACGT"
+
+
+def rand_key(rng, lo=1, hi=6):
+    return "".join(rng.choice(BASES) for _ in range(rng.randint(lo, hi)))
+
+
+def gen_cases():
+    rng = random.Random(20260817)
+    cases = []
+    for mode in (0, 1):
+        for flags in (0, 1, 3, 5, 7):
+            for _rep in range(4):
+                key = rand_key(rng)
+                nneq = rng.randint(0, 12)
+                neq = [
+                    (rng.randint(0, 60),
+                     rng.choice([0, 13, 37, 60, 255]))  # raw mq incl. 255!
+                    for _ in range(nneq)
+                ]
+                nev = rng.randint(0, 3)
+                events = []
+                keys = {key}
+                for _e in range(nev):
+                    # half the events match the candidate key (IDAQ gate)
+                    if rng.random() < 0.5:
+                        ekey = key
+                    else:
+                        ekey = rand_key(rng)
+                        while ekey in keys:
+                            ekey = rand_key(rng)
+                        keys.add(ekey)
+                    nq = rng.randint(1, 8)
+                    rows = [
+                        (rng.randint(0, 60), rng.randint(-1, 60),
+                         rng.choice([0, 13, 37, 60, 255]),
+                         rng.choice([-1, 0, 20, 50, 300]))
+                        for _ in range(nq)
+                    ]
+                    events.append((ekey, rows))
+                cases.append(dict(mode=mode, flags=flags, key=key,
+                                  neq=neq, events=events))
+    return cases
+
+
+def emit(case):
+    parts = [str(case["mode"]), str(case["flags"]), case["key"],
+             str(len(case["neq"]))]
+    for iq, mq in case["neq"]:
+        parts += [str(iq), str(mq)]
+    parts.append(str(len(case["events"])))
+    for ekey, rows in case["events"]:
+        parts += [ekey, str(len(rows))]
+        for iq, aq, mq, sq in rows:
+            parts += [str(iq), str(aq), str(mq), str(sq)]
+    return " ".join(parts)
+
+
+def main():
+    cases = gen_cases()
+    if sys.argv[1] == "--emit-input":
+        for c in cases:
+            print(emit(c))
+    elif sys.argv[1] == "--pack":
+        golden = open(sys.argv[3]).read().splitlines()
+        assert len(golden) == len(cases)
+        out = []
+        for c, g in zip(cases, golden):
+            toks = g.split()
+            out.append(dict(case=c, n=int(toks[0]), probs_hex=toks[1:]))
+        with open(sys.argv[4], "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {sys.argv[4]} ({len(out)} cases)")
+
+
+if __name__ == "__main__":
+    main()

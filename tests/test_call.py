@@ -144,3 +144,45 @@ def test_no_indel_calls_on_indel_free_bam(sim, tmp_path):
                           pconf=pconf)
     indels = [v for v in res.vars if v.is_indel()]
     assert not indels
+
+
+def test_indel_errprobs_bit_exact_vs_reference():
+    """_indel_errprobs reproduces plp_to_{ins,del}_errprobs bit-exactly
+    (golden from the reference oracle, tests/oracle/oracle_indel.c),
+    including the quirks: non-event reads keep MQ=255 unmapped, IDAQ only
+    for the candidate key, event MQ 255 -> -1."""
+    import json
+    import os
+    from types import SimpleNamespace
+
+    from lofreq_tpu.call.caller import VarcallConf, _indel_errprobs
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "indel_errprobs.json")
+    with open(path) as fh:
+        golden = json.load(fh)
+    assert len(golden) == 40
+    for entry in golden:
+        c = entry["case"]
+        conf = VarcallConf(
+            use_mq=bool(c["flags"] & 1),
+            use_idaq=bool(c["flags"] & 2),
+            use_sq=bool(c["flags"] & 4),
+        )
+        q_ne = [iq for iq, _mq in c["neq"]]
+        mq_ne = [mq for _iq, mq in c["neq"]]
+        neq = (q_ne, mq_ne, [0] * len(q_ne))
+        events = {}
+        for ekey, rows in c["events"]:
+            ev = events.setdefault(ekey, SimpleNamespace(
+                quals=[], aln_quals=[], map_quals=[], source_quals=[]))
+            for iq, aq, mq, sq in rows:
+                ev.quals.append(iq)
+                ev.aln_quals.append(aq)
+                ev.map_quals.append(mq)
+                ev.source_quals.append(sq)
+        got = _indel_errprobs(neq, events, c["key"], conf,
+                              is_ins=c["mode"] == 0)
+        want = [float.fromhex(h) for h in entry["probs_hex"]]
+        assert len(got) == entry["n"]
+        assert [float(x) for x in got] == want, (c, got, want)
