@@ -84,13 +84,42 @@ static void base_code_init(void)
     }
 }
 
+/* Per-thread reusable scratch: the HMM previously calloc'd ~130KB per
+ * read (fresh mmap pages each time); reusing warm buffers and memsetting
+ * only what the algorithm reads as zero removes the page-fault churn. */
+typedef struct {
+    void *buf[12];
+    size_t cap[12];
+} baq_scratch_t;
+
+static void *sc_get(baq_scratch_t *sc, int slot, size_t need)
+{
+    if (sc->cap[slot] < need) {
+        free(sc->buf[slot]);
+        size_t cap = need + need / 2 + 64;
+        sc->buf[slot] = malloc(cap);
+        sc->cap[slot] = sc->buf[slot] ? cap : 0;
+    }
+    return sc->buf[slot];
+}
+
+static void sc_free(baq_scratch_t *sc)
+{
+    for (int i = 0; i < 12; i++) {
+        free(sc->buf[i]);
+        sc->buf[i] = NULL;
+        sc->cap[i] = 0;
+    }
+}
+
 /* Banded glocal fwd/bwd.  Outputs: state[l_query] (MAP ref-pos<<2|type),
  * q[l_query] (phred posterior), pd (posterior matrix, (l_query+1) rows of
  * (2*bw+1)*3+6 doubles) — pd may be NULL.  Returns effective band width. */
 static int glocal(const uint8_t *ref_codes, int l_ref,
                   const uint8_t *query_codes, int l_query,
                   const uint8_t *iqual, double par_d, double par_e, int par_bw,
-                  int *state, uint8_t *q, double *pd, int pd_stride)
+                  int *state, uint8_t *q, double *pd, int pd_stride,
+                  baq_scratch_t *sc)
 {
     q2p_init();
     if (l_ref <= 0 || l_query <= 0)
@@ -103,10 +132,14 @@ static int glocal(const uint8_t *ref_codes, int l_ref,
     int bw2 = bw * 2 + 1;
     int ncell = bw2 * 3 + 6;
 
-    double *f = calloc((size_t)(l_query + 1) * ncell, sizeof(double));
-    double *bmat = calloc((size_t)(l_query + 1) * ncell, sizeof(double));
-    double *s = calloc(l_query + 2, sizeof(double));
-    float *qual = malloc(l_query * sizeof(float));
+    size_t mat_bytes = (size_t)(l_query + 1) * ncell * sizeof(double);
+    double *f = sc_get(sc, 0, mat_bytes);
+    double *bmat = sc_get(sc, 1, mat_bytes);
+    double *s = sc_get(sc, 2, (l_query + 2) * sizeof(double));
+    float *qual = sc_get(sc, 3, l_query * sizeof(float));
+    memset(f, 0, mat_bytes);
+    memset(bmat, 0, mat_bytes);
+    memset(s, 0, (l_query + 2) * sizeof(double));
     for (int i = 0; i < l_query; i++)
         qual[i] = q2p_tab[iqual ? iqual[i] : 30];
     float *qualb = qual - 1;
@@ -244,7 +277,6 @@ static int glocal(const uint8_t *ref_codes, int l_ref,
         }
     }
 
-    free(f); free(bmat); free(s); free(qual);
     return bw;
 #undef F
 #undef B
@@ -360,7 +392,8 @@ static void realn_one(
     const char *seq, const uint8_t *qual, int l_qseq,
     int want_baq, int ext_baq, int want_idaq,
     double par_d, double par_e,
-    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out)
+    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out,
+    baq_scratch_t *sc)
 {
     base_code_init();
     *flags_out = 0;
@@ -407,15 +440,15 @@ static void realn_one(
     if (l_ref <= 0)
         return;
 
-    uint8_t *qcodes = malloc(l_qseq);
+    uint8_t *qcodes = sc_get(sc, 4, l_qseq);
     for (int i = 0; i < l_qseq; i++)
         qcodes[i] = base_code[(uint8_t)seq[i]];
-    uint8_t *rcodes = malloc(l_ref > 0 ? l_ref : 1);
+    uint8_t *rcodes = sc_get(sc, 5, l_ref > 0 ? l_ref : 1);
     for (int i = 0; i < l_ref; i++)
         rcodes[i] = base_code[(uint8_t)ref[xb + i]];
 
-    int *state = malloc(l_qseq * sizeof(int));
-    uint8_t *q = malloc(l_qseq);
+    int *state = sc_get(sc, 6, l_qseq * sizeof(int));
+    uint8_t *q = sc_get(sc, 7, l_qseq);
     double *pd = NULL;
     int pd_stride = 0;
     if (want_idaq && (has_ins || has_del)) {
@@ -425,13 +458,15 @@ static void realn_one(
         int maxdim = l_ref > l_qseq ? l_ref : l_qseq;
         if (bw_max > maxdim) bw_max = maxdim;
         pd_stride = (bw_max * 2 + 1) * 3 + 6;
-        pd = calloc((size_t)(l_qseq + 1) * pd_stride, sizeof(double));
+        size_t pd_bytes = (size_t)(l_qseq + 1) * pd_stride * sizeof(double);
+        pd = sc_get(sc, 8, pd_bytes);
+        memset(pd, 0, pd_bytes);
     }
     int eff_bw = glocal(rcodes, l_ref, qcodes, l_qseq, qual, par_d, par_e,
-                        bw, state, q, pd, pd_stride);
+                        bw, state, q, pd, pd_stride, sc);
 
     if (want_baq) {
-        uint8_t *bq = malloc(l_qseq + 1);
+        uint8_t *bq = sc_get(sc, 9, l_qseq + 1);
         memcpy(bq, qual, l_qseq);
         if (!ext_baq) {
             int64_t xx = read_pos; int yy = 0;
@@ -450,7 +485,10 @@ static void realn_one(
                 else if (op == OP_D || op == OP_N) xx += l;
             }
         } else {
-            uint8_t *left = calloc(l_qseq, 1), *rght = calloc(l_qseq, 1);
+            uint8_t *left = sc_get(sc, 10, l_qseq);
+            uint8_t *rght = sc_get(sc, 11, l_qseq);
+            memset(left, 0, l_qseq);
+            memset(rght, 0, l_qseq);
             int64_t xx = read_pos; int yy = 0;
             for (int k = 0; k < n_cigar; ++k) {
                 int op = cigar[k] & 0xf, l = cigar[k] >> 4;
@@ -471,14 +509,12 @@ static void realn_one(
                 } else if (op == OP_S || op == OP_I) yy += l;
                 else if (op == OP_D || op == OP_N) xx += l;
             }
-            free(left); free(rght);
         }
         for (int i = 0; i < l_qseq; ++i) {
             if (bq[i] > SANGER_PHRED_MAX) bq[i] = SANGER_PHRED_MAX;
             baq_out[i] = bq[i] + 33;
         }
         *flags_out |= 1;
-        free(bq);
     }
 
     if (pd) {
@@ -488,9 +524,7 @@ static void realn_one(
                      iaq_out, daq_out, &n_ins, &n_del);
         if (n_ins) *flags_out |= 2;
         if (n_del) *flags_out |= 4;
-        free(pd);
     }
-    free(qcodes); free(rcodes); free(state); free(q);
 }
 
 /* Batch API over packed per-read arrays. */
@@ -513,6 +547,8 @@ typedef struct {
 static void *baq_worker(void *arg)
 {
     baq_job_t *j = arg;
+    baq_scratch_t sc;
+    memset(&sc, 0, sizeof(sc));
     for (int64_t i = j->tid; i < j->n_reads; i += j->nth) {
         if (!j->want_baq[i] && !j->want_idaq[i]) {
             j->flags_out[i] = 0;
@@ -528,8 +564,9 @@ static void *baq_worker(void *arg)
             j->baq_out + j->seq_start[i] + i, /* +i: room for per-read NUL */
             j->iaq_out + j->seq_start[i] + i,
             j->daq_out + j->seq_start[i] + i,
-            j->flags_out + i);
+            j->flags_out + i, &sc);
     }
+    sc_free(&sc);
     return NULL;
 }
 
