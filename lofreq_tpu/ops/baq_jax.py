@@ -31,7 +31,7 @@ EM = 0.33333333333
 
 
 @lru_cache(maxsize=64)
-def _build(L, Lr, bw):
+def _build(L, Lr, bw, want_pd=False):
     import jax
     import jax.numpy as jnp
 
@@ -58,19 +58,25 @@ def _build(L, Lr, bw):
                          jnp.where(match, 1.0 - qual_i[:, None],
                                    qual_i[:, None] * EM))
 
+    # The D-state within-row recurrence fD[k] = a[k] + m22*fD[k-1] is a
+    # geometric convolution fD[k] = sum_{j<=k} a[j]*m22^(k-j): one
+    # triangular-Toeplitz matmul instead of an associative scan — the MXU
+    # eats it, and m22^j underflows f32 past j~127 so the matrix IS the
+    # exact (truncated) chain.
+    _kj = np.arange(Lr)[:, None] - np.arange(Lr)[None, :]  # j rows, k cols
+    _T = np.where(_kj <= 0, np.power(np.float64(m22), -_kj,
+                                     where=_kj <= 0, out=np.zeros_like(
+                                         _kj, dtype=np.float64)), 0.0)
+    import jax.numpy as _jnp
+    T_D = _jnp.asarray(_T.astype(np.float32))       # fD = a @ T_D
+    T_Drev = _jnp.asarray(_T.T.astype(np.float32))  # reverse chain
+
     def d_scan(a):
         """fD[k] = a[k] + m22 * fD[k-1], fD[0-] = 0, along last axis."""
-        def comb(x, y):
-            bx, ax = x
-            by, ay = y
-            return bx * by, ay + by * ax
-
-        b0 = jnp.full_like(a, m22)
-        _, out = jax.lax.associative_scan(comb, (b0, a), axis=-1)
-        return out
+        return jnp.dot(a, T_D, precision=jax.lax.Precision.HIGHEST)
 
     def d_scan_rev(a):
-        return jnp.flip(d_scan(jnp.flip(a, axis=-1)), axis=-1)
+        return jnp.dot(a, T_Drev, precision=jax.lax.Precision.HIGHEST)
 
     @jax.jit
     def run(refw, query, qualp, l_ref):
@@ -104,10 +110,11 @@ def _build(L, Lr, bw):
             s = jnp.sum(newM + newI + newD, axis=1)
             s = jnp.maximum(s, 1e-30)
             inv = 1.0 / s
+            outD = newD * inv[:, None] if want_pd else jnp.zeros(
+                (0, 0), jnp.float32)  # D rows only needed for posteriors
             return ((newM * inv[:, None], newI * inv[:, None],
                      newD * inv[:, None], i + 1),
-                    (newM * inv[:, None], newI * inv[:, None],
-                     newD * inv[:, None], s))
+                    (newM * inv[:, None], newI * inv[:, None], outD, s))
 
         # row 1 init
         e1 = emission(refw, qualp[:, 0], query[:, 0])
@@ -126,7 +133,8 @@ def _build(L, Lr, bw):
         # stack row 1 + rows 2..L  -> [L, B, Lr]
         Ms = jnp.concatenate([fM[None], Ms], axis=0)
         Is = jnp.concatenate([fI[None], Is], axis=0)
-        Ds = jnp.concatenate([fD[None], Ds], axis=0)
+        if want_pd:
+            Ds = jnp.concatenate([fD[None], Ds], axis=0)
         ss = jnp.concatenate([s1[None], ss], axis=0)  # [L, B]
         sL1 = jnp.sum(Ms[-1] * sM + Is[-1] * sI, axis=1)  # s[L+1]
 
@@ -162,43 +170,62 @@ def _build(L, Lr, bw):
             return ((bMn * inv, bIn * inv, bDn * inv, i - 1),
                     (bMn * inv, bIn * inv, bDn * inv))
 
-        idx = jnp.arange(L - 1, 0, -1)  # rows L-1 .. 1
-        xs = (qualp[:, 1:].T[::-1], query[:, 1:].T[::-1], ss[:-1][::-1])
-        (_, _, _, _), (bMs_r, bIs_r, bDs_r) = jax.lax.scan(
-            bwd_step, (bM_L, bI_L, bD_L, jnp.int32(L - 1)), xs)
-        _ = idx
-        bMs = jnp.concatenate([bMs_r[::-1], bM_L[None]], axis=0)
-        bIs = jnp.concatenate([bIs_r[::-1], bI_L[None]], axis=0)
-        bDs = jnp.concatenate([bDs_r[::-1], bD_L[None]], axis=0)
+        def map_row(zM_i, zI_i):
+            """Per-row MAP phred + state from posterior row [B, Lr].
+            Failure mass computed directly (sum minus the winning cell,
+            not 1 - max/tot): f32 would otherwise saturate for posteriors
+            near 1 (BAQ > ~72)."""
+            best_m = jnp.max(zM_i, axis=1)
+            best_i = jnp.max(zI_i, axis=1)
+            is_ins = best_i > best_m
+            best = jnp.where(is_ins, best_i, best_m)
+            best_k = jnp.where(is_ins, jnp.argmax(zI_i, axis=1),
+                               jnp.argmax(zM_i, axis=1))
+            lane = jnp.arange(Lr)[None, :]
+            win_m = (~is_ins)[:, None] & (lane == best_k[:, None])
+            win_i = is_ins[:, None] & (lane == best_k[:, None])
+            rest = (jnp.sum(jnp.where(win_m, 0.0, zM_i), axis=1)
+                    + jnp.sum(jnp.where(win_i, 0.0, zI_i), axis=1))
+            pfail = rest / jnp.maximum(rest + best, 1e-30)
+            qph = (-4.343 * jnp.log(jnp.maximum(pfail, 1e-38)) + 0.499)
+            qph = qph.astype(jnp.int32)
+            qph = jnp.where(qph > 100, 99, qph)  # C: k>100 ? 99 : k
+            st = (best_k.astype(jnp.int32) << 2) | is_ins.astype(jnp.int32)
+            return qph, st
 
-        # ---- MAP + posteriors ----
-        zM = Ms * bMs  # [L, B, Lr]
-        zI = Is * bIs
-        zD = Ds * bDs
-        best_m = jnp.max(zM, axis=2)
-        best_i = jnp.max(zI, axis=2)
-        is_ins = best_i > best_m
-        best = jnp.where(is_ins, best_i, best_m)
-        best_k = jnp.where(
-            is_ins, jnp.argmax(zI, axis=2), jnp.argmax(zM, axis=2))
-        # failure mass computed directly (sum minus the winning cell via
-        # masking, not 1 - max/tot): f32 would otherwise saturate for
-        # posteriors near 1 (BAQ > ~72)
-        lane = jnp.arange(zM.shape[2])[None, None, :]
-        win_m = (~is_ins)[..., None] & (lane == best_k[..., None])
-        win_i = is_ins[..., None] & (lane == best_k[..., None])
-        rest = (jnp.sum(jnp.where(win_m, 0.0, zM), axis=2)
-                + jnp.sum(jnp.where(win_i, 0.0, zI), axis=2))
-        pfail = rest / jnp.maximum(rest + best, 1e-30)
-        qphred = (-4.343 * jnp.log(jnp.maximum(pfail, 1e-38)) + 0.499)
-        qphred = qphred.astype(jnp.int32)
-        qphred = jnp.where(qphred > 100, 99, qphred)  # C: k>100 ? 99 : k
-        state = (best_k.astype(jnp.int32) << 2) | is_ins.astype(jnp.int32)
-        pd_scale = ss[:, :, None]
-        return (qphred.T, state.T,
-                (zM * pd_scale).transpose(1, 0, 2),
-                (zI * pd_scale).transpose(1, 0, 2),
-                (zD * pd_scale).transpose(1, 0, 2))
+        if want_pd:
+            xs = (qualp[:, 1:].T[::-1], query[:, 1:].T[::-1], ss[:-1][::-1])
+            (_, _, _, _), (bMs_r, bIs_r, bDs_r) = jax.lax.scan(
+                bwd_step, (bM_L, bI_L, bD_L, jnp.int32(L - 1)), xs)
+            bMs = jnp.concatenate([bMs_r[::-1], bM_L[None]], axis=0)
+            bIs = jnp.concatenate([bIs_r[::-1], bI_L[None]], axis=0)
+            bDs = jnp.concatenate([bDs_r[::-1], bD_L[None]], axis=0)
+            zM = Ms * bMs  # [L, B, Lr]
+            zI = Is * bIs
+            zD = Ds * bDs
+            qphred, state = jax.vmap(map_row)(zM, zI)
+            pd_scale = ss[:, :, None]
+            return (qphred.T, state.T,
+                    (zM * pd_scale).transpose(1, 0, 2),
+                    (zI * pd_scale).transpose(1, 0, 2),
+                    (zD * pd_scale).transpose(1, 0, 2))
+
+        # BAQ-only: fold the posterior/MAP computation into the backward
+        # scan so no [L, B, Lr] posterior tensors are ever materialized
+        def bwd_map_step(carry, xs):
+            q_i1, query_i1, s_i, Ms_i, Is_i = xs
+            (bMn, bIn, bDn, i), _ = bwd_step(carry, (q_i1, query_i1, s_i))
+            qph, st = map_row(Ms_i * bMn, Is_i * bIn)
+            return (bMn, bIn, bDn, i), (qph, st)
+
+        xs = (qualp[:, 1:].T[::-1], query[:, 1:].T[::-1], ss[:-1][::-1],
+              Ms[:-1][::-1], Is[:-1][::-1])
+        _, (q_r, st_r) = jax.lax.scan(
+            bwd_map_step, (bM_L, bI_L, bD_L, jnp.int32(L - 1)), xs)
+        qL, stL = map_row(Ms[-1] * bM_L, Is[-1] * bI_L)
+        qphred = jnp.concatenate([q_r[::-1], qL[None]], axis=0)
+        state = jnp.concatenate([st_r[::-1], stL[None]], axis=0)
+        return qphred.T, state.T, None, None, None
 
     return run
 
