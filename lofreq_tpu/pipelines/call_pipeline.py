@@ -113,10 +113,41 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     lo = rstart if rstart is not None else 0
     hi = rend if rend is not None else len(ref)
     win = (lo // window) * window
+
+    # prefetch the next window's ingest on a single worker thread while the
+    # caller consumes the current batch: the C ingest releases the GIL, and
+    # only ingest_region touches the BAM reader, so a one-worker pool keeps
+    # reader access serialized (SURVEY's decode/compute overlap stage)
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(1)
+
+    def _submit(w):
+        return ex.submit(ingest_region, rdr, pconf, ref, tid,
+                         beg=max(w, lo), end=min(w + window, hi))
+
+    try:
+        fut = _submit(win) if win < hi else None
+        for _batch in _native_window_loop(
+                fut, _submit, win, hi, window, lo, fused, rdr, tid, chrom,
+                ref, pconf, vconf):
+            yield _batch
+    finally:
+        ex.shutdown(wait=True)
+
+
+def _native_window_loop(fut, submit, win, hi, window, lo, fused, rdr, tid,
+                        chrom, ref, pconf, vconf):
+    import numpy as _np
+
+    from ..pileup.engine import compile_columns
+    from ..pileup.fast_columns import build_snv_batch
+
     while win < hi:
         win_e = win + window
-        rows = ingest_region(rdr, pconf, ref, tid, beg=max(win, lo),
-                             end=min(win_e, hi))
+        rows = fut.result()
+        if win_e < hi:
+            fut = submit(win_e)
         if fused and len(rows.pos):
             batch = build_snv_batch(rows, rows.raw_flags, max(win, lo),
                                     min(win_e, hi), ref, chrom, pconf, vconf)
