@@ -284,3 +284,81 @@ def test_bias_cli(tmp_path, capsys):
     assert unbiased.passes()
     # CB combines MB (no mapping bias -> 0) and BB
     assert int(biased.info_value("CB")[1]) > 0
+
+
+def test_af_constructed_exact(tmp_path):
+    """af_tests.sh analog (reference tests/af_tests.sh:25-51): constructed
+    BAMs with known allele fractions must produce exact AF= INFO values
+    (deletion AF=0.5, SNV AF=1.0; insertion AF=0.5, SNV AF=0.25)."""
+    import numpy as np
+    from lofreq_tpu.io.bai import build_bai
+    from lofreq_tpu.io.bam import BamHeader, BamRead, BamWriter
+    from lofreq_tpu.io.fasta import write_fasta
+
+    ref = ("ACGT" * 25)
+    fa = str(tmp_path / "af.fa")
+    write_fasta(fa, {"af1": ref})
+    header = BamHeader("@HD\tVN:1.6\tSO:coordinate\n", [("af1", 100)])
+
+    def mk(i, cigar, seq):
+        r = BamRead()
+        r.qname = f"af{i}"
+        r.tid = 0
+        r.flag = 0
+        r.mapq = 60
+        r.pos = 0
+        r.seq = seq
+        r.qual = np.full(len(seq), 40, np.uint8)
+        r.set_cigar_string(cigar)
+        return r
+
+    # --- deletion BAM: 20/40 reads delete CG after base 1; all carry T at
+    # ref pos 8 (A) -> SNV AF=1.0
+    bam1 = str(tmp_path / "dels.bam")
+    with BamWriter(bam1, header) as w:
+        for i in range(40):
+            if i % 2 == 0:
+                seq = bytearray((ref[0] + ref[3:50]).encode())
+                seq[8 - 2] = ord("T")  # ref pos 8 is at read offset 6
+                w.write(mk(i, "1M2D47M", bytes(seq)))
+            else:
+                seq = bytearray(ref[:48].encode())
+                seq[8] = ord("T")
+                w.write(mk(i, "48M", bytes(seq)))
+    build_bai(bam1)
+    qbam1 = str(tmp_path / "dels_iq.bam")
+    assert main(["indelqual", "--uniform", "45,45", "-o", qbam1, bam1]) == 0
+    build_bai(qbam1)
+    out1 = str(tmp_path / "dels.vcf")
+    assert main(["call", "-f", fa, "-o", out1, "--call-indels", "-B", "-A",
+                 "--no-default-filter", qbam1]) == 0
+    recs = [l.split("\t") for l in open(out1) if not l.startswith("#")]
+    dels = [r for r in recs if r[1] == "1" and r[3] == "ACG" and r[4] == "A"]
+    assert dels and "AF=0.5" in dels[0][7], recs
+    snv1 = [r for r in recs if r[3] == "A" and r[4] == "T"]
+    assert snv1 and "AF=1.0" in snv1[0][7], recs
+
+    # --- insertion BAM: 20/40 reads insert AA after base 2 (C) -> C->CAA
+    # AF=0.5; 10/40 carry G at ref pos 12 (A? pos 12 = A) -> use pos 13=C->G
+    bam2 = str(tmp_path / "ins.bam")
+    with BamWriter(bam2, header) as w:
+        for i in range(40):
+            if i % 2 == 0:
+                seq = bytearray((ref[:2] + "AA" + ref[2:48]).encode())
+                if i % 4 == 0:  # 10 of 40 reads -> SNV AF=0.25
+                    seq[4 + 11] = ord("G")  # ref pos 13 (C) at offset 15
+                w.write(mk(i, "2M2I46M", bytes(seq)))
+            else:
+                w.write(mk(i, "48M", ref[:48].encode()))
+    build_bai(bam2)
+    qbam2 = str(tmp_path / "ins_iq.bam")
+    assert main(["indelqual", "--uniform", "45,45", "-o", qbam2, bam2]) == 0
+    build_bai(qbam2)
+    out2 = str(tmp_path / "ins.vcf")
+    assert main(["call", "-f", fa, "-o", out2, "--call-indels", "-B", "-A",
+                 "-a", "0.5", "--no-default-filter", qbam2]) == 0
+    recs = [l.split("\t") for l in open(out2) if not l.startswith("#")]
+    ins = [r for r in recs if r[1] == "2" and r[3] == "C" and r[4] == "CAA"]
+    assert ins and "AF=0.5" in ins[0][7], recs
+    snv2 = [r for r in recs if r[3] == "C" and r[4] == "G"]
+    assert snv2 and "AF=0.25" in snv2[0][7], recs
