@@ -362,3 +362,53 @@ def test_af_constructed_exact(tmp_path):
     assert ins and "AF=0.5" in ins[0][7], recs
     snv2 = [r for r in recs if r[3] == "C" and r[4] == "G"]
     assert snv2 and "AF=0.25" in snv2[0][7], recs
+
+
+def test_consvar_not_qual_filtered(tmp_path, capsys):
+    """consvar_noqual_filter.sh analog: CONSVAR records carry QUAL=. and
+    must pass through --snvqual-thresh untouched (lofreq_filter.c:319
+    requires qual>-1; the MTC path maps missing qual to INT_MAX)."""
+    from lofreq_tpu.io.vcf import new_header
+
+    vcf = str(tmp_path / "cv.vcf")
+    with open(vcf, "w") as fh:
+        fh.write(new_header())
+        fh.write("c1\t10\t.\tA\tT\t.\t.\tDP=50;AF=0.99;SB=0;"
+                 "DP4=0,0,25,25;CONSVAR\n")
+        fh.write("c1\t20\t.\tG\tC\t.\t.\tDP=60;AF=1.0;SB=0;"
+                 "DP4=0,0,30,30;CONSVAR\n")
+        fh.write("c1\t30\t.\tT\tA\t5\tPASS\tDP=50;AF=0.02;SB=0;"
+                 "DP4=24,24,1,1\n")
+    out = str(tmp_path / "cv_out.vcf")
+    rc = main(["filter", "-i", vcf, "-o", out, "--snvqual-thresh", "100",
+               "--no-defaults", "--print-all"])
+    assert rc == 0
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    assert len(recs) == 3
+    # CONSVARs untouched; the qual-5 record fails the phred-100 threshold
+    assert recs[0][6] in (".", "PASS")
+    assert recs[1][6] in (".", "PASS")
+    assert "min_snvqual" in recs[2][6]
+
+
+def test_call_with_bed_regions(sim, tmp_path):
+    """bed.sh analog: `call -l regions.bed` restricts calls to BED
+    intervals; all variants outside vanish, those inside are unchanged."""
+    full = str(tmp_path / "full.vcf")
+    assert main(["call", "-f", sim["fa"], "-o", full, "--no-default-filter",
+                 sim["bam"]]) == 0
+    recs = [l.split("\t") for l in open(full) if not l.startswith("#")]
+    assert len(recs) >= 2, "need >=2 variants to split by BED"
+    # restrict to a window around the first variant only
+    pos0 = int(recs[0][1]) - 1
+    bed = str(tmp_path / "r.bed")
+    with open(bed, "w") as fh:
+        fh.write(f"{sim['chrom']}\t{max(0, pos0 - 50)}\t{pos0 + 50}\n")
+    sel = str(tmp_path / "sel.vcf")
+    assert main(["call", "-f", sim["fa"], "-o", sel, "--no-default-filter",
+                 "-l", bed, sim["bam"]]) == 0
+    srecs = [l.split("\t") for l in open(sel) if not l.startswith("#")]
+    in_window = [r for r in recs
+                 if max(0, pos0 - 50) <= int(r[1]) - 1 < pos0 + 50]
+    assert [r[1] for r in srecs] == [r[1] for r in in_window]
+    assert srecs[0][1] == recs[0][1]
