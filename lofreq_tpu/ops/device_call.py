@@ -61,10 +61,6 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
         not_n = valid & (nt4 != 4)
         is_alt = not_n & (nt4 != ref_nt4[:, None])
 
-        # raw alt counts per nt (before bq filters)
-        onehot = jax.nn.one_hot(nt4, 5, dtype=jnp.int32)
-        alt_raw5 = jnp.sum(onehot * is_alt[..., None], axis=1)
-
         keep = not_n & (bq >= min_bq) & (~is_alt | (bq >= min_alt_bq))
         mq_eff = jnp.where((mq == 255) | (not use_mq), -1, mq)
         baq_eff = baq if use_baq else jnp.full_like(baq, -1)
@@ -75,7 +71,16 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
             keep &= mq_phred >= min_jq
             keep &= ~is_alt | (mq_phred >= min_alt_jq)
 
-        alt_cnt5 = jnp.sum(onehot * (keep & is_alt)[..., None], axis=1)
+        # per-base counts via 5 masked sums over [B, D] — never
+        # materializing a one-hot [B, D, 5] tensor (that costs 1.3GB of
+        # HBM traffic at the bench shape and dominated the whole step)
+        kept_alt = keep & is_alt
+        alt_raw5 = jnp.stack(
+            [jnp.sum((nt4 == b) & is_alt, axis=1) for b in range(5)], axis=1
+        ).astype(jnp.int32)
+        alt_cnt5 = jnp.stack(
+            [jnp.sum((nt4 == b) & kept_alt, axis=1) for b in range(5)], axis=1
+        ).astype(jnp.int32)
         depths = jnp.sum(keep, axis=1)
 
         # per-column alt bases = non-ref in ACGT order
