@@ -514,6 +514,15 @@ def build_parser():
     p.add_argument("--pp-dry-run", action="store_true")
     add_call_args(p)
 
+    p = sub.add_parser("call-distributed",
+                       help="multi-host region-parallel call over the "
+                            "JAX distributed runtime")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--threads-per-host", type=int, default=1)
+    add_call_args(p)
+
     p = sub.add_parser("somatic", help="tumor-normal somatic calling")
     p.add_argument("-t", "--tumor", required=True)
     p.add_argument("-n", "--normal", required=True)
@@ -601,6 +610,10 @@ def main(argv=None) -> int:
         args.plp_summary_only = True
     if args.cmd in ("call", "plpsummary"):
         return cmd_call(args)
+    if args.cmd == "call-distributed":
+        from .parallel.distributed import run_call_distributed
+
+        return run_call_distributed(args, [])
     if args.cmd == "call-parallel":
         return cmd_call_parallel(args, [])
     if args.cmd == "filter":

@@ -145,3 +145,53 @@ def run_distributed_call(bam_path, ref_path, vconf_kw, pconf_kw,
             fh.write(l + "\n")
     return dict(shard=shard_path, num_snv_tests=totals["snv"],
                 num_indel_tests=totals["indel"], n_local_vars=len(lines))
+
+
+def run_call_distributed(args, extra) -> int:
+    """CLI glue for `call-distributed`: multi-host region-parallel calling
+    over the JAX distributed runtime.  Each process calls its assigned
+    bins and writes a VCF shard; counters are all-reduced; process 0
+    merges shards in genome order and applies the final global-Bonferroni
+    filter (requires a shared filesystem for the shards, like the
+    reference's parallel wrapper's tmp dir)."""
+    import sys
+
+    import jax
+
+    from ..io.bam import BamReader
+    from ..io.vcf import Var
+    from ..pipelines.parallel_call import finalize_parallel_output
+
+    if args.region:
+        print("FATAL: regions not allowed with call-distributed",
+              file=sys.stderr)
+        return 1
+    from ..cli import confs_from_args
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    vconf, pconf = confs_from_args(args)
+    vconf_kw = {k: getattr(vconf, k) for k in vconf.__dataclass_fields__}
+    pconf_kw = {k: getattr(pconf, k) for k in pconf.__dataclass_fields__
+                if k != "bed"}
+    prefix = str(args.out) + ".tmp"
+    info = run_distributed_call(args.bam, args.ref, vconf_kw, pconf_kw,
+                                prefix,
+                                threads_per_host=args.threads_per_host)
+    if jax.process_index() != 0:
+        return 0
+
+    lines = []
+    for pid in range(jax.process_count()):
+        shard = f"{prefix}.shard{pid}.vcf"
+        with open(shard) as fh:
+            lines.extend(l.rstrip("\n") for l in fh if l.strip())
+        os.remove(shard)
+    # shards interleave bins round-robin -> re-sort into genome order
+    rdr = BamReader(args.bam)
+    order = {name: i for i, (name, _l) in enumerate(rdr.header.references)}
+    rdr.close()
+    lines.sort(key=lambda l: (order.get(l.split("\t", 2)[0], 1 << 30),
+                              int(l.split("\t", 2)[1])))
+    return finalize_parallel_output(lines, info["num_snv_tests"],
+                                    info["num_indel_tests"], args, vconf,
+                                    tool="call-distributed")

@@ -148,10 +148,19 @@ def run_call_parallel(args, extra) -> int:
         args.bam, args.ref, vconf_kw, pconf_kw, args.pp_threads,
         bed_path=args.bed,
     )
-    vars_ = [Var.from_line(l) for l in lines]
-    header = new_header("lofreq_tpu call-parallel", args.ref)
+    return finalize_parallel_output(lines, n_snv, n_indel, args, vconf,
+                                    tool="call-parallel")
 
-    # final filter with globally summed test counts
+
+def finalize_parallel_output(lines, n_snv, n_indel, args, vconf,
+                             tool="call-parallel") -> int:
+    """Merge worker VCF lines, apply the final filter with the globally
+    summed test counts, emit the load-bearing counter lines."""
+    from ..io.vcf import Var
+
+    vars_ = [Var.from_line(l) for l in lines]
+    header = new_header(f"lofreq_tpu {tool}", args.ref)
+
     cfg = FilterConf(no_defaults=args.no_default_filter)
     if vconf.bonf_dynamic:
         snv_th = max(prob_to_phred(

@@ -41,3 +41,23 @@ def test_run_distributed_call_single_process(tmp_path):
     called = {int(l.split("\t")[1]) - 1 for l in lines}
     truth = {t[0] for t in sim["truth"]}
     assert truth <= called
+
+
+def test_call_distributed_single_process(tmp_path):
+    """call-distributed (1-process degenerate case) == plain call."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from simulate import simulate
+
+    from lofreq_tpu.cli import main
+
+    sim = simulate(str(tmp_path), genome_len=3000, depth=200, seed=31)
+    plain = str(tmp_path / "plain.vcf")
+    dist = str(tmp_path / "dist.vcf")
+    assert main(["call", "-f", sim["fa"], "-o", plain, sim["bam"]]) == 0
+    assert main(["call-distributed", "-f", sim["fa"], "-o", dist,
+                 sim["bam"]]) == 0
+    a = [l for l in open(plain) if not l.startswith("#")]
+    b = [l for l in open(dist) if not l.startswith("#")]
+    assert a == b
