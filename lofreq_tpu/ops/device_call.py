@@ -51,7 +51,7 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
                       min_jq=D.DEFAULT_MIN_JQ, min_alt_jq=D.DEFAULT_MIN_ALT_JQ,
                       min_cov=D.DEFAULT_MIN_COV, sig=D.DEFAULT_SIG,
                       use_baq=True, use_mq=True, use_sq=False,
-                      s=None, kmax=KMAX):
+                      s=None, kmax=KMAX, use_pallas=False):
     """Returns a jittable fn(nt4, bq, baq, mq, sq, valid, ref_nt4, num_bases,
     coverage, bonf_base) -> dict of per-column outputs."""
     jax, jnp = _jx()
@@ -140,9 +140,16 @@ def build_column_call(min_bq=D.DEFAULT_MIN_BQ, min_alt_bq=D.DEFAULT_MIN_ALT_BQ,
             new = (is_tail * tail + (1.0 - is_tail) * std) * not_beyond
             return new, None
 
-        state, _ = jax.lax.scan(step, state0, prefix.T, unroll=16)
-        lin_tail = jnp.take_along_axis(state, kc[:, None], axis=1)[:, 0]
-        tail_val = jnp.log(jnp.maximum(lin_tail, jnp.float32(1e-37)))
+        if use_pallas and kmax == KMAX:
+            # hand-written kernel: DP state resident in VMEM, 32 reads per
+            # grid step (~3x the XLA scan on a v5e chip)
+            from .pallas_poissbin import tail_device
+
+            tail_val = tail_device(prefix, kc)
+        else:
+            state, _ = jax.lax.scan(step, state0, prefix.T, unroll=16)
+            lin_tail = jnp.take_along_axis(state, kc[:, None], axis=1)[:, 0]
+            tail_val = jnp.log(jnp.maximum(lin_tail, jnp.float32(1e-37)))
         # tail_val after min(depth, s_eff) reads is a lower bound of the
         # final tail (exact when the whole depth was processed), so
         # "bound >= threshold" safely rules a column out.  Columns whose
