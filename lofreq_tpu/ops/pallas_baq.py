@@ -1,0 +1,390 @@
+"""Pallas TPU kernels for the batched BAQ forward/backward HMM.
+
+Same math as ops/baq_jax.py (band-as-mask glocal alignment; exact host
+version csrc/baq.c:glocal, original /root/reference/src/lofreq/
+kprobaln_ext.c:80), but with the DP state resident in VMEM and rows
+processed in statically-unrolled chunks — two `pallas_call`s instead of
+~200 scan steps:
+
+  * forward kernel: grid (read tiles, row chunks); M/I/D state
+    [TILE_R, Lr] persists in VMEM scratch across row chunks; scaled M/I
+    rows and per-row scales stream out to HBM.
+  * backward kernel: same grid with the row-chunk axis reversed; consumes
+    the stored forward rows plus row-(i+1)-shifted query/qual inputs (so
+    every block aligns — the only carry is bM/bI of the row above), and
+    emits per-row MAP phred + state directly; no [L, B, Lr] posterior
+    tensor is ever materialized.
+
+The D-state within-row chain fD[k] = a[k] + m22*fD[k-1] is evaluated by
+log-depth doubling shifts (7 roll+FMA passes; m22^64 ~ 3e-26 keeps f32
+exact).  Reads are tiled TILE_R=128 per grid cell, reference window on the
+128-lane axis.
+
+Status: matches ops/baq_jax.py bit-for-bit in interpret mode and to ±1
+phred on hardware (f32 op-order); throughput on a v5e chip is on par with
+the XLA scan formulation (~105k reads/s compute at B=16k) — the row
+recurrence's serial dependency chain, not DMA or the MXU, sets the pace
+for both.  Kept as the kernel-level alternative; baq_jax remains the
+default device path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .baq_jax import EI, EM, PAR_D, PAR_E
+
+TILE_R = 128
+LANES = 128
+
+
+def _chunk_for(L):
+    # Mosaic requires block sublane dims divisible by 8: rows are chunked
+    # by 8 and L padded up; padded slots are masked to identity updates
+    return 8
+
+
+@functools.lru_cache(maxsize=32)
+def _build(L, bw):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Lr = LANES
+    CH = _chunk_for(L)
+    Lp = -(-L // CH) * CH
+    n_chunks = Lp // CH
+
+    sM = sI = 1.0 / (2 * L + 2)
+    m00 = (1 - PAR_D - PAR_D) * (1 - sM)
+    m01 = m02 = PAR_D * (1 - sM)
+    m10 = (1 - PAR_E) * (1 - sI)
+    m11 = PAR_E * (1 - sI)
+    m20 = 1 - PAR_E
+    m22 = PAR_E
+
+    kj = np.arange(Lr)[:, None] - np.arange(Lr)[None, :]
+    T = np.where(kj <= 0, np.power(np.float64(m22), -kj, where=kj <= 0,
+                                   out=np.zeros_like(kj, np.float64)), 0.0)
+    T_D = T.astype(np.float32)        # fD = a @ T_D (forward chain)
+    T_Drev = T.T.astype(np.float32)   # reversed chain
+
+    def emission(refw, query_i, qual_i):
+        # refw [R, Lr] f32 codes; query_i/qual_i [R, 1]
+        amb = (refw > 3.5) | (query_i > 3.5)
+        match = refw == query_i
+        return jnp.where(amb, 1.0,
+                         jnp.where(match, 1.0 - qual_i, qual_i * EM))
+
+    def chain_fwd(jnp, pltpu, ks, a):
+        # y[k] = sum_{j<=k} m22^(k-j) a[j] via log-depth doubling:
+        # y += m22^(2^t) * shift(y, 2^t); 7 steps cover 127 lanes and
+        # m22^64 ~ 3e-26 keeps everything in f32 range
+        y = a
+        sh = 1
+        w = m22
+        for _ in range(7):
+            rolled = pltpu.roll(y, sh, axis=1)
+            rolled = rolled * (ks > sh + 0.5).astype(jnp.float32)
+            y = y + w * rolled
+            sh *= 2
+            w = w * w
+        return y
+
+    def chain_rev(jnp, pltpu, ks, a):
+        # y[k] = sum_{j>=k} m22^(j-k) a[j]
+        y = a
+        sh = 1
+        w = m22
+        for _ in range(7):
+            rolled = pltpu.roll(y, LANES - sh, axis=1)
+            rolled = rolled * (ks <= LANES - sh + 0.5).astype(jnp.float32)
+            y = y + w * rolled
+            sh *= 2
+            w = w * w
+        return y
+
+    def fwd_kernel(refw_ref, query_ref, qualp_ref, lref_ref, td_ref,
+                   ms_ref, is_ref, ss_ref, stM, stI, stD):
+        j = pl.program_id(1)
+        refw = refw_ref[...]
+        l_ref = lref_ref[...]                      # [R, 1] f32
+        ks = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, Lr), 1).astype(jnp.float32) + 1.0
+        in_ref = (ks <= l_ref).astype(jnp.float32)
+        not_k0 = (ks > 1.5).astype(jnp.float32)
+        bM = (1.0 - PAR_D) / l_ref
+        bI = PAR_D / l_ref
+        td = td_ref[...]
+
+        @pl.when(j == 0)
+        def _():
+            stM[...] = jnp.zeros((TILE_R, Lr), jnp.float32)
+            stI[...] = jnp.zeros((TILE_R, Lr), jnp.float32)
+            stD[...] = jnp.zeros((TILE_R, Lr), jnp.float32)
+
+        fM = stM[...]
+        fI = stI[...]
+        fD = stD[...]
+        base = j * CH
+        for r in range(CH):
+            i = (base + r + 1).astype(jnp.float32)
+            q_i = qualp_ref[r, :][:, None]
+            query_i = query_ref[r, :][:, None]
+            e = emission(refw, query_i, q_i)
+            mask = ((ks >= i - bw) & (ks <= i + bw)).astype(
+                jnp.float32) * in_ref
+            fM1 = pltpu.roll(fM, 1, axis=1) * not_k0
+            fI1 = pltpu.roll(fI, 1, axis=1) * not_k0
+            fD1 = pltpu.roll(fD, 1, axis=1) * not_k0
+            newM = e * (m00 * fM1 + m10 * fI1 + m20 * fD1) * mask
+            newI = EI * (m01 * fM + m11 * fI) * mask
+            aD = m02 * pltpu.roll(newM, 1, axis=1) * not_k0
+            newD = chain_fwd(jnp, pltpu, ks, aD) * mask
+            if r == 0:
+                # row 1 boundary (only real at j==0): begin-state entry
+                lim = jnp.minimum(l_ref, jnp.float32(bw + 1))
+                mask1 = ((ks <= 1 + bw) & (ks <= lim)).astype(
+                    jnp.float32) * in_ref
+                initM = e * bM * mask1
+                initI = EI * bI * mask1
+                sel = (j == 0)
+                newM = jnp.where(sel, initM, newM)
+                newI = jnp.where(sel, initI, newI)
+                newD = jnp.where(sel, jnp.zeros_like(newD), newD)
+            s = jnp.sum(newM + newI + newD, axis=1, keepdims=True)
+            s = jnp.maximum(s, 1e-30)
+            inv = 1.0 / s
+            active = i <= jnp.float32(L)  # padded slots: identity update
+            fM = jnp.where(active, newM * inv, fM)
+            fI = jnp.where(active, newI * inv, fI)
+            fD = jnp.where(active, newD * inv, fD)
+            ms_ref[0, r, :, :] = fM
+            is_ref[0, r, :, :] = fI
+            ss_ref[0, r, :] = jnp.where(active, s, 1.0)[:, 0]
+        stM[...] = fM
+        stI[...] = fI
+        stD[...] = fD
+
+    def bwd_kernel(refw_ref, query1_ref, qualp1_ref, lref_ref, tdr_ref,
+                   ms_ref, is_ref, ss_ref, q_out, st_out, bMst, bIst):
+        j = pl.program_id(1)  # 0 visits the LAST row chunk (reversed map)
+        refw = refw_ref[...]
+        l_ref = lref_ref[...]
+        ks = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, Lr), 1).astype(jnp.float32) + 1.0
+        in_ref = (ks <= l_ref).astype(jnp.float32)
+        not_klast = (ks < jnp.float32(Lr) - 0.5).astype(jnp.float32)
+        tdr = tdr_ref[...]
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, Lr), 1)
+
+        def map_row(zM, zI):
+            best_m = jnp.max(zM, axis=1, keepdims=True)
+            best_i = jnp.max(zI, axis=1, keepdims=True)
+            is_ins = best_i > best_m
+            best = jnp.where(is_ins, best_i, best_m)
+            zwin = jnp.where(is_ins, zI, zM)
+            hit = zwin >= best                     # first-max lane
+            best_k = jnp.min(jnp.where(hit, lane_i, Lr), axis=1,
+                             keepdims=True)
+            win = lane_i == best_k
+            rest = (jnp.sum(jnp.where(win & ~is_ins, 0.0, zM), axis=1,
+                            keepdims=True)
+                    + jnp.sum(jnp.where(win & is_ins, 0.0, zI), axis=1,
+                              keepdims=True))
+            pfail = rest / jnp.maximum(rest + best, 1e-30)
+            qph = (-4.343 * jnp.log(jnp.maximum(pfail, 1e-38)) + 0.499)
+            qph = qph.astype(jnp.int32)
+            qph = jnp.where(qph > 100, 99, qph)
+            st = ((best_k.astype(jnp.int32) << 2)
+                  | is_ins.astype(jnp.int32))
+            return qph[:, 0], st[:, 0]
+
+        # slots run high -> low; slot r holds global row i = base + r + 1
+        base = (n_chunks - 1 - j) * CH
+        for rr in range(CH):
+            r = CH - 1 - rr
+            i_f = (base + r + 1).astype(jnp.float32)
+            is_rowL = i_f == jnp.float32(L)
+            is_pad = i_f > jnp.float32(L)
+            # --- generic backward step for row i (needs row i+1 inputs,
+            # provided pre-shifted in query1/qualp1 at slot r) ---
+            bMc = bMst[...]
+            bIc = bIst[...]
+            q_i1 = qualp1_ref[r, :][:, None]
+            query_i1 = query1_ref[r, :][:, None]
+            e = emission(refw, query_i1, q_i1)
+            eb = pltpu.roll(e * bMc, Lr - 1, axis=1) * not_klast
+            common = EI * bIc
+            mask = ((ks >= i_f - bw) & (ks <= i_f + bw)).astype(
+                jnp.float32) * in_ref
+            y = (i_f > 1.5).astype(jnp.float32)  # scalar
+            bDn = chain_rev(jnp, pltpu, ks, eb * m20 * mask) * mask * y
+            bD_next = pltpu.roll(bDn, Lr - 1, axis=1) * not_klast
+            bMn = (eb * m00 + m01 * common + m02 * bD_next) * mask
+            bIn = (eb * m10 + m11 * common) * mask
+            inv = 1.0 / ss_ref[0, r, :][:, None]
+            bMn = bMn * inv
+            bIn = bIn * inv
+            # --- row L init (first visited slot): begin from the end
+            # states instead ---
+            if True:
+                msL = ms_ref[0, r, :, :]
+                isL = is_ref[0, r, :, :]
+                ssL = ss_ref[0, r, :][:, None]
+                sL1 = jnp.maximum(
+                    jnp.sum(msL * sM + isL * sI, axis=1, keepdims=True),
+                    1e-30)
+                maskL = ((ks >= jnp.float32(L - bw))
+                         & (ks <= jnp.float32(L + bw))).astype(
+                    jnp.float32) * in_ref
+                bML = sM / ssL / sL1 * maskL
+                bIL = sI / ssL / sL1 * maskL
+                bMn = jnp.where(is_rowL, bML, bMn)
+                bIn = jnp.where(is_rowL, bIL, bIn)
+            zM = ms_ref[0, r, :, :] * bMn
+            zI = is_ref[0, r, :, :] * bIn
+            qph, st = map_row(zM, zI)
+            q_out[0, r, :] = qph
+            st_out[0, r, :] = st
+            bMst[...] = jnp.where(is_pad, bMst[...], bMn)
+            bIst[...] = jnp.where(is_pad, bIst[...], bIn)
+
+    interpret = jax.default_backend() == "cpu"
+
+    @jax.jit
+    def run(refw, query, qualp, l_ref):
+        """refw [B, Lr] f32 codes (pad 4), query [B, L] f32 codes,
+        qualp [B, L] f32 err probs, l_ref [B] f32.
+        Returns (q [B, L] int32, state [B, L] int32)."""
+        B = refw.shape[0]
+        grid = (B // TILE_R, n_chunks)
+        query_t = query.T                      # [L, B]
+        qualp_t = qualp.T
+        if Lp != L:
+            query_t = jnp.concatenate(
+                [query_t, jnp.full((Lp - L, B), 4.0, jnp.float32)], axis=0)
+            qualp_t = jnp.concatenate(
+                [qualp_t, jnp.full((Lp - L, B), 0.5, jnp.float32)], axis=0)
+        lref2 = l_ref[:, None]
+        td = jnp.asarray(T_D)
+        tdr = jnp.asarray(T_Drev)
+
+        ms, is_, ss = pl.pallas_call(
+            fwd_kernel,
+            interpret=interpret,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TILE_R, Lr), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH, TILE_R), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH, TILE_R), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_R, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lr, Lr), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, CH, TILE_R, Lr),
+                             lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CH, TILE_R, Lr),
+                             lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CH, TILE_R), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B // TILE_R, Lp, TILE_R, Lr),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((B // TILE_R, Lp, TILE_R, Lr),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((B // TILE_R, Lp, TILE_R),
+                                     jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((TILE_R, Lr), jnp.float32),
+                pltpu.VMEM((TILE_R, Lr), jnp.float32),
+                pltpu.VMEM((TILE_R, Lr), jnp.float32),
+            ],
+        )(refw, query_t, qualp_t, lref2, td)
+
+        # row-(i+1)-shifted inputs for the backward pass: slot t carries
+        # the query/qual of global row t+2 (t = i-1, i = 1..L-1); the last
+        # slot (t = L-1, the init row) never reads them
+        query1 = jnp.concatenate([query_t[1:], query_t[-1:]], axis=0)
+        qualp1 = jnp.concatenate([qualp_t[1:], qualp_t[-1:]], axis=0)
+
+        rev = n_chunks - 1
+
+        q, st = pl.pallas_call(
+            bwd_kernel,
+            interpret=interpret,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TILE_R, Lr), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH, TILE_R), lambda i, j, rev=rev:
+                             (rev - j, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((CH, TILE_R), lambda i, j, rev=rev:
+                             (rev - j, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_R, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lr, Lr), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CH, TILE_R, Lr), lambda i, j, rev=rev:
+                             (i, rev - j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CH, TILE_R, Lr), lambda i, j, rev=rev:
+                             (i, rev - j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CH, TILE_R), lambda i, j, rev=rev:
+                             (i, rev - j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, CH, TILE_R), lambda i, j, rev=rev:
+                             (i, rev - j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CH, TILE_R), lambda i, j, rev=rev:
+                             (i, rev - j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B // TILE_R, Lp, TILE_R), jnp.int32),
+                jax.ShapeDtypeStruct((B // TILE_R, Lp, TILE_R), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((TILE_R, Lr), jnp.float32),
+                pltpu.VMEM((TILE_R, Lr), jnp.float32),
+            ],
+        )(refw, query1, qualp1, lref2, tdr, ms, is_, ss)
+
+        # [n_tiles, Lp, TILE_R] -> [B, L]
+        q = q.transpose(0, 2, 1).reshape(B, Lp)[:, :L]
+        st = st.transpose(0, 2, 1).reshape(B, Lp)[:, :L]
+        return q, st
+
+    return run
+
+
+def baq_pallas(refw, query, qualp, l_ref):
+    """Device BAQ via the Pallas kernels.  refw [B, Lr=128] int codes,
+    query [B, L] int codes, qualp [B, L] f32, l_ref [B] int.
+    B is padded to a multiple of TILE_R internally."""
+    import jax.numpy as jnp
+
+    B, L = query.shape
+    padB = -(-B // TILE_R) * TILE_R
+    if padB != B:
+        pad = padB - B
+        refw = np.pad(refw, ((0, pad), (0, 0)), constant_values=4)
+        query = np.pad(query, ((0, pad), (0, 0)), constant_values=4)
+        qualp = np.pad(qualp, ((0, pad), (0, 0)), constant_values=0.5)
+        l_ref = np.pad(l_ref, (0, pad), constant_values=LANES)
+    run = _build(L, 7)
+    q, st = run(jnp.asarray(np.asarray(refw, np.float32)),
+                jnp.asarray(np.asarray(query, np.float32)),
+                jnp.asarray(np.asarray(qualp, np.float32)),
+                jnp.asarray(np.asarray(l_ref, np.float32)))
+    return np.asarray(q)[:B], np.asarray(st)[:B]
