@@ -66,12 +66,6 @@ def _build(L, bw):
     m20 = 1 - PAR_E
     m22 = PAR_E
 
-    kj = np.arange(Lr)[:, None] - np.arange(Lr)[None, :]
-    T = np.where(kj <= 0, np.power(np.float64(m22), -kj, where=kj <= 0,
-                                   out=np.zeros_like(kj, np.float64)), 0.0)
-    T_D = T.astype(np.float32)        # fD = a @ T_D (forward chain)
-    T_Drev = T.T.astype(np.float32)   # reversed chain
-
     def emission(refw, query_i, qual_i):
         # refw [R, Lr] f32 codes; query_i/qual_i [R, 1]
         amb = (refw > 3.5) | (query_i > 3.5)
@@ -107,7 +101,7 @@ def _build(L, bw):
             w = w * w
         return y
 
-    def fwd_kernel(refw_ref, query_ref, qualp_ref, lref_ref, td_ref,
+    def fwd_kernel(refw_ref, query_ref, qualp_ref, lref_ref,
                    ms_ref, is_ref, ss_ref, stM, stI, stD):
         j = pl.program_id(1)
         refw = refw_ref[...]
@@ -118,7 +112,6 @@ def _build(L, bw):
         not_k0 = (ks > 1.5).astype(jnp.float32)
         bM = (1.0 - PAR_D) / l_ref
         bI = PAR_D / l_ref
-        td = td_ref[...]
 
         @pl.when(j == 0)
         def _():
@@ -169,7 +162,7 @@ def _build(L, bw):
         stI[...] = fI
         stD[...] = fD
 
-    def bwd_kernel(refw_ref, query1_ref, qualp1_ref, lref_ref, tdr_ref,
+    def bwd_kernel(refw_ref, query1_ref, qualp1_ref, lref_ref,
                    ms_ref, is_ref, ss_ref, q_out, st_out, bMst, bIst):
         j = pl.program_id(1)  # 0 visits the LAST row chunk (reversed map)
         refw = refw_ref[...]
@@ -178,7 +171,6 @@ def _build(L, bw):
             jnp.int32, (TILE_R, Lr), 1).astype(jnp.float32) + 1.0
         in_ref = (ks <= l_ref).astype(jnp.float32)
         not_klast = (ks < jnp.float32(Lr) - 0.5).astype(jnp.float32)
-        tdr = tdr_ref[...]
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, Lr), 1)
 
         def map_row(zM, zI):
@@ -270,8 +262,6 @@ def _build(L, bw):
             qualp_t = jnp.concatenate(
                 [qualp_t, jnp.full((Lp - L, B), 0.5, jnp.float32)], axis=0)
         lref2 = l_ref[:, None]
-        td = jnp.asarray(T_D)
-        tdr = jnp.asarray(T_Drev)
 
         ms, is_, ss = pl.pallas_call(
             fwd_kernel,
@@ -285,8 +275,6 @@ def _build(L, bw):
                 pl.BlockSpec((CH, TILE_R), lambda i, j: (j, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE_R, 1), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lr, Lr), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -312,7 +300,7 @@ def _build(L, bw):
                 pltpu.VMEM((TILE_R, Lr), jnp.float32),
                 pltpu.VMEM((TILE_R, Lr), jnp.float32),
             ],
-        )(refw, query_t, qualp_t, lref2, td)
+        )(refw, query_t, qualp_t, lref2)
 
         # row-(i+1)-shifted inputs for the backward pass: slot t carries
         # the query/qual of global row t+2 (t = i-1, i = 1..L-1); the last
@@ -335,8 +323,6 @@ def _build(L, bw):
                              (rev - j, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE_R, 1), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Lr, Lr), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, CH, TILE_R, Lr), lambda i, j, rev=rev:
                              (i, rev - j, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, CH, TILE_R, Lr), lambda i, j, rev=rev:
@@ -358,7 +344,7 @@ def _build(L, bw):
                 pltpu.VMEM((TILE_R, Lr), jnp.float32),
                 pltpu.VMEM((TILE_R, Lr), jnp.float32),
             ],
-        )(refw, query1, qualp1, lref2, tdr, ms, is_, ss)
+        )(refw, query1, qualp1, lref2, ms, is_, ss)
 
         # [n_tiles, Lp, TILE_R] -> [B, L]
         q = q.transpose(0, 2, 1).reshape(B, Lp)[:, :L]
