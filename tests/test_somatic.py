@@ -159,3 +159,70 @@ def test_alt_allele_in_normal_and_fn_analysis(pair, tmp_path, capsys):
     assert rc == 0
     outp = capsys.readouterr().out
     assert "present-in-normal" in outp
+
+
+def test_somatic_indels(tmp_path):
+    """Somatic indel calling: a tumor-only insertion is recovered, a
+    germline deletion (in both samples) is excluded."""
+    rng = np.random.default_rng(9)
+    genome = BASES[rng.integers(0, 4, 2000)]
+    fa = str(tmp_path / "si.fa")
+    write_fasta(fa, {"chrI": genome.tobytes().decode()})
+    som_pos, germ_pos = 600, 1400   # somatic ins after 600; germline del
+
+    def write_bam(path, with_som):
+        header = BamHeader("@HD\tVN:1.6\tSO:coordinate\n", [("chrI", 2000)])
+        n_reads = 2000 * 300 // 100
+        starts = np.sort(rng.integers(0, 1900, n_reads))
+        with BamWriter(path, header) as w:
+            for i, start in enumerate(starts):
+                r = BamRead()
+                r.qname = f"s{i}"
+                r.tid = 0
+                r.pos = int(start)
+                r.flag = FREVERSE if rng.random() < 0.5 else 0
+                r.mapq = 60
+                base = genome[start:start + 100].copy()
+                cigar = "100M"
+                at = som_pos - start
+                gat = germ_pos - start
+                if with_som and 5 <= at < 90 and rng.random() < 0.3:
+                    base = np.concatenate([
+                        base[:at + 1],
+                        np.frombuffer(b"AG", np.uint8), base[at + 1:98]])
+                    cigar = f"{at+1}M2I{97-at}M"
+                elif 5 <= gat < 90 and rng.random() < 0.5:
+                    ext = genome[start + 100:start + 103]
+                    base = np.concatenate(
+                        [base[:gat + 1], base[gat + 4:], ext])[:100]
+                    cigar = f"{gat+1}M3D{len(base)-gat-1}M"
+                r.seq = base.tobytes()
+                r.qual = np.full(len(base), 37, np.uint8)
+                r.set_cigar_string(cigar)
+                w.write(r)
+        build_bai(path)
+
+    tb_raw = str(tmp_path / "t.bam")
+    nb_raw = str(tmp_path / "n.bam")
+    write_bam(tb_raw, True)
+    write_bam(nb_raw, False)
+    tb, nb = str(tmp_path / "tq.bam"), str(tmp_path / "nq.bam")
+    assert main(["indelqual", "--uniform", "45,45", "-o", tb, tb_raw]) == 0
+    assert main(["indelqual", "--uniform", "45,45", "-o", nb, nb_raw]) == 0
+    build_bai(tb)
+    build_bai(nb)
+
+    out = str(tmp_path / "si_")
+    assert main(["somatic", "-t", tb, "-n", nb, "-f", fa, "-o", out,
+                 "--call-indels"]) == 0
+    import glob
+    finals = glob.glob(out + "somatic_final*.vcf.gz")
+    assert finals
+    calls = set()
+    for f in finals:
+        with VcfReader(f) as rdr:
+            for v in rdr:
+                if v.is_indel():
+                    calls.add(v.pos)
+    assert som_pos in calls, (calls, finals)
+    assert germ_pos not in calls, calls
