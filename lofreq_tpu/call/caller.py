@@ -9,7 +9,7 @@ contents.  The heavy Poisson-binomial work can be pre-screened on the TPU
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -12,7 +12,6 @@ The batched HMM itself lives in ops.baq_hmm (numpy exact) / ops.baq_pallas
 
 from __future__ import annotations
 
-import numpy as np
 
 from .. import defaults as D
 

@@ -170,7 +170,7 @@ def build_sharded_column_call(mesh=None, **kw):
     """shard_map the column pipeline over a device mesh: columns sharded on
     the 'cols' axis, test counters psum'd across chips."""
     jax, jnp = _jx()
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh, PartitionSpec as P
 
     if mesh is None:
         devs = np.array(jax.devices())

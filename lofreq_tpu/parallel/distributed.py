@@ -74,7 +74,7 @@ def allreduce_counters(local_counts, mesh=None):
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     if jax.process_count() == 1 and len(jax.devices()) == 1:
         return dict(local_counts)
@@ -159,7 +159,6 @@ def run_call_distributed(args, extra) -> int:
     import jax
 
     from ..io.bam import BamReader
-    from ..io.vcf import Var
     from ..pipelines.parallel_call import finalize_parallel_output
 
     if args.region:

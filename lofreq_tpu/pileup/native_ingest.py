@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from ..io.bai import BaiIndex, build_bai
+from ..io.bai import BaiIndex
 from ..io.bam import BamReader
 from .engine import PileupConf, ReadRows
 

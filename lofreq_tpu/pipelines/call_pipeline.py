@@ -15,7 +15,6 @@ import numpy as np
 
 from .. import defaults as D
 from ..call.caller import CallStats, VarcallConf, call_vars_batch
-from ..core import multtest as MT
 from ..core.phred import prob_to_phred
 from ..filt.filter import FilterConf, MtcFilter, run_filter
 from ..io.bam import BamReader

@@ -126,8 +126,6 @@ def run_parallel_regions(bam_path, ref_path, vconf_kw, pconf_kw, threads,
 def run_call_parallel(args, extra) -> int:
     """CLI glue for `call-parallel` (mirrors the wrapper's restrictions:
     no -r/--plp-summary-only under the parallel driver)."""
-    from ..io.vcf import Var
-    from .call_pipeline import default_filter_conf
     from ..call.caller import VarcallConf
 
     if args.region:

@@ -8,7 +8,6 @@ import sys
 import numpy as np
 
 from ..pileup.engine import NT4
-from .call_pipeline import run_call
 
 
 def run_plp_summary(bam_path, ref_path, vconf, pconf, region=None, bed=None,
@@ -16,7 +15,7 @@ def run_plp_summary(bam_path, ref_path, vconf, pconf, region=None, bed=None,
     stream = stream or sys.stdout
     from ..io.bam import BamReader
     from ..io.fasta import Fasta
-    from ..pileup.engine import compile_columns, read_passes_filters, rows_from_reads
+    from ..pileup.engine import read_passes_filters
     from .call_pipeline import _window_batches, parse_region
 
     fa = Fasta(ref_path)

@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
-
 from ..io.bam import BamReader
 from ..io.vcf import VcfReader, VcfWriter, add_header_line
 from ..pileup.engine import PileupConf, read_passes_filters
