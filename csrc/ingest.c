@@ -162,7 +162,27 @@ typedef struct {
     int32_t sq_min_bq;   /* DEFAULT_MIN_BQ for count_cigar_ops */
     int32_t tid;         /* -1 = all */
     int64_t reg_beg, reg_end; /* region filter; reg_end<=0 = none */
+    /* sorted ignore positions for source_qual (-S vcf, this chrom);
+     * mismatches/indels at these positions don't count as evidence
+     * (samutils.c:504-556 via var_in_ign_list) */
+    const int64_t *ign_pos;
+    int64_t n_ign;
 } ingest_conf_t;
+
+static int in_ign(const ingest_conf_t *c, int64_t pos)
+{
+    int64_t lo = 0, hi = c->n_ign;
+    if (!c->ign_pos || hi == 0)
+        return 0;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (c->ign_pos[mid] < pos)
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    return lo < c->n_ign && c->ign_pos[lo] == pos;
+}
 
 static int read_kept(const rec_t *r, const ingest_conf_t *c)
 {
@@ -253,9 +273,10 @@ int64_t lfq_ingest_count(const uint8_t *buf, int64_t buflen,
     return 0;
 }
 
-/* source qual for one read (plp.c:427-593 semantics, no ign-list) */
+/* source qual for one read (plp.c:427-593 semantics incl. ign-list) */
 static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
-                           int def_nm_q, int min_bq)
+                           int def_nm_q, int min_bq,
+                           const ingest_conf_t *cf)
 {
     int n = 0, nonmatch = 0;
     int cap = r->l_qseq + r->n_cigar + 1;
@@ -273,6 +294,8 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
                 int mism = (rb != qb) || (op == OPX);
                 if (bq < min_bq)
                     continue;
+                if (mism && in_ign(cf, tpos + j))
+                    continue;  /* known variant: no evidence either way */
                 int q = (def_nm_q >= 0) ? def_nm_q : bq;
                 probs[n++] = pow(10.0, -1.0 * q / 10.0);
                 if (mism)
@@ -281,6 +304,14 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
             tpos += l;
             qpos += l;
         } else if (op == OPI || op == OPD) {
+            /* ins keyed at tpos-1, del at tpos (samutils.c:540-556) */
+            if (in_ign(cf, op == OPI ? tpos - 1 : tpos)) {
+                if (op == OPI)
+                    qpos += l;
+                else
+                    tpos += l;
+                continue;
+            }
             int q = (def_nm_q >= 0) ? def_nm_q : 45 /* INDEL_QUAL_DEFAULT */;
             probs[n++] = pow(10.0, -1.0 * q / 10.0);
             nonmatch++;
@@ -470,7 +501,7 @@ int64_t lfq_ingest_fill(
             sq = (int32_t)aux_int(sqt);
         else if (conf->use_sq)
             sq = source_qual_one(r, ref, ref_len, conf->def_nm_q,
-                                 conf->sq_min_bq);
+                                 conf->sq_min_bq, conf);
         const uint8_t *bi = NULL, *bd = NULL;
         const uint8_t *t;
         if ((t = aux_get(r, "BI")) && *t == 'Z') bi = t + 1;

@@ -117,6 +117,8 @@ def cmd_call(args) -> int:
     if args.ign_vcf:
         ign_pos = {}
         for path in args.ign_vcf.split(","):
+            if not os.path.exists(path):
+                return _err(f"ign-vcf file {path} does not exist")
             with VcfReader(path) as r:
                 for v in r:
                     if bed is not None and not bed.overlap(
@@ -407,8 +409,11 @@ def cmd_somatic(args) -> int:
         threads=args.threads, call_indels=args.call_indels,
         continue_interrupted=args.cont, min_cov=args.min_cov,
         use_orphan=args.use_orphan, baq_off=args.baq_off,
-        do_germline=args.germline,
+        src_qual_on=not args.no_src_qual,
+        ign_vcf=args.ign_vcf, do_germline=args.germline,
     )
+    if args.ign_vcf and args.no_src_qual:
+        return _err("ign-vcf file was provided, but src-qual is off")
     return sc.run()
 
 
@@ -535,6 +540,11 @@ def build_parser():
     p.add_argument("--min-cov", type=int, default=7)
     p.add_argument("--use-orphan", action="store_true")
     p.add_argument("--baq-off", action="store_true")
+    p.add_argument("--no-src-qual", action="store_true")
+    p.add_argument("-S", "--ign-vcf",
+                   help="vcf(s) of known variants to ignore for source "
+                        "quality; the special value 'normal' uses the "
+                        "normal sample's stringent calls")
     p.add_argument("--germline", action="store_true")
     p.add_argument("-l", "--bed")
     p.add_argument("--verbose", action="store_true")

@@ -133,7 +133,7 @@ def run_distributed_call(bam_path, ref_path, vconf_kw, pconf_kw,
 
     for chrom, s, e in mine:
         ls, a, b = _worker((str(bam_path), str(ref_path), chrom, s, e,
-                            vconf_kw, pconf_kw, None))
+                            vconf_kw, pconf_kw, None, None))
         lines.extend(ls)
         n_snv += a
         n_indel += b

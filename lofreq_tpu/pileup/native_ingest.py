@@ -30,6 +30,8 @@ class _IngestConf(ctypes.Structure):
         ("def_nm_q", ctypes.c_int32), ("sq_min_bq", ctypes.c_int32),
         ("tid", ctypes.c_int32), ("reg_beg", ctypes.c_int64),
         ("reg_end", ctypes.c_int64),
+        ("ign_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("n_ign", ctypes.c_int64),
     ]
 
 
@@ -37,10 +39,11 @@ def get_lib():
     return get_native_lib()
 
 
-def _conf_struct(conf: PileupConf, tid: int, beg, end) -> _IngestConf:
+def _conf_struct(conf: PileupConf, tid: int, beg, end,
+                 ign_arr=None) -> _IngestConf:
     from .. import defaults as D
 
-    return _IngestConf(
+    cs = _IngestConf(
         min_mq=conf.min_mq, max_mq=conf.max_mq,
         no_orphan=1 if conf.no_orphan else 0,
         illumina13=1 if conf.illumina13 else 0,
@@ -54,6 +57,10 @@ def _conf_struct(conf: PileupConf, tid: int, beg, end) -> _IngestConf:
         tid=tid, reg_beg=beg if beg is not None else 0,
         reg_end=end if end is not None else 0,
     )
+    if ign_arr is not None and len(ign_arr):
+        cs.ign_pos = ign_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        cs.n_ign = len(ign_arr)
+    return cs
 
 
 def raw_records_for_region(rdr: BamReader, tid, beg, end) -> bytes:
@@ -74,14 +81,21 @@ def raw_records_for_region(rdr: BamReader, tid, beg, end) -> bytes:
 
 def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
                   tid: int, beg=None, end=None,
-                  raw: bytes = None) -> ReadRows:
-    """Run the native ingest for reads overlapping [beg, end) on tid."""
+                  raw: bytes = None, ign_pos=None) -> ReadRows:
+    """Run the native ingest for reads overlapping [beg, end) on tid.
+    ign_pos: sorted np.int64 positions (this chrom) to ignore in the
+    source-qual mismatch count (-S vcf)."""
     lib = get_lib()
     if raw is None:
         raw = raw_records_for_region(rdr, tid, beg, end)
     if not raw:
         return ReadRows.empty()
-    cs = _conf_struct(conf, tid, beg, end)
+    ign_arr = None
+    if ign_pos is not None and len(ign_pos):
+        ign_arr = np.ascontiguousarray(np.asarray(sorted(ign_pos)),
+                                       dtype=np.int64)
+    cs = _conf_struct(conf, tid, beg, end, ign_arr=ign_arr)
+    cs._ign_keepalive = ign_arr
     counts = np.zeros(5, dtype=np.int64)
     buf = np.frombuffer(raw, dtype=np.uint8)
     rc = lib.lfq_ingest_count(

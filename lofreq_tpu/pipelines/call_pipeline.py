@@ -99,7 +99,7 @@ def _window_batches(reads_iter, chrom, ref, pconf: PileupConf,
 
 
 def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
-                           window=WINDOW, vconf=None):
+                           window=WINDOW, vconf=None, ign_pos=None):
     """Yield ColumnBatches via the native ingest engine (csrc/ingest.c)."""
     import numpy as _np
 
@@ -121,9 +121,16 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
 
     ex = ThreadPoolExecutor(1)
 
+    import numpy as _np
+
+    ign_arr = None
+    if ign_pos:
+        ign_arr = _np.asarray(sorted(ign_pos), dtype=_np.int64)
+
     def _submit(w):
         return ex.submit(ingest_region, rdr, pconf, ref, tid,
-                         beg=max(w, lo), end=min(w + window, hi))
+                         beg=max(w, lo), end=min(w + window, hi),
+                         ign_pos=ign_arr)
 
     try:
         fut = _submit(win) if win < hi else None
@@ -175,8 +182,8 @@ def _can_use_native(bam_path, ign_pos, pconf) -> bool:
 
     from ..io.bgzf import is_bgzf
 
-    if ign_pos is not None and pconf.use_sq:
-        return False  # ign-list not supported natively yet
+    # ign-list for source-qual is supported natively (sorted per-chrom
+    # position array, csrc/ingest.c:in_ign)
     try:
         if not is_bgzf(bam_path):
             return False
@@ -237,8 +244,12 @@ def run_call(
         if use_native:
             n_cols = 0
             next_beat = HEARTBEAT_COLS
+            chrom_ign = None
+            if ign_pos is not None and pconf.use_sq:
+                chrom_ign = ign_pos.get(chrom)
             for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
-                                                rstart, rend, vconf=vconf):
+                                                rstart, rend, vconf=vconf,
+                                                ign_pos=chrom_ign):
                 vs = call_vars_batch(batch, vconf, res.stats)
                 res.vars.extend(vs)
                 n_cols += len(batch.positions)
@@ -264,6 +275,9 @@ def run_call(
                     r.mapq = pconf.max_mq
                 yield r
 
+        # per-chrom ignore set (ign_pos is a chrom -> set-of-positions map)
+        chrom_ign_py = ign_pos.get(chrom) if ign_pos else None
+
         def prepared_reads():
             # attach BAQ/IDAQ/SQ tags window-wise for batching
             CHUNK = 2000
@@ -271,10 +285,11 @@ def run_call(
             for r in filtered_reads():
                 chunk.append(r)
                 if len(chunk) >= CHUNK:
-                    yield from _prepare_chunk(chunk, ref, pconf, ign_pos)
+                    yield from _prepare_chunk(chunk, ref, pconf,
+                                              chrom_ign_py)
                     chunk = []
             if chunk:
-                yield from _prepare_chunk(chunk, ref, pconf, ign_pos)
+                yield from _prepare_chunk(chunk, ref, pconf, chrom_ign_py)
 
         for batch in _window_batches(prepared_reads(), chrom, ref, pconf,
                                      rstart, rend):

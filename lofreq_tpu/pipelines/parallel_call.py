@@ -71,7 +71,7 @@ def sort_bins(bins, chrom_order):
 
 def _worker(job):
     (bam_path, ref_path, chrom, start, end, vconf_kw, pconf_kw,
-     bed_path) = job
+     bed_path, ign_pos) = job
     from ..call.caller import VarcallConf
     from ..io.bed import BedIndex
     from ..pileup.engine import PileupConf
@@ -82,19 +82,20 @@ def _worker(job):
     bed = BedIndex.read(bed_path) if bed_path else None
     region = f"{chrom}:{start + 1}-{end}"
     res = run_call(bam_path, ref_path, vconf=vconf, pconf=pconf,
-                   region=region, bed=bed)
+                   region=region, bed=bed, ign_pos=ign_pos)
     return ([v.to_line() for v in res.vars], res.stats.num_snv_tests,
             res.stats.num_indel_tests)
 
 
 def run_parallel_regions(bam_path, ref_path, vconf_kw, pconf_kw, threads,
-                         bed_path=None, pool=None):
-    """Returns (lines-in-order, num_snv_tests, num_indel_tests)."""
+                         bed_path=None, pool=None, ign_pos=None):
+    """Returns (lines-in-order, num_snv_tests, num_indel_tests).
+    ign_pos: chrom -> set of 0-based positions for -S source-qual."""
     bins, chrom_order = bins_from_bamheader(bam_path)
     bins = split_bins(bins, threads)
     bins = sort_bins(bins, chrom_order)
     jobs = [(str(bam_path), str(ref_path), c, s, e, vconf_kw, pconf_kw,
-             bed_path) for c, s, e in bins]
+             bed_path, ign_pos) for c, s, e in bins]
     if threads > 1:
         import os
 
@@ -123,6 +124,22 @@ def run_parallel_regions(bam_path, ref_path, vconf_kw, pconf_kw, threads,
     return lines, n_snv, n_indel
 
 
+def load_ign_vcfs(paths: str):
+    """chrom -> set of positions from a comma-separated vcf list (-S)."""
+    from ..io.vcf import VcfReader
+
+    ign = {}
+    for path in paths.split(","):
+        if not os.path.exists(path):
+            print(f"FATAL: ign-vcf file {path} does not exist",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        with VcfReader(path) as rdr:
+            for v in rdr:
+                ign.setdefault(v.chrom, set()).add(v.pos)
+    return ign
+
+
 def run_call_parallel(args, extra) -> int:
     """CLI glue for `call-parallel` (mirrors the wrapper's restrictions:
     no -r/--plp-summary-only under the parallel driver)."""
@@ -142,9 +159,11 @@ def run_call_parallel(args, extra) -> int:
     vconf_kw = {k: getattr(vconf, k) for k in vconf.__dataclass_fields__}
     pconf_kw = {k: getattr(pconf, k) for k in pconf.__dataclass_fields__
                 if k != "bed"}
+    ign_pos = load_ign_vcfs(args.ign_vcf) if getattr(
+        args, "ign_vcf", None) else None
     lines, n_snv, n_indel = run_parallel_regions(
         args.bam, args.ref, vconf_kw, pconf_kw, args.pp_threads,
-        bed_path=args.bed,
+        bed_path=args.bed, ign_pos=ign_pos,
     )
     return finalize_parallel_output(lines, n_snv, n_indel, args, vconf,
                                     tool="call-parallel")

@@ -38,7 +38,8 @@ class SomaticCaller:
     def __init__(self, tumor_bam, normal_bam, ref, out_prefix, bed=None,
                  dbsnp=None, threads=1, call_indels=False,
                  continue_interrupted=False, min_cov=7, use_orphan=False,
-                 baq_off=False, src_qual_on=True, do_germline=False):
+                 baq_off=False, src_qual_on=True, do_germline=False,
+                 ign_vcf=None):
         self.bam_t = tumor_bam
         self.bam_n = normal_bam
         self.ref = ref
@@ -51,6 +52,10 @@ class SomaticCaller:
         self.use_orphan = use_orphan
         self.baq_off = baq_off
         self.src_qual_on = src_qual_on
+        # -S list for the tumor call's source quality; the special value
+        # "normal" resolves to the normal stringent calls
+        # (lofreq2_somatic.py:818-827)
+        self.ign_vcf = ign_vcf
         self.do_germline = do_germline
         p = out_prefix
         self.vcf_n_rlx = p + "normal_relaxed.vcf.gz"
@@ -120,6 +125,8 @@ class SomaticCaller:
             vconf.min_cov = self.min_cov
             vconf.use_sq = self.src_qual_on
             pconf.use_sq = self.src_qual_on
+            if self.src_qual_on and self.ign_vcf:
+                ign_pos = self._load_ign()
             if self.baq_off:
                 vconf.use_baq = False
                 pconf.use_baq = False
@@ -130,6 +137,9 @@ class SomaticCaller:
             bam = self.bam_t
         if not self.call_indels:
             pconf.collect_indels = False
+        if sample_type != "tumor" or not (self.src_qual_on
+                                          and self.ign_vcf):
+            ign_pos = None
 
         if self.threads >= 2:
             # region-parallel like the reference (lofreq2_somatic.py:291-295)
@@ -142,13 +152,14 @@ class SomaticCaller:
                         for k in pconf.__dataclass_fields__ if k != "bed"}
             lines, n_snv, n_indel = run_parallel_regions(
                 bam, self.ref, vconf_kw, pconf_kw, self.threads,
-                bed_path=self.bed)
+                bed_path=self.bed, ign_pos=ign_pos)
             vars_ = [Var.from_line(l) for l in lines]
             write_vcf(out_vcf, vars_,
                       new_header("lofreq_tpu somatic call_rlx", self.ref))
         else:
             bed = BedIndex.read(self.bed) if self.bed else None
-            res = run_call(bam, self.ref, vconf=vconf, pconf=pconf, bed=bed)
+            res = run_call(bam, self.ref, vconf=vconf, pconf=pconf, bed=bed,
+                           ign_pos=ign_pos)
             write_vcf(out_vcf, res.vars,
                       new_header("lofreq_tpu somatic call_rlx", self.ref))
             n_snv = res.stats.num_snv_tests
@@ -157,6 +168,25 @@ class SomaticCaller:
             fh.write(f"Number of substitution tests performed: {n_snv}\n")
             fh.write(f"Number of indel tests performed: {n_indel}\n")
         return n_snv, n_indel
+
+    def _load_ign(self):
+        """chrom -> positions map from the -S vcf list ("normal" =
+        normal stringent calls, lofreq2_somatic.py:820-826)."""
+        from ..io.vcf import VcfReader
+
+        paths = self.ign_vcf
+        if paths == "normal":
+            paths = ",".join([self.vcf_n_str, self.vcf_indels_n_str])
+        ign = {}
+        for path in paths.split(","):
+            import os as _os
+
+            if not _os.path.exists(path):
+                continue
+            with VcfReader(path) as rdr:
+                for v in rdr:
+                    ign.setdefault(v.chrom, set()).add(v.pos)
+        return ign
 
     def rlx_to_str(self, sample_type, num_tests):
         from ..filt.filter import FilterConf, MtcFilter, run_filter

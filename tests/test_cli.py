@@ -198,6 +198,11 @@ def test_src_qual_with_ign_vcf(sim, tmp_path):
     vb = {(v.pos, v.alt) for v in VcfReader(b)}
     # ign-list can only help recover true variants
     assert va <= vb
+    # and it must actually change the output (ignored mismatches raise
+    # source quals): quals of shared calls differ or new calls appear
+    qa = [(v.pos, v.qual) for v in VcfReader(a)]
+    qb = [(v.pos, v.qual) for v in VcfReader(b)]
+    assert qa != qb, "ign list had no observable effect"
 
 
 def test_uniq_det_lim(sim, tmp_path):

@@ -164,3 +164,35 @@ def test_read_flag_filters(tmp_path):
     batch = build_snv_batch(rows2, rows2.raw_flags, 0, 400, genome, "c",
                             pconf2, VarcallConf(use_baq=False))
     assert int(batch.coverage_plp.max()) == 3
+
+
+def test_native_ign_vcf_source_qual_matches_python(tmp_path):
+    """Native source-qual with an ignore list == Python path (-S vcf +
+    -s): known variant positions contribute no mismatch evidence."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from simulate import simulate
+
+    from lofreq_tpu.call.caller import VarcallConf
+    from lofreq_tpu.pileup.engine import PileupConf
+    from lofreq_tpu.pipelines.call_pipeline import run_call
+
+    sim = simulate(str(tmp_path), genome_len=2500, depth=250, seed=13)
+    # ignore the first half of the truth variants
+    ign = {"sim1": {t[0] for t in sim["truth"][: len(sim["truth"]) // 2]}}
+    vconf = VarcallConf(use_sq=True, use_baq=False, use_idaq=False)
+    pconf = PileupConf(use_sq=True, use_baq=False, use_idaq=False)
+    a = run_call(sim["bam"], sim["fa"], vconf=vconf, pconf=pconf,
+                 ign_pos=ign, native=True)
+    b = run_call(sim["bam"], sim["fa"], vconf=vconf, pconf=pconf,
+                 ign_pos=ign, native=False)
+    la = [(v.chrom, v.pos, v.ref, v.alt, v.qual, v.info) for v in a.vars]
+    lb = [(v.chrom, v.pos, v.ref, v.alt, v.qual, v.info) for v in b.vars]
+    assert la == lb
+    assert a.stats.num_snv_tests == b.stats.num_snv_tests
+    # the ignore list must actually change results vs no list
+    c = run_call(sim["bam"], sim["fa"], vconf=vconf, pconf=pconf,
+                 native=True)
+    lc = [(v.chrom, v.pos, v.ref, v.alt, v.qual, v.info) for v in c.vars]
+    assert la != lc
