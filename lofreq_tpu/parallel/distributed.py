@@ -114,7 +114,7 @@ def run_distributed_call(bam_path, ref_path, vconf_kw, pconf_kw,
 
     from ..pipelines.parallel_call import (
         bins_from_bamheader,
-        run_parallel_regions,
+        make_job,
         sort_bins,
         split_bins,
     )
@@ -132,8 +132,8 @@ def run_distributed_call(bam_path, ref_path, vconf_kw, pconf_kw,
     from ..pipelines.parallel_call import _worker
 
     for chrom, s, e in mine:
-        ls, a, b = _worker((str(bam_path), str(ref_path), chrom, s, e,
-                            vconf_kw, pconf_kw, None, None))
+        ls, a, b = _worker(make_job(bam_path, ref_path, chrom, s, e,
+                                    vconf_kw, pconf_kw))
         lines.extend(ls)
         n_snv += a
         n_indel += b

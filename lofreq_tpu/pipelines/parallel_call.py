@@ -70,21 +70,28 @@ def sort_bins(bins, chrom_order):
 
 
 def _worker(job):
-    (bam_path, ref_path, chrom, start, end, vconf_kw, pconf_kw,
-     bed_path, ign_pos) = job
     from ..call.caller import VarcallConf
     from ..io.bed import BedIndex
     from ..pileup.engine import PileupConf
     from .call_pipeline import run_call
 
-    vconf = VarcallConf(**vconf_kw)
-    pconf = PileupConf(**pconf_kw)
-    bed = BedIndex.read(bed_path) if bed_path else None
-    region = f"{chrom}:{start + 1}-{end}"
-    res = run_call(bam_path, ref_path, vconf=vconf, pconf=pconf,
-                   region=region, bed=bed, ign_pos=ign_pos)
+    vconf = VarcallConf(**job["vconf_kw"])
+    pconf = PileupConf(**job["pconf_kw"])
+    bed = BedIndex.read(job["bed_path"]) if job["bed_path"] else None
+    region = f"{job['chrom']}:{job['start'] + 1}-{job['end']}"
+    res = run_call(job["bam"], job["ref"], vconf=vconf, pconf=pconf,
+                   region=region, bed=bed, ign_pos=job.get("ign_pos"))
     return ([v.to_line() for v in res.vars], res.stats.num_snv_tests,
             res.stats.num_indel_tests)
+
+
+def make_job(bam, ref, chrom, start, end, vconf_kw, pconf_kw,
+             bed_path=None, ign_pos=None):
+    """Worker job record — keyed, so new fields can't be silently
+    dropped by positional callers."""
+    return dict(bam=str(bam), ref=str(ref), chrom=chrom, start=start,
+                end=end, vconf_kw=vconf_kw, pconf_kw=pconf_kw,
+                bed_path=bed_path, ign_pos=ign_pos)
 
 
 def run_parallel_regions(bam_path, ref_path, vconf_kw, pconf_kw, threads,
@@ -94,8 +101,8 @@ def run_parallel_regions(bam_path, ref_path, vconf_kw, pconf_kw, threads,
     bins, chrom_order = bins_from_bamheader(bam_path)
     bins = split_bins(bins, threads)
     bins = sort_bins(bins, chrom_order)
-    jobs = [(str(bam_path), str(ref_path), c, s, e, vconf_kw, pconf_kw,
-             bed_path, ign_pos) for c, s, e in bins]
+    jobs = [make_job(bam_path, ref_path, c, s, e, vconf_kw, pconf_kw,
+                     bed_path, ign_pos) for c, s, e in bins]
     if threads > 1:
         import os
 
