@@ -67,37 +67,25 @@ def host_region_assignment(bins, num_hosts: int, host_id: int):
 
 
 def allreduce_counters(local_counts, mesh=None):
-    """Sum per-host scalar counters across the runtime.
+    """Sum per-PROCESS scalar counters across the runtime (and act as a
+    barrier).  local_counts: dict[str, int].
 
-    Uses a tiny jitted psum over the global mesh; with one process this is
-    an identity.  local_counts: dict[str, int].
-    """
+    Uses multihost_utils.process_allgather — the per-process collective —
+    rather than a device-mesh psum: a psum over replicated inputs computes
+    the mean of per-process values, not the sum (each process feeds its
+    local array as the full replicated global)."""
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
 
-    if jax.process_count() == 1 and len(jax.devices()) == 1:
-        return dict(local_counts)
-    mesh = mesh or global_mesh()
+    del mesh
     keys = sorted(local_counts)
-    vals = jnp.asarray([float(local_counts[k]) for k in keys])
+    vals = np.asarray([float(local_counts[k]) for k in keys])
+    if jax.process_count() == 1:
+        return dict(local_counts)
+    from jax.experimental import multihost_utils
 
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-
-    n = mesh.devices.size
-
-    def red(x):
-        return jax.lax.psum(x, "cols")
-
-    # replicate the host-local values to every device, psum divides by n
-    tiled = jnp.tile(vals[None, :], (n, 1)) / n
-    f = jax.jit(shard_map(red, mesh=mesh, in_specs=P("cols"),
-                          out_specs=P()))
-    out = np.asarray(f(tiled)).reshape(-1)[: len(keys)]
-    return {k: int(round(float(out[i]))) for i, k in enumerate(keys)}
+    gathered = np.asarray(multihost_utils.process_allgather(vals))
+    totals = gathered.reshape(jax.process_count(), -1).sum(axis=0)
+    return {k: int(round(float(totals[i]))) for i, k in enumerate(keys)}
 
 
 def run_distributed_call(bam_path, ref_path, vconf_kw, pconf_kw,
@@ -138,11 +126,16 @@ def run_distributed_call(bam_path, ref_path, vconf_kw, pconf_kw,
         n_snv += a
         n_indel += b
 
-    totals = allreduce_counters({"snv": n_snv, "indel": n_indel})
+    # write the shard BEFORE the counter all-reduce: the blocking
+    # collective then doubles as the barrier that guarantees every
+    # process's shard is on disk when process 0 merges
     shard_path = f"{out_prefix}.shard{pid}.vcf"
-    with open(shard_path, "w") as fh:
+    tmp_path = shard_path + ".part"
+    with open(tmp_path, "w") as fh:
         for l in lines:
             fh.write(l + "\n")
+    os.replace(tmp_path, shard_path)
+    totals = allreduce_counters({"snv": n_snv, "indel": n_indel})
     return dict(shard=shard_path, num_snv_tests=totals["snv"],
                 num_indel_tests=totals["indel"], n_local_vars=len(lines))
 

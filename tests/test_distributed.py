@@ -61,3 +61,47 @@ def test_call_distributed_single_process(tmp_path):
     a = [l for l in open(plain) if not l.startswith("#")]
     b = [l for l in open(dist) if not l.startswith("#")]
     assert a == b
+
+
+def test_call_distributed_two_processes(tmp_path):
+    """Real 2-process jax.distributed run == single-process call (opt-in:
+    spawns subprocesses + a coordinator port)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.environ.get("LOFREQ_TPU_SCALE_TESTS"):
+        import pytest
+
+        pytest.skip("set LOFREQ_TPU_SCALE_TESTS=1 to run")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from simulate import simulate
+
+    sim = simulate(str(tmp_path), genome_len=4000, depth=200, seed=8)
+    out = str(tmp_path / "d2.vcf")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu",
+               LOFREQ_NATIVE_THREADS="1")
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "lofreq_tpu.cli", "call-distributed",
+         "--num-processes", "2", "--process-id", str(pid),
+         "--coordinator", f"127.0.0.1:{port}",
+         "-f", sim["fa"], "-o", out, "-B", "-A", sim["bam"]],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for pid in (0, 1)]
+    for p in procs:
+        assert p.wait(timeout=240) == 0
+    single = str(tmp_path / "s.vcf")
+    from lofreq_tpu.cli import main
+
+    assert main(["call", "-f", sim["fa"], "-o", single, "-B", "-A",
+                 sim["bam"]]) == 0
+    a = [l for l in open(out) if not l.startswith("##")]
+    b = [l for l in open(single) if not l.startswith("##")]
+    assert a == b
