@@ -606,6 +606,16 @@ def build_parser():
 
 
 def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except IOError as e:
+        # all package I/O errors (BamError/BgzfError/FastaError/OSError)
+        # surface as clean FATALs instead of tracebacks
+        print(f"FATAL: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     ap = build_parser()
     args = ap.parse_args(argv)
