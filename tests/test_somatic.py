@@ -112,10 +112,9 @@ def test_somatic_continue(pair, tmp_path):
                  "-f", pair["fa"], "-o", prefix, "--baq-off"]) == 0
     fin = prefix + "somatic_final.snvs.vcf.gz"
     before = open(fin, "rb").read()
-    # rerun without --continue refuses
-    with pytest.raises(FileExistsError):
-        main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
-              "-f", pair["fa"], "-o", prefix, "--baq-off"])
+    # rerun without --continue refuses (clean FATAL, nonzero exit)
+    assert main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
+                 "-f", pair["fa"], "-o", prefix, "--baq-off"]) == 1
     # rerun with --continue reuses everything and leaves outputs unchanged
     assert main(["somatic", "-t", pair["tumor"], "-n", pair["normal"],
                  "-f", pair["fa"], "-o", prefix, "--baq-off",
