@@ -38,18 +38,30 @@ def bench_device(B=65536, D=2000, iters=5):
     from lofreq_tpu.ops.device_call import build_column_call
 
     # the hand-written Pallas DP kernel is ~3x the XLA scan; fall back to
-    # the scan if the remote Mosaic compile is unavailable in this env
+    # the scan if the remote Mosaic compile is unavailable or hangs (the
+    # compile runs in a worker thread with a deadline)
+    from concurrent.futures import ThreadPoolExecutor, TimeoutError as _TO
+
+    args = [jax.device_put(a) for a in make_batch(B, D)]
+
+    def _compile(use_pallas):
+        f = jax.jit(build_column_call(use_baq=True, use_pallas=use_pallas))
+        o = f(*args)
+        _ = int(o["num_tested"])  # compile + full sync via host fetch
+        return f
+
+    fn = None
+    ex = ThreadPoolExecutor(1)
     try:
-        fn = jax.jit(build_column_call(use_baq=True, use_pallas=True))
-        args = make_batch(B, D)
-        args = [jax.device_put(a) for a in args]
-        out = fn(*args)
-        _ = int(out["num_tested"])  # compile + full sync via host fetch
-    except Exception:
-        fn = jax.jit(build_column_call(use_baq=True))
-        args = [jax.device_put(a) for a in make_batch(B, D)]
-        out = fn(*args)
-        _ = int(out["num_tested"])
+        fn = ex.submit(_compile, True).result(timeout=240)
+    except (_TO, Exception):
+        pass
+    finally:
+        ex.shutdown(wait=False)
+    if fn is None:
+        fn = _compile(False)
+    out = fn(*args)
+    _ = int(out["num_tested"])
     times = []
     for _i in range(iters):
         t0 = time.perf_counter()
