@@ -68,6 +68,27 @@ def _report_var(out_vars, target, pos, ref, alt, af, qual, is_indel,
     out_vars.append(v)
 
 
+def grouped_int_median(vals, group, n_groups: int) -> np.ndarray:
+    """Per-group int median matching int_median (utils.c:436-462): even n
+    averages the two middle elements with C double->int truncation; empty
+    groups get -1.  Vectorized: lexsort by (group, val), then index the
+    middle element(s) of each group's sorted slice."""
+    order = np.lexsort((vals, group))
+    vs = vals[order]
+    cnt = np.bincount(group, minlength=n_groups)
+    starts = np.zeros(n_groups, dtype=np.int64)
+    starts[1:] = np.cumsum(cnt)[:-1]
+    med = np.full(n_groups, -1, dtype=np.int64)
+    nz = cnt > 0
+    if len(vs):
+        mid = starts + cnt // 2
+        cap = len(vs) - 1
+        hi_v = vs[np.minimum(mid, cap)]
+        lo_v = np.where(cnt % 2 == 0, vs[np.clip(mid - 1, 0, cap)], hi_v)
+        med[nz] = ((hi_v + lo_v)[nz] / 2.0).astype(np.int64)
+    return med
+
+
 # ---------------------------------------------------------------------------
 # SNVs
 # ---------------------------------------------------------------------------
@@ -98,19 +119,9 @@ def snv_errprobs_for_batch(batch: ColumnBatch, conf: VarcallConf):
 
     bq_eff = bq.copy()
     if conf.def_alt_bq == -1:
-        # median BQ of ref bases per column
-        med = np.zeros(C, dtype=np.int64)
+        # median BQ of ref bases per column (snpcaller.c:363-378)
         ref_rows = not_n & (nt4 == ref_nt4_row)
-        for c in range(C):  # only used with -R -1 (rare); keep simple
-            m = (col_of == c) & ref_rows
-            vals = np.sort(bq[m])
-            n = len(vals)
-            if n == 0:
-                med[c] = -1
-            elif n % 2 == 0:
-                med[c] = int((vals[n // 2] + vals[n // 2 - 1]) / 2.0)
-            else:
-                med[c] = int(vals[n // 2])
+        med = grouped_int_median(bq[ref_rows], col_of[ref_rows], C)
         bq_eff = np.where(is_alt, med[col_of], bq_eff)
     elif conf.def_alt_bq > 0:
         bq_eff = np.where(is_alt, conf.def_alt_bq, bq_eff)

@@ -480,16 +480,10 @@ def get_hrun_array(ref: bytes) -> np.ndarray:
     c_next[:-1] = a[1:]
     # left extension: count of consecutive chars equal to c_next going left
     # from pos inclusive
-    left = np.zeros(L, dtype=np.int64)
-    eq = np.zeros(L, dtype=bool)
     eq = a == c_next
     # left[i] = eq[i] ? left[i-1] + 1 : 0 -- but left chain must compare to
     # the *same* c_next[i]; a run of equal chars ending at i all share value,
-    # so chain only through positions where a[i]==a[i-1] as well.
-    run_left_same = np.zeros(L, dtype=np.int64)  # run of a-equal chars ending at i
-    run_left_same[0] = 1
-    same_prev = np.concatenate([[False], a[1:] == a[:-1]])
-    # length of backward run of identical a values ending at i:
+    # so when eq[i] the whole backward run of identical a values counts:
     run_left_same = np.arange(L) - np.repeat(starts, lens) + 1
     left = np.where(eq, run_left_same, 0)
     hrun = np.where(right > 0, right + left, 1)
