@@ -52,11 +52,10 @@ static inline double q2p_full(int32_t q)
     return pow(10.0, -1.0 * (double)q / 10.0);
 }
 
-static int dbl_asc(const void *a, const void *b)
-{
-    double x = *(const double *)a, y = *(const double *)b;
-    return (x > y) - (x < y);
-}
+/* reference comparator clone (exact_stats.c); err probs are emitted
+ * nt4-grouped and UNSORTED here — the caller sorts exactly once with the
+ * eps comparator, mirroring plp_to_errprobs + qsort (lofreq_call.c:784) */
+int lfq_dbl_cmp_eps(const void *a, const void *b);
 
 typedef struct {
     int32_t min_plp_bq;
@@ -104,7 +103,7 @@ typedef struct {
  * flips to indel consensus when ev > nonevent, and the Python caller
  * re-checks flagged columns exactly. */
 static void process_position(const colctx_t *cx, int64_t p, int64_t ci,
-                             double *probs)
+                             double *probs, uint8_t *tag, double *scratch)
 {
     const colconf_t *cf = cx->cf;
     int64_t n_here = cx->count[p + 1];
@@ -183,6 +182,7 @@ static void process_position(const colctx_t *cx, int64_t p, int64_t ci,
                             if (is_alt && cf->def_alt_jq > 0)
                                 mp = q2p8(cf->def_alt_jq);
                             if (is_alt) acnt[n4]++;
+                            tag[np] = n4;
                             probs[np++] = mp;
                         }
                     }
@@ -208,7 +208,22 @@ static void process_position(const colctx_t *cx, int64_t p, int64_t ci,
             del_ne += dqv;
         }
     }
-    qsort(probs, np, sizeof(double), dbl_asc);
+    /* regroup kept probs by nt4 (stable counting sort), reproducing
+     * plp_to_errprobs's per-nt4 emission order (snpcaller.c:383-400);
+     * within a group, pileup read order is preserved.  NO value sort
+     * here — the caller applies the reference's eps-comparator qsort
+     * (or feeds the DP unsorted, as lofreq_uniq.c:299 does). */
+    {
+        int64_t cnt[4] = {0}, off[4];
+        for (int64_t k = 0; k < np; k++)
+            cnt[tag[k]]++;
+        off[0] = 0;
+        for (int k = 1; k < 4; k++)
+            off[k] = off[k - 1] + cnt[k - 1];
+        for (int64_t k = 0; k < np; k++)
+            scratch[off[tag[k]]++] = probs[k];
+        memcpy(probs, scratch, np * sizeof(double));
+    }
     cx->o_num_bases[ci] = nb;
     cx->o_heads[ci] = heads;
     cx->o_tails[ci] = tails;
@@ -246,13 +261,25 @@ static void *col_worker(void *arg)
     int64_t ci = cx->cols_before[st->p_beg];
     /* probs land in this stripe's row span (kept <= rows) */
     double *probs = cx->o_probs + cx->offset[st->p_beg];
+    int64_t span = cx->offset[st->p_end] - cx->offset[st->p_beg];
+    if (span < 1)
+        span = 1;
+    uint8_t *tag = malloc(span);
+    double *scratch = malloc(span * sizeof(double));
+    if (!tag || !scratch) {
+        free(tag);
+        free(scratch);
+        return (void *)1;
+    }
     for (int64_t p = st->p_beg; p < st->p_end; p++) {
         if (cx->count[p + 1] == 0)
             continue;
-        process_position(cx, p, ci, probs);
+        process_position(cx, p, ci, probs, tag, scratch);
         probs += cx->npcol[ci];
         ci++;
     }
+    free(tag);
+    free(scratch);
     return NULL;
 }
 

@@ -17,7 +17,38 @@
 #include <float.h>
 #include <math.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
+
+/* Reference dbl_cmp clone (utils.c:66-76): doubles within an ABSOLUTE
+ * DBL_EPSILON compare equal, so glibc qsort leaves near-ties in a
+ * pivot-dependent (but deterministic) order.  The DP accumulates in array
+ * order, so this is observable in the last ulps of p-values: err-prob
+ * vectors must be constructed in the reference's nt4-/op-grouped order and
+ * sorted exactly once with this comparator. */
+int lfq_dbl_cmp_eps(const void *a, const void *b)
+{
+    const double da = *(const double *)a;
+    const double db = *(const double *)b;
+    if (fabs(da - db) < DBL_EPSILON)
+        return 0;
+    return da < db ? -1 : da > db ? 1 : 0;
+}
+
+void lfq_sort_errprobs(double *p, int64_t n)
+{
+    qsort(p, (size_t)n, sizeof(double), lfq_dbl_cmp_eps);
+}
+
+/* Sort the first depths[b] entries of each row of a [B x Dmax] matrix
+ * (the padding tail, if any, is left untouched). */
+void lfq_sort_errprobs_batch(double *p, const int64_t *depths,
+                             int64_t B, int64_t Dmax)
+{
+    for (int64_t b = 0; b < B; b++)
+        qsort(p + b * Dmax, (size_t)depths[b], sizeof(double),
+              lfq_dbl_cmp_eps);
+}
 
 #define LOGZERO -1e100
 

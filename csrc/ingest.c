@@ -281,6 +281,11 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
     int n = 0, nonmatch = 0;
     int cap = r->l_qseq + r->n_cigar + 1;
     double *probs = malloc(cap * sizeof(double));
+    /* op category per emitted prob (samutils.h: MATCH/MISMATCH/INS/DEL);
+     * the reference emits err_probs grouped by category (plp.c:486-508)
+     * before the eps-comparator qsort, which is observable in near-tie
+     * ordering */
+    uint8_t *cats = malloc(cap);
     int64_t tpos = r->pos;
     int qpos = 0;
     for (int k = 0; k < r->n_cigar; k++) {
@@ -297,6 +302,7 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
                 if (mism && in_ign(cf, tpos + j))
                     continue;  /* known variant: no evidence either way */
                 int q = (def_nm_q >= 0) ? def_nm_q : bq;
+                cats[n] = mism ? 1 : 0;
                 probs[n++] = pow(10.0, -1.0 * q / 10.0);
                 if (mism)
                     nonmatch++;
@@ -313,6 +319,7 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
                 continue;
             }
             int q = (def_nm_q >= 0) ? def_nm_q : 45 /* INDEL_QUAL_DEFAULT */;
+            cats[n] = (op == OPI) ? 2 : 3;
             probs[n++] = pow(10.0, -1.0 * q / 10.0);
             nonmatch++;
             if (op == OPI)
@@ -333,12 +340,23 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
         sq = (int)(-10.0L * log10l(LDBL_MIN));
     } else {
         nonmatch -= 1;
-        /* sort ascending */
-        int cmp(const void *a, const void *b) {
-            double x = *(const double *)a, y = *(const double *)b;
-            return (x > y) - (x < y);
+        /* regroup by op category (stable), reproducing the reference's
+         * emission order, then the eps-comparator qsort (plp.c:553) */
+        {
+            double *tmp = malloc(n * sizeof(double));
+            int cnt[4] = {0}, off[4];
+            for (int k = 0; k < n; k++)
+                cnt[cats[k]]++;
+            off[0] = 0;
+            for (int k = 1; k < 4; k++)
+                off[k] = off[k - 1] + cnt[k - 1];
+            for (int k = 0; k < n; k++)
+                tmp[off[cats[k]]++] = probs[k];
+            memcpy(probs, tmp, n * sizeof(double));
+            free(tmp);
         }
-        qsort(probs, n, sizeof(double), cmp);
+        extern int lfq_dbl_cmp_eps(const void *a, const void *b);
+        qsort(probs, n, sizeof(double), lfq_dbl_cmp_eps);
         int64_t depth = n, kk = nonmatch, ndone;
         double bonf = 1.0;
         double *state = malloc((nonmatch + 1) * sizeof(double));
@@ -354,6 +372,7 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
             sq = 0;
     }
     free(probs);
+    free(cats);
     return sq;
 }
 

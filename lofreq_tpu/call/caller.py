@@ -148,8 +148,12 @@ def snv_errprobs_for_batch(batch: ColumnBatch, conf: VarcallConf):
     np.add.at(alt_counts5, (col_of[ka], nt4[ka]), 1)
 
     depths = np.bincount(col_of[keep], minlength=C)
-    # keep err probs flat (CSR): packed per chunk later to bound memory
-    order = np.argsort(col_of[keep], kind="stable")
+    # keep err probs flat (CSR), nt4-grouped within each column in the
+    # reference's emission order (plp_to_errprobs iterates A,C,G,T groups,
+    # snpcaller.c:383-400); read order is preserved within a group.  The
+    # value sort happens exactly once downstream with the reference's
+    # eps-comparator qsort (pack_probs) — or not at all (uniq).
+    order = np.argsort((col_of * 5 + nt4)[keep], kind="stable")
     kept_vals = merged[keep][order]
     starts = np.zeros(C + 1, dtype=np.int64)
     starts[1:] = np.cumsum(depths)
@@ -171,14 +175,17 @@ def snv_errprobs_for_batch(batch: ColumnBatch, conf: VarcallConf):
 
 
 def pack_probs(flat_probs, starts, depths, cols):
-    """Pack the selected columns' err probs into [len(cols), Dmax], sorted
-    ascending per row (pad sorts to the end and is masked via depths)."""
+    """Pack the selected columns' err probs into [len(cols), Dmax], each row
+    sorted with the reference's eps-comparator qsort (lofreq_call.c:784 +
+    utils.c dbl_cmp); the 2.0 pad beyond depths[b] is left untouched."""
+    from .. import native
+
     d = depths[cols]
     Dmax = int(d.max()) if len(cols) else 0
     probs = np.full((len(cols), max(Dmax, 1)), 2.0, dtype=np.float64)
     for j, c in enumerate(cols):
         probs[j, : d[j]] = flat_probs[starts[c] : starts[c + 1]]
-    probs.sort(axis=1)
+    native.sort_errprobs_batch(probs, d)
     return probs
 
 
@@ -335,7 +342,12 @@ def _indel_errprobs(neq, events, this_key, conf: VarcallConf, is_ins: bool):
         probs.append(merge_srcq_mapq_baq_and_bq(sqv, mqv, aqv, q))
     if not probs:
         return np.zeros(0)
-    return np.sort(np.concatenate(probs))
+    # group order (non-event quals, then events in insertion order) matches
+    # plp_to_{ins,del}_errprobs; sort = reference eps-comparator qsort
+    # (lofreq_call.c:692,714)
+    from .. import native
+
+    return native.sort_errprobs(np.concatenate(probs))
 
 
 def call_indels_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,

@@ -36,6 +36,10 @@ def get_lib():
             for name in ("lfq_log_vec", "lfq_log1p_vec", "lfq_exp_vec"):
                 getattr(lib, name).argtypes = [_f64, ctypes.c_int64, _f64]
             lib.lfq_phred2prob_vec.argtypes = [_i64, ctypes.c_int64, _f64]
+            lib.lfq_sort_errprobs.argtypes = [_f64, ctypes.c_int64]
+            lib.lfq_sort_errprobs_batch.argtypes = [
+                _f64, _i64, ctypes.c_int64, ctypes.c_int64,
+            ]
             _lib = lib
     return _lib
 
@@ -80,6 +84,32 @@ def tailsum_batch(state, starts, ks):
             B, KP1 - 1, _ptr(out, _f64),
         )
     return out
+
+
+def sort_errprobs(probs):
+    """In-place glibc qsort with the reference's absolute-DBL_EPSILON
+    comparator (utils.c:66-76).  Near-ties keep a pivot-dependent order
+    that np.sort cannot reproduce; the DP accumulates in array order, so
+    this is observable in the last ulps of p-values.  Returns its input
+    (contiguous f64 copy if conversion was needed)."""
+    lib = get_lib()
+    probs = np.ascontiguousarray(probs, dtype=np.float64)
+    if probs.size:
+        lib.lfq_sort_errprobs(_ptr(probs, _f64), probs.size)
+    return probs
+
+
+def sort_errprobs_batch(probs, depths):
+    """Row-wise eps-comparator qsort of the first depths[b] entries of a
+    [B, Dmax] C-contiguous f64 matrix, in place."""
+    lib = get_lib()
+    assert probs.dtype == np.float64 and probs.flags.c_contiguous
+    depths = np.ascontiguousarray(depths, dtype=np.int64)
+    B, Dmax = probs.shape
+    if B:
+        lib.lfq_sort_errprobs_batch(_ptr(probs, _f64), _ptr(depths, _i64),
+                                    B, Dmax)
+    return probs
 
 
 def libm_log(x):

@@ -30,11 +30,13 @@ def _sq_all_match() -> int:
 def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None):
     """Returns (err_quals list, num_non_matches) for one read.
 
-    err_quals are phred ints per counted op; indels use INDEL_QUAL_DEFAULT.
-    ign_pos: set of 0-based reference positions to ignore (mismatches and
-    indel anchors), from the -S ign-vcf list.
+    err_quals are phred ints per counted op, grouped by op category
+    (MATCH, MISMATCH, INS, DEL — the reference emits err_probs per
+    category, plp.c:486-508, before its eps-comparator qsort); indels use
+    INDEL_QUAL_DEFAULT.  ign_pos: set of 0-based reference positions to
+    ignore (mismatches and indel anchors), from the -S ign-vcf list.
     """
-    quals = []
+    cat_quals = ([], [], [], [])  # MATCH, MISMATCH, INS, DEL
     nonmatch = 0
     tpos = read.pos
     qpos = 0
@@ -57,15 +59,18 @@ def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None):
             else:
                 use = ok
             for j in np.nonzero(use)[0]:
-                quals.append(int(bq[j]))
                 if mism[j]:
+                    cat_quals[1].append(int(bq[j]))
                     nonmatch += 1
+                else:
+                    cat_quals[0].append(int(bq[j]))
             tpos += l
             qpos += l
         elif op == CINS or op == CDEL:
             anchor = tpos - 1 if op == CINS else tpos
             if not (ign_pos and anchor in ign_pos):
-                quals.append(D.INDEL_QUAL_DEFAULT)
+                cat_quals[2 if op == CINS else 3].append(
+                    D.INDEL_QUAL_DEFAULT)
                 nonmatch += 1
             if op == CINS:
                 qpos += l
@@ -77,7 +82,7 @@ def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None):
             qpos += l
         elif op == CHARD_CLIP:
             pass
-    return quals, nonmatch
+    return [q for cat in cat_quals for q in cat], nonmatch
 
 
 def compute_source_quals(reads, ref: bytes, def_nm_q: int,
@@ -102,7 +107,11 @@ def compute_source_quals(reads, ref: bytes, def_nm_q: int,
             results[i] = _sq_all_match()
             continue
         pend_idx.append(i)
-        pend_probs.append(np.sort(probs))
+        # reference eps-comparator qsort over category-grouped probs
+        # (plp.c:553) — NOT np.sort: near-tie order is observable
+        from .. import native
+
+        pend_probs.append(native.sort_errprobs(probs))
         pend_k.append(nonmatch)
     if pend_idx:
         Dmax = max(len(p) for p in pend_probs)

@@ -135,7 +135,9 @@ def run_uniq(
             vconf = VarcallConf()
             ep = snv_errprobs_for_batch(col_batch, vconf)
             nep = int(ep["depths"][c])
-            probs = np.sort(ep["flat_probs"][: nep])[None, :]
+            # NO sort: lofreq_uniq.c:299-311 feeds plp_to_errprobs output
+            # (nt4-grouped, unsorted) straight to snpcaller
+            probs = ep["flat_probs"][:nep][None, :].astype(np.float64)
             counts = np.array([[int(af * nep), 0, 0]])
             if counts[0, 0] > 0 and nep:
                 pv = snpcaller_batch(probs, np.array([nep]), counts, 1.0, 0.01)
