@@ -45,8 +45,17 @@ class VarcallConf:
     only_indels: bool = False
     no_indels: bool = True
     approx_threshold_n: int = -1
-    # implementation switches (not in the reference)
-    use_device_screen: bool = False
+    # implementation switches (not in the reference).  None = auto: the
+    # device screen is ON whenever an accelerator backend is present — the
+    # TPU is the default engine, the exact host DP only confirms candidates
+    use_device_screen: bool | None = None
+
+    def device_screen_on(self) -> bool:
+        if self.use_device_screen is None:
+            from ..ops.screen import device_screen_default
+
+            return device_screen_default()
+        return self.use_device_screen
 
 
 @dataclass
@@ -229,12 +238,16 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
     stats.num_snv_tests += D.NUM_NONCONS_BASES * n_test
 
     # chunk the tested columns to bound packed-matrix memory
+    from ..core import stagetimer
+
     pvalues = np.full((n_test, 3), PH.LDBL_MAX, dtype=np.longdouble)
     CHUNK = 4096
     for lo in range(0, n_test, CHUNK):
         hi = min(lo + CHUNK, n_test)
         cols = order_idx[lo:hi]
-        probs = pack_probs(ep["flat_probs"], ep["starts"], ep["depths"], cols)
+        with stagetimer.stage("pack_sort"):
+            probs = pack_probs(ep["flat_probs"], ep["starts"], ep["depths"],
+                               cols)
         pvalues[lo:hi] = _snpcaller_with_screen(
             probs, ep["depths"][cols], ep["alt_counts"][cols],
             running_bonf[lo:hi].astype(np.float64), conf,
@@ -275,6 +288,8 @@ def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf):
     p-value for every column on device; only plausible candidates go through
     the exact native DP.  Disabled -> all columns exact.
     """
+    from ..core import stagetimer
+
     B = probs.shape[0]
     pvalues = np.full((B, 3), PH.LDBL_MAX, dtype=np.longdouble)
     ks = alt_counts.max(axis=1)
@@ -290,16 +305,18 @@ def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf):
             mu = np.where(valid, probs, 0.0).sum(axis=1)
             approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
             run_mask &= ~(deep & (approx * bonf > conf.sig))
-    if conf.use_device_screen and B:
+    if B and conf.device_screen_on():
         from ..ops.screen import screen_candidates
 
-        cand = screen_candidates(probs, depths, ks, bonf, conf.sig)
+        with stagetimer.stage("screen"):
+            cand = screen_candidates(probs, depths, ks, bonf, conf.sig)
         run_mask = run_mask & cand
     idx = np.nonzero(run_mask)[0]
     if len(idx) == 0:
         return pvalues
-    state, _ = pruned_prob_dist_batch(probs[idx], depths[idx], ks[idx],
-                                      bonf[idx], conf.sig)
+    with stagetimer.stage("exact_dp"):
+        state, _ = pruned_prob_dist_batch(probs[idx], depths[idx], ks[idx],
+                                          bonf[idx], conf.sig)
     sub_ks = ks[idx]
     tail = state[np.arange(len(idx)), sub_ks]
     pv_max = _exp_longdouble(tail)
@@ -353,6 +370,14 @@ def _indel_errprobs(neq, events, this_key, conf: VarcallConf, is_ins: bool):
 def call_indels_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                       out_vars: list):
     """call_indels over a batch (lofreq_call.c:618-726)."""
+    from ..core import stagetimer
+
+    with stagetimer.stage("indels"):
+        _call_indels_batch(batch, conf, stats, out_vars)
+
+
+def _call_indels_batch(batch: ColumnBatch, conf: VarcallConf,
+                       stats: CallStats, out_vars: list):
     C = len(batch.positions)
     for c in range(C):
         if batch.ref_nt4[c] == 4:

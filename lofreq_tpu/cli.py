@@ -58,8 +58,14 @@ def add_call_args(p: argparse.ArgumentParser):
     p.add_argument("--plp-summary-only", action="store_true")
     p.add_argument("--no-default-filter", action="store_true")
     p.add_argument("--force-overwrite", action="store_true")
-    p.add_argument("--device-screen", action="store_true",
-                   help="screen columns on the TPU before exact confirmation")
+    p.add_argument("--device-screen", dest="device_screen",
+                   action="store_true", default=None,
+                   help="screen columns on the TPU before exact "
+                        "confirmation (default: on when an accelerator "
+                        "backend is present)")
+    p.add_argument("--no-device-screen", dest="device_screen",
+                   action="store_false",
+                   help="force the all-exact host path")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("bam")
@@ -79,7 +85,7 @@ def confs_from_args(args):
         no_indels=not args.call_indels and not args.only_indels,
         only_indels=args.only_indels,
         approx_threshold_n=args.approx_threshold,
-        use_device_screen=getattr(args, "device_screen", False),
+        use_device_screen=getattr(args, "device_screen", None),
     )
     if args.bonf != "dynamic":
         vconf.bonf_dynamic = False

@@ -85,9 +85,12 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     """Run the native ingest for reads overlapping [beg, end) on tid.
     ign_pos: sorted np.int64 positions (this chrom) to ignore in the
     source-qual mismatch count (-S vcf)."""
+    from ..core import stagetimer
+
     lib = get_lib()
     if raw is None:
-        raw = raw_records_for_region(rdr, tid, beg, end)
+        with stagetimer.stage("ingest.raw"):
+            raw = raw_records_for_region(rdr, tid, beg, end)
     if not raw:
         return ReadRows.empty()
     ign_arr = None
@@ -98,11 +101,12 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     cs._ign_keepalive = ign_arr
     counts = np.zeros(5, dtype=np.int64)
     buf = np.frombuffer(raw, dtype=np.uint8)
-    rc = lib.lfq_ingest_count(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int64(len(raw)), ctypes.byref(cs),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
+    with stagetimer.stage("ingest.count"):
+        rc = lib.lfq_ingest_count(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(raw)), ctypes.byref(cs),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
     if rc != 0:
         raise IOError("native ingest: corrupt BAM record stream")
     n_reads, n_rows, n_ev, ev_seq_total, _seq_total = counts

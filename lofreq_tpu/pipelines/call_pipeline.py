@@ -149,14 +149,19 @@ def _native_window_loop(fut, submit, win, hi, window, lo, fused, rdr, tid,
     from ..pileup.engine import compile_columns
     from ..pileup.fast_columns import build_snv_batch
 
+    from ..core import stagetimer
+
     while win < hi:
         win_e = win + window
-        rows = fut.result()
+        with stagetimer.stage("ingest_wait"):
+            rows = fut.result()
         if win_e < hi:
             fut = submit(win_e)
         if fused and len(rows.pos):
-            batch = build_snv_batch(rows, rows.raw_flags, max(win, lo),
-                                    min(win_e, hi), ref, chrom, pconf, vconf)
+            with stagetimer.stage("columns"):
+                batch = build_snv_batch(rows, rows.raw_flags, max(win, lo),
+                                        min(win_e, hi), ref, chrom, pconf,
+                                        vconf)
             if batch is not None:
                 yield batch
             win = win_e
