@@ -28,8 +28,13 @@ def get_native_lib() -> ctypes.CDLL:
             if not (os.path.exists(out)
                     and os.path.getmtime(out) >= newest):
                 tmp = out + f".tmp{os.getpid()}"
+                # -ffp-contract=off: FMA contraction would change double
+                # rounding and break bit-identity with the reference kernels
+                # (goldens in tests/golden/); -march=native only vectorizes,
+                # which keeps per-lane IEEE semantics.
                 subprocess.run(
-                    ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, *srcs,
+                    ["gcc", "-O3", "-march=native", "-ffp-contract=off",
+                     "-shared", "-fPIC", "-o", tmp, *srcs,
                      "-lm", "-lpthread"],
                     check=True, capture_output=True,
                 )

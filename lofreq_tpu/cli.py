@@ -154,6 +154,10 @@ def cmd_call(args) -> int:
           file=sys.stderr)
     print(f"Number of indel tests performed: {res.stats.num_indel_tests}",
           file=sys.stderr)
+    if args.verbose or args.debug:
+        from .core import stagetimer
+
+        print(f"Stage times (s): {stagetimer.report()}", file=sys.stderr)
     return 0
 
 
