@@ -64,6 +64,10 @@ typedef struct {
     int32_t use_baq, use_mq, use_sq;
     int32_t min_plp_idq;
     int32_t max_depth;   /* cap on reads per column (0 = uncapped) */
+    /* screening deflation: added to every present BAQ before the merge
+     * (device-BAQ mode; raises the BAQ phred = lowers the err prob, the
+     * conservative direction for the candidate screen).  0 = exact. */
+    int32_t baq_bias;
     double mq0_errprob;
 } colconf_t;
 
@@ -159,6 +163,8 @@ static void process_position(const colctx_t *cx, int64_t p, int64_t ci,
                         int32_t mqe = cf->use_mq
                             ? (cx->mq[r] == 255 ? -1 : cx->mq[r]) : -1;
                         int32_t bqe = cf->use_baq ? cx->baq[r] : -1;
+                        if (bqe >= 0 && cf->baq_bias)
+                            bqe += cf->baq_bias;
                         int32_t sqe = cf->use_sq ? cx->sq[r] : -1;
                         /* inline quality merge (same op order as
                          * lfq_merge_quals => bit-identical) */

@@ -167,6 +167,12 @@ typedef struct {
      * (samutils.c:504-556 via var_in_ign_list) */
     const int64_t *ign_pos;
     int64_t n_ign;
+    /* optional precomputed BAQ (device path): sanger-encoded (+33) values
+     * at offsets seq_start[i]+i (same layout as the internal baq_all);
+     * pre_have[i] != 0 marks read i as covered.  A read's lb tag still
+     * wins (tags are never recomputed unless redo_baq). */
+    const uint8_t *pre_baq;
+    const uint8_t *pre_have;
 } ingest_conf_t;
 
 static int in_ign(const ingest_conf_t *c, int64_t pos)
@@ -479,6 +485,11 @@ int64_t lfq_ingest_fill(
                 memcpy(daq_all + o, t + 1, r->l_qseq);
                 have[i] |= 4;
             }
+            if (!(have[i] & 1) && conf->pre_have && conf->pre_have[i]) {
+                /* device-computed BAQ spliced in (lb tag wins above) */
+                memcpy(baq_all + o, conf->pre_baq + o, r->l_qseq);
+                have[i] |= 1;
+            }
             int has_ins = 0, has_del = 0;
             for (int k = 0; k < r->n_cigar; k++) {
                 int op = r->cigar[k] & 0xf;
@@ -654,4 +665,99 @@ int64_t lfq_ingest_fill(
     out_counts[2] = nev;
     out_counts[3] = evseq_off;
     return 0;
+}
+
+/* Dominant query length among kept reads (mode; ties -> longer).
+ * Used to pick the device-BAQ length bucket. */
+int32_t lfq_mode_read_len(const uint8_t *buf, int64_t buflen,
+                          const ingest_conf_t *conf)
+{
+    enum { MAXL = 4096 };
+    static _Thread_local int64_t hist[MAXL];
+    memset(hist, 0, sizeof(hist));
+    int64_t off = 0;
+    while (off + 4 <= buflen) {
+        int32_t sz = *(int32_t *)(buf + off);
+        off += 4;
+        if (off + sz > buflen)
+            return -1;
+        rec_t r;
+        if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf) &&
+            !(conf->reg_end > 0 &&
+              (r.pos >= conf->reg_end || rec_endpos(&r) <= conf->reg_beg))) {
+            if (r.l_qseq > 0 && r.l_qseq < MAXL)
+                hist[r.l_qseq]++;
+        }
+        off += sz;
+    }
+    int32_t best = 0;
+    for (int32_t l = 1; l < MAXL; l++)
+        if (hist[l] >= hist[best])
+            best = l;
+    return hist[best] ? best : 0;
+}
+
+/* Extract device-BAQ-eligible reads.  Iterates kept reads in the same
+ * order as lfq_ingest_fill.  o_elig[i]=1 for reads the device BAQ kernel
+ * can handle: a single M/=/X cigar op spanning l_qseq == L, BAQ wanted
+ * (no reusable lb tag).  For those, base codes (A0 C1 G2 T3 else 4) and
+ * illumina13-rescaled quals are written at stride L, and [o_xb, o_xe) is
+ * the glocal reference window (realn_one's band arithmetic, baq.c:422-438,
+ * for the M-only case: pos-3 .. pos+L+3, clamped to the contig).
+ * Returns the kept-read count. */
+int64_t lfq_extract_reads(
+    const uint8_t *buf, int64_t buflen, const ingest_conf_t *conf,
+    int64_t ref_len, int32_t L,
+    uint8_t *o_elig, int64_t *o_pos, int32_t *o_lq,
+    uint8_t *o_codes, uint8_t *o_quals, int64_t *o_xb, int64_t *o_xe)
+{
+    static const uint8_t code16[16] = {4, 0, 1, 4, 2, 4, 4, 4,
+                                       3, 4, 4, 4, 4, 4, 4, 4};
+    int64_t off = 0, i = 0;
+    while (off + 4 <= buflen) {
+        int32_t sz = *(int32_t *)(buf + off);
+        off += 4;
+        if (off + sz > buflen)
+            return -1;
+        rec_t r;
+        if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf) &&
+            !(conf->reg_end > 0 &&
+              (r.pos >= conf->reg_end || rec_endpos(&r) <= conf->reg_beg))) {
+            o_pos[i] = r.pos;
+            o_lq[i] = r.l_qseq;
+            int elig = 0;
+            if (conf->use_baq && r.l_qseq == L && r.n_cigar == 1) {
+                int op = r.cigar[0] & 0xf, l = r.cigar[0] >> 4;
+                if ((op == OPM || op == OPEQ || op == OPX) && l == L) {
+                    const uint8_t *t;
+                    elig = conf->redo_baq ||
+                           !((t = aux_get(&r, "lb")) && *t == 'Z');
+                }
+            }
+            o_elig[i] = (uint8_t)elig;
+            if (elig) {
+                uint8_t *cd = o_codes + (int64_t)i * L;
+                uint8_t *qd = o_quals + (int64_t)i * L;
+                for (int j = 0; j < L; j++) {
+                    cd[j] = code16[(r.seq4[j >> 1] >>
+                                    ((~j & 1) << 2)) & 0xf];
+                    uint8_t q = r.qual[j];
+                    if (conf->illumina13)
+                        q = q > 31 ? q - 31 : 0;
+                    qd[j] = q;
+                }
+                int64_t xb = r.pos - 3, xe = r.pos + L + 3;
+                if (xb < 0) xb = 0;
+                if (xe > ref_len) xe = ref_len;
+                o_xb[i] = xb;
+                o_xe[i] = xe;
+            } else {
+                o_xb[i] = 0;
+                o_xe[i] = 0;
+            }
+            i++;
+        }
+        off += sz;
+    }
+    return i;
 }

@@ -49,6 +49,14 @@ class VarcallConf:
     # device screen is ON whenever an accelerator backend is present — the
     # TPU is the default engine, the exact host DP only confirms candidates
     use_device_screen: bool | None = None
+    # device BAQ: the read-rescoring HMM runs on device in f32 as a
+    # *screening* signal; candidate columns are re-scored with the exact C
+    # BAQ before emission, so the VCF is identical to the all-exact path.
+    # None = auto (on when the device screen is on and the configuration
+    # is coverable); baq_screen_bias is the per-base phred deflation the
+    # screening merge applies to approximate BAQ values.
+    use_device_baq: bool | None = None
+    baq_screen_bias: int = 0
 
     def device_screen_on(self) -> bool:
         if self.use_device_screen is None:
@@ -56,6 +64,25 @@ class VarcallConf:
 
             return device_screen_default()
         return self.use_device_screen
+
+    def device_baq_on(self, pconf) -> bool:
+        """Device-BAQ screening mode: requires the fused SNV-only column
+        path, default joint-qual filters (so the tested-column set and
+        dynamic Bonferroni sequence are BAQ-independent), BAQ in use, and
+        a usable device screen (the screen is what keeps the exact
+        confirmation set small)."""
+        if self.use_device_baq is False:
+            return False
+        from ..pileup.fast_columns import supports_fused
+
+        ok = (pconf.use_baq and self.no_indels and not self.only_indels
+              and self.min_jq == 0 and self.min_alt_jq == 0
+              and supports_fused(self))
+        if not ok:
+            return False
+        if self.use_device_baq:
+            return True
+        return self.device_screen_on()
 
 
 @dataclass
@@ -199,8 +226,14 @@ def pack_probs(flat_probs, starts, depths, cols):
 
 
 def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
-                    out_vars: list):
-    """call_snvs over a ColumnBatch (lofreq_call.c:735-879)."""
+                    out_vars: list, screen_ctx: list = None):
+    """call_snvs over a ColumnBatch (lofreq_call.c:735-879).
+
+    screen_ctx: when given (device-BAQ mode), run the screening pass only —
+    test counting and the dynamic-Bonferroni sequence advance exactly as in
+    the exact pass (both are BAQ-independent), but instead of emitting,
+    candidate columns are appended to screen_ctx as (position, bonf) for
+    exact confirmation (confirm_snv_candidates)."""
     C = len(batch.positions)
     if C == 0:
         return
@@ -215,6 +248,10 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
 
     ep = getattr(batch, "ep", None)
     if ep is None:
+        if screen_ctx is not None:
+            raise RuntimeError(
+                "device-BAQ screening requires the fused column path "
+                "(its ep carries the deflated screening merge)")
         ep = snv_errprobs_for_batch(batch, conf)
     got_alt = ep["alt_counts"].sum(axis=1) > 0
     test = gate & got_alt
@@ -240,6 +277,28 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
     # chunk the tested columns to bound packed-matrix memory
     from ..core import stagetimer
 
+    if screen_ctx is not None:
+        # device-BAQ screening pass: probs in `ep` were merged with the
+        # deflated (baq_screen_bias) approximate BAQ, a lower bound on the
+        # exact per-base err prob -> the screened tail is a lower bound on
+        # the exact p-value, so discards are safe.  Candidates are recorded
+        # (position, running bonf) and re-scored exactly later; nothing is
+        # emitted here.
+        CHUNK = 4096
+        for lo in range(0, n_test, CHUNK):
+            hi = min(lo + CHUNK, n_test)
+            cols = order_idx[lo:hi]
+            with stagetimer.stage("pack_sort"):
+                probs = pack_probs(ep["flat_probs"], ep["starts"],
+                                   ep["depths"], cols)
+            cand = _screen_mask(
+                probs, ep["depths"][cols], ep["alt_counts"][cols],
+                running_bonf[lo:hi].astype(np.float64), conf)
+            for j in np.nonzero(cand)[0]:
+                screen_ctx.append((int(batch.positions[cols[j]]),
+                                   int(running_bonf[lo + j])))
+        return
+
     pvalues = np.full((n_test, 3), PH.LDBL_MAX, dtype=np.longdouble)
     CHUNK = 4096
     for lo in range(0, n_test, CHUNK):
@@ -253,13 +312,17 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
             running_bonf[lo:hi].astype(np.float64), conf,
         )
 
-    # report
+    _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf)
+
+
+def _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf):
+    """Significance gate + VCF record construction (lofreq_call.c:820-877)."""
     sig = conf.sig
     err_state = np.errstate(over="ignore")  # LDBL_MAX * bonf -> inf is fine
     with err_state:
-        sig_mask = pvalues * running_bonf[:, None].astype(np.longdouble) < sig
+        sig_mask = pvalues * np.asarray(running_bonf)[:, None].astype(
+            np.longdouble) < sig
     for j, c in enumerate(order_idx):
-        bonf = running_bonf[j]
         for i in range(D.NUM_NONCONS_BASES):
             alt_b = int(ep["alt_nt"][c, i])
             pv = pvalues[j, i]
@@ -330,6 +393,99 @@ def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf):
         ts = probvec_tailsum_batch(state[sel], counts[sel], sub_ks[sel])
         pvalues[idx[sel], i] = _exp_longdouble(ts)
     return pvalues
+
+
+def _screen_mask(probs, depths, alt_counts, bonf, conf: VarcallConf):
+    """The candidate filter of _snpcaller_with_screen without the exact DP:
+    True = column could be significant and needs exact confirmation.
+    With deflated (lower-bound) probs both filters only ever discard
+    columns whose exact p-value is guaranteed insignificant."""
+    B = probs.shape[0]
+    ks = alt_counts.max(axis=1)
+    run_mask = ks > 0
+    if conf.approx_threshold_n > 0 and B:
+        from scipy.stats import poisson
+
+        deep = depths > conf.approx_threshold_n
+        if np.any(deep):
+            valid = probs <= 1.0
+            mu = np.where(valid, probs, 0.0).sum(axis=1)
+            approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
+            run_mask &= ~(deep & (approx * bonf > conf.sig))
+    if B and conf.device_screen_on():
+        from ..ops.screen import screen_candidates
+
+        from ..core import stagetimer
+
+        with stagetimer.stage("screen"):
+            cand = screen_candidates(probs, depths, ks, bonf, conf.sig)
+        run_mask = run_mask & cand
+    return run_mask
+
+
+def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
+                           pconf, conf: VarcallConf, cands: list,
+                           ign_pos=None) -> list:
+    """Exact re-scoring of screened candidate columns (device-BAQ mode).
+
+    cands: [(position, running_bonf)] collected by the screening pass.
+    Candidate clusters are re-ingested with the exact C BAQ (csrc/baq.c),
+    columns rebuilt with zero bias, and the exact DP run at each column's
+    recorded dynamic-Bonferroni factor — reproducing precisely what the
+    all-exact path computes for these columns.  Returns emitted Vars in
+    position order."""
+    import copy
+
+    from ..pileup.fast_columns import build_snv_batch
+    from ..pileup.native_ingest import ingest_region
+
+    out: list = []
+    if not cands:
+        return out
+    vc = copy.copy(conf)
+    vc.baq_screen_bias = 0
+    vc.use_device_screen = False  # tiny batches: exact DP directly
+    cands = sorted(set(cands))
+    GAP = 2000
+    clusters = [[cands[0]]]
+    for c in cands[1:]:
+        if c[0] - clusters[-1][-1][0] > GAP:
+            clusters.append([c])
+        else:
+            clusters[-1].append(c)
+    ign_arr = None
+    if ign_pos:
+        ign_arr = np.asarray(sorted(ign_pos), dtype=np.int64)
+    for cl in clusters:
+        lo, hi = cl[0][0], cl[-1][0] + 1
+        rows = ingest_region(rdr, pconf, ref, tid, beg=lo, end=hi,
+                             ign_pos=ign_arr)
+        if not len(rows.pos):
+            continue
+        batch = build_snv_batch(rows, rows.raw_flags, lo, hi, ref, chrom,
+                                pconf, vc)
+        if batch is None:
+            continue
+        pos_to_col = {int(p): i for i, p in enumerate(batch.positions)}
+        cols, bonfs = [], []
+        for p, bf in cl:
+            ci = pos_to_col.get(p)
+            if ci is not None:
+                cols.append(ci)
+                bonfs.append(bf)
+        if not cols:
+            continue
+        cols = np.asarray(cols)
+        bonfs = np.asarray(bonfs, dtype=np.int64)
+        ep = batch.ep
+        probs = pack_probs(ep["flat_probs"], ep["starts"], ep["depths"],
+                           cols)
+        pv = _snpcaller_with_screen(
+            probs, ep["depths"][cols], ep["alt_counts"][cols],
+            bonfs.astype(np.float64), vc)
+        _emit_snvs(out, batch, ep, cols, pv, bonfs, vc)
+    out.sort(key=lambda v: v.pos)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -452,7 +608,7 @@ def _call_indels_batch(batch: ColumnBatch, conf: VarcallConf,
 
 
 def call_vars_batch(batch: ColumnBatch, conf: VarcallConf,
-                    stats: CallStats) -> list:
+                    stats: CallStats, screen_ctx: list = None) -> list:
     """call_vars over a batch: indels first, then SNVs (lofreq_call.c:887)."""
     out: list[Var] = []
     if batch is None:
@@ -460,7 +616,7 @@ def call_vars_batch(batch: ColumnBatch, conf: VarcallConf,
     if not conf.no_indels:
         call_indels_batch(batch, conf, stats, out)
     if not conf.only_indels:
-        call_snvs_batch(batch, conf, stats, out)
+        call_snvs_batch(batch, conf, stats, out, screen_ctx=screen_ctx)
     # emit per position: indels then SNVs at the same position, both already
     # position-sorted within their group -> stable sort by position keeps
     # the reference's per-column ordering (indels before SNVs).

@@ -66,6 +66,14 @@ def add_call_args(p: argparse.ArgumentParser):
     p.add_argument("--no-device-screen", dest="device_screen",
                    action="store_false",
                    help="force the all-exact host path")
+    p.add_argument("--device-baq", dest="device_baq", action="store_true",
+                   default=None,
+                   help="read rescoring (BAQ) on the TPU with exact host "
+                        "confirmation of candidate columns (default: on "
+                        "when the device screen is on)")
+    p.add_argument("--no-device-baq", dest="device_baq",
+                   action="store_false",
+                   help="force the exact host BAQ kernel everywhere")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("bam")
@@ -86,6 +94,7 @@ def confs_from_args(args):
         only_indels=args.only_indels,
         approx_threshold_n=args.approx_threshold,
         use_device_screen=getattr(args, "device_screen", None),
+        use_device_baq=getattr(args, "device_baq", None),
     )
     if args.bonf != "dynamic":
         vconf.bonf_dynamic = False

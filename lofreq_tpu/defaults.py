@@ -51,3 +51,13 @@ MAX_INDELSIZE = 256
 
 # strand-bias compound filter ratio (reference: lofreq_filter.c:57)
 ALT_STRAND_RATIO = 0.85
+
+# device-BAQ screening deflation (phred added to approximate BAQ values in
+# the screening merge; lowers every err prob => the screened tail is a
+# lower bound on the exact p-value, so screen discards are safe as long as
+# |device BAQ - exact BAQ| <= this).  Empirically the f32 device kernel
+# stays within 2 phred of the exact C kernel (tests/test_baq_jax.py); 6
+# leaves a 3x safety band.
+import os as _os
+
+BAQ_SCREEN_DELTA = int(_os.environ.get("LOFREQ_TPU_BAQ_DELTA", "6"))

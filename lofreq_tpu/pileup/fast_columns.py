@@ -27,6 +27,7 @@ class _ColConf(ctypes.Structure):
         ("use_sq", ctypes.c_int32),
         ("min_plp_idq", ctypes.c_int32),
         ("max_depth", ctypes.c_int32),
+        ("baq_bias", ctypes.c_int32),
         ("mq0_errprob", ctypes.c_double),
     ]
 
@@ -62,6 +63,7 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
         min_plp_idq=pconf.min_plp_idq,
         max_depth=pconf.max_depth if pconf.max_depth
         and pconf.max_depth < (1 << 30) else 0,
+        baq_bias=getattr(vconf, "baq_screen_bias", 0),
         mq0_errprob=D.MQ0_ERRPROB,
     )
     W = win_len

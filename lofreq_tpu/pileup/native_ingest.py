@@ -32,6 +32,8 @@ class _IngestConf(ctypes.Structure):
         ("reg_end", ctypes.c_int64),
         ("ign_pos", ctypes.POINTER(ctypes.c_int64)),
         ("n_ign", ctypes.c_int64),
+        ("pre_baq", ctypes.POINTER(ctypes.c_uint8)),
+        ("pre_have", ctypes.POINTER(ctypes.c_uint8)),
     ]
 
 
@@ -79,12 +81,69 @@ def raw_records_for_region(rdr: BamReader, tid, beg, end) -> bytes:
     return rdr._bgzf.read()
 
 
+def _splice_device_baq(lib, buf, raw, cs, ref, n_reads, device_baq):
+    """Run the device BAQ for eligible reads of this window and attach the
+    precomputed buffer to the ingest conf.  Returns keepalive arrays (or
+    None when nothing was spliced; the C BAQ then covers everything)."""
+    from ..core import stagetimer
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    bufp = buf.ctypes.data_as(u8p)
+    with stagetimer.stage("ingest.extract"):
+        L = lib.lfq_mode_read_len(bufp, ctypes.c_int64(len(raw)),
+                                  ctypes.byref(cs))
+        if L < 16:
+            return None
+        elig = np.zeros(n_reads, np.uint8)
+        pos = np.empty(n_reads, np.int64)
+        lq = np.empty(n_reads, np.int32)
+        codes = np.empty((n_reads, L), np.uint8)
+        quals = np.empty((n_reads, L), np.uint8)
+        xb = np.empty(n_reads, np.int64)
+        xe = np.empty(n_reads, np.int64)
+        lib.lfq_extract_reads.restype = ctypes.c_int64
+        k = lib.lfq_extract_reads(
+            bufp, ctypes.c_int64(len(raw)), ctypes.byref(cs),
+            ctypes.c_int64(len(ref)), ctypes.c_int32(L),
+            elig.ctypes.data_as(u8p),
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            codes.ctypes.data_as(u8p), quals.ctypes.data_as(u8p),
+            xb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            xe.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if k != n_reads:
+            raise IOError("native ingest: extract/count read mismatch")
+    idx = np.nonzero(elig)[0]
+    if not len(idx):
+        return None
+    with stagetimer.stage("ingest.device_baq"):
+        baq = device_baq.run(ref, codes[idx], quals[idx], pos[idx],
+                             xb[idx], xe[idx])
+    if baq is None:  # device unavailable/degraded: C BAQ fallback
+        return None
+    seq_start = np.zeros(n_reads + 1, np.int64)
+    np.cumsum(lq, out=seq_start[1:])
+    pre = np.zeros(int(seq_start[-1]) + n_reads + 1, np.uint8)
+    offs = seq_start[idx] + idx
+    flat = (offs[:, None] + np.arange(L)).ravel()
+    pre[flat] = (baq.astype(np.uint8) + 33).ravel()
+    pre_have = np.zeros(n_reads, np.uint8)
+    pre_have[idx] = 1
+    cs.pre_baq = pre.ctypes.data_as(u8p)
+    cs.pre_have = pre_have.ctypes.data_as(u8p)
+    return (pre, pre_have)
+
+
 def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
                   tid: int, beg=None, end=None,
-                  raw: bytes = None, ign_pos=None) -> ReadRows:
+                  raw: bytes = None, ign_pos=None,
+                  device_baq=None) -> ReadRows:
     """Run the native ingest for reads overlapping [beg, end) on tid.
     ign_pos: sorted np.int64 positions (this chrom) to ignore in the
-    source-qual mismatch count (-S vcf)."""
+    source-qual mismatch count (-S vcf).  device_baq: optional device BAQ
+    runner (ops.device_baq); eligible reads get device-computed BAQ spliced
+    into the fill, the C kernel covering the rest."""
     from ..core import stagetimer
 
     lib = get_lib()
@@ -110,6 +169,9 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     if rc != 0:
         raise IOError("native ingest: corrupt BAM record stream")
     n_reads, n_rows, n_ev, ev_seq_total, _seq_total = counts
+    if device_baq is not None and conf.use_baq and n_reads > 0:
+        cs._pre_keepalive = _splice_device_baq(lib, buf, raw, cs, ref,
+                                               int(n_reads), device_baq)
     if n_rows == 0:
         return ReadRows.empty()
 

@@ -99,7 +99,8 @@ def _window_batches(reads_iter, chrom, ref, pconf: PileupConf,
 
 
 def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
-                           window=WINDOW, vconf=None, ign_pos=None):
+                           window=WINDOW, vconf=None, ign_pos=None,
+                           device_baq=None):
     """Yield ColumnBatches via the native ingest engine (csrc/ingest.c)."""
     import numpy as _np
 
@@ -130,7 +131,7 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     def _submit(w):
         return ex.submit(ingest_region, rdr, pconf, ref, tid,
                          beg=max(w, lo), end=min(w + window, hi),
-                         ign_pos=ign_arr)
+                         ign_pos=ign_arr, device_baq=device_baq)
 
     try:
         fut = _submit(win) if win < hi else None
@@ -252,10 +253,21 @@ def run_call(
             chrom_ign = None
             if ign_pos is not None and pconf.use_sq:
                 chrom_ign = ign_pos.get(chrom)
+            device_baq = None
+            screen_ctx = None
+            if vconf.device_baq_on(pconf) and pconf.bed is None:
+                from ..defaults import BAQ_SCREEN_DELTA
+                from ..ops.device_baq import DeviceBaqRunner
+
+                device_baq = DeviceBaqRunner(ext_baq=pconf.ext_baq)
+                vconf.baq_screen_bias = BAQ_SCREEN_DELTA
+                screen_ctx = []
             for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
                                                 rstart, rend, vconf=vconf,
-                                                ign_pos=chrom_ign):
-                vs = call_vars_batch(batch, vconf, res.stats)
+                                                ign_pos=chrom_ign,
+                                                device_baq=device_baq):
+                vs = call_vars_batch(batch, vconf, res.stats,
+                                     screen_ctx=screen_ctx)
                 res.vars.extend(vs)
                 n_cols += len(batch.positions)
                 if n_cols >= next_beat:
@@ -265,6 +277,14 @@ def run_call(
                     next_beat += HEARTBEAT_COLS
                 if progress:
                     progress(chrom, int(batch.positions[-1]))
+            if screen_ctx is not None:
+                from ..call.caller import confirm_snv_candidates
+                from ..core import stagetimer
+
+                with stagetimer.stage("confirm"):
+                    res.vars.extend(confirm_snv_candidates(
+                        rdr, tid, chrom, ref, pconf, vconf, screen_ctx,
+                        ign_pos=chrom_ign))
             continue
 
         if region:
