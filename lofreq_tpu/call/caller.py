@@ -492,27 +492,48 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
 # indels
 # ---------------------------------------------------------------------------
 
-def _indel_errprobs(neq, events, this_key, conf: VarcallConf, is_ins: bool):
-    """plp_to_{ins,del}_errprobs (snpcaller.c:501-623)."""
-    probs = []
+def _indel_errprob_groups(neq, events, conf: VarcallConf):
+    """Per-group merged err probs for one column's ins (or del) side
+    (plp_to_{ins,del}_errprobs, snpcaller.c:501-623).
+
+    Returns (neq_probs, {key: (probs_without_aq, probs_with_aq)}).  Each
+    event's test vector is neq_probs + [with_aq if g is the tested event
+    else without_aq for every event g] in insertion order — merging each
+    group once instead of once per tested event."""
     q_ne, mq_ne, _sq_ne = neq if neq else ([], [], [])
     q_arr = np.asarray(q_ne, dtype=np.int64)
     mq_arr = np.asarray(mq_ne, dtype=np.int64)
     if len(q_arr):
         mqv = mq_arr if conf.use_mq else np.full_like(mq_arr, -1)
-        merged = merge_srcq_mapq_baq_and_bq(
+        neq_probs = merge_srcq_mapq_baq_and_bq(
             np.full_like(q_arr, -1), mqv, np.full_like(q_arr, -1), q_arr
         )
-        probs.append(merged)
+    else:
+        neq_probs = np.zeros(0)
+    ev_probs = {}
     for key, ev in (events or {}).items():
         q = np.asarray(ev.quals, dtype=np.int64)
         aq = np.asarray(ev.aln_quals, dtype=np.int64)
         mq = np.asarray(ev.map_quals, dtype=np.int64)
         sq = np.asarray(ev.source_quals, dtype=np.int64)
-        aqv = aq if (conf.use_idaq and key == this_key) else np.full_like(q, -1)
         mqv = np.where(mq == 255, -1, mq) if conf.use_mq else np.full_like(q, -1)
         sqv = sq if conf.use_sq else np.full_like(q, -1)
-        probs.append(merge_srcq_mapq_baq_and_bq(sqv, mqv, aqv, q))
+        noaq = merge_srcq_mapq_baq_and_bq(sqv, mqv, np.full_like(q, -1), q)
+        withaq = merge_srcq_mapq_baq_and_bq(sqv, mqv, aq, q) \
+            if conf.use_idaq else noaq
+        ev_probs[key] = (noaq, withaq)
+    return neq_probs, ev_probs
+
+
+def _indel_errprobs(neq, events, this_key, conf: VarcallConf, is_ins: bool,
+                    groups=None):
+    """One event's sorted err-prob vector (snpcaller.c:501-623)."""
+    neq_probs, ev_probs = groups if groups is not None \
+        else _indel_errprob_groups(neq, events, conf)
+    probs = [neq_probs] if len(neq_probs) else []
+    for key in (events or {}):
+        noaq, withaq = ev_probs[key]
+        probs.append(withaq if key == this_key else noaq)
     if not probs:
         return np.zeros(0)
     # group order (non-event quals, then events in insertion order) matches
@@ -534,7 +555,14 @@ def call_indels_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
 
 def _call_indels_batch(batch: ColumnBatch, conf: VarcallConf,
                        stats: CallStats, out_vars: list):
+    """Two passes over the batch (vs the reference's per-event snpcaller
+    calls, lofreq_call.c:618-726): pass 1 walks columns/events in reference
+    order building each event's sorted err-prob vector and its dynamic
+    Bonferroni factor; pass 2 packs all events into one [E, Dmax] matrix
+    and runs a single screened batch DP, then emits in the same order."""
     C = len(batch.positions)
+    pend_probs: list = []   # per-event sorted err-prob vectors
+    pend_meta: list = []    # (c, key, is_ins, ev, bonf)
     for c in range(C):
         if batch.ref_nt4[c] == 4:
             continue
@@ -564,47 +592,65 @@ def _call_indels_batch(batch: ColumnBatch, conf: VarcallConf,
             count_gate = batch.num_ins[c] if is_ins else batch.num_dels[c]
             if not count_gate:
                 continue
+            neq = batch.ins_neq_at(c) if is_ins else batch.del_neq_at(c)
+            groups = _indel_errprob_groups(neq, events, conf)
             for key, ev in events.items():
                 if len(key) == 1 and key in ign_nt:
                     continue
-                probs = _indel_errprobs(
-                    batch.ins_neq_at(c) if is_ins else batch.del_neq_at(c),
-                    events, key, conf, is_ins,
-                )
+                probs = _indel_errprobs(neq, events, key, conf, is_ins,
+                                        groups=groups)
                 if conf.bonf_dynamic:
                     conf.bonf_indel += 1
                 stats.num_indel_tests += 1
-                bonf = conf.bonf_indel
-                pvalues = _snpcaller_with_screen(
-                    probs[None, :], np.array([len(probs)]),
-                    np.array([[ev.count, 0, 0]]),
-                    np.array([float(bonf)]), conf,
-                )
-                pv = pvalues[0, 0]
-                with np.errstate(over="ignore"):
-                    is_sig = pv * np.longdouble(bonf) < conf.sig
-                if is_sig:
-                    if not batch.has_indel_aqs[c]:
-                        stats.indel_calls_wo_idaq += 1
-                    refbase = NT4[batch.ref_nt4[c]]
-                    if is_ins:
-                        ref_s, alt_s = refbase, refbase + key
-                        dp4 = (int(batch.non_ins_fw_rv[c, 0]),
-                               int(batch.non_ins_fw_rv[c, 1]),
-                               ev.fw_rv[0], ev.fw_rv[1])
-                    else:
-                        ref_s, alt_s = refbase + key, refbase
-                        dp4 = (int(batch.non_del_fw_rv[c, 0]),
-                               int(batch.non_del_fw_rv[c, 1]),
-                               ev.fw_rv[0], ev.fw_rv[1])
-                    af = np.float32(ev.count) / np.float32(
-                        batch.coverage_plp[c] - batch.num_tails[c])
-                    _report_var(
-                        out_vars, batch.target, batch.positions[c],
-                        ref_s, alt_s, af, PH.prob_to_phred(pv), 1, 0, dp4,
-                        int(batch.coverage_plp[c] - batch.num_tails[c]),
-                        int(batch.hrun[c]), 0,
-                    )
+                pend_probs.append(probs)
+                pend_meta.append((c, key, is_ins, ev, conf.bonf_indel))
+
+    E = len(pend_meta)
+    if E == 0:
+        return
+    # pass 2: one screened batch DP over all pending events, chunked to
+    # bound the packed-matrix footprint
+    CHUNK = 4096
+    pvals = np.empty(E, dtype=np.longdouble)
+    for lo in range(0, E, CHUNK):
+        hi = min(lo + CHUNK, E)
+        depths = np.array([len(p) for p in pend_probs[lo:hi]],
+                          dtype=np.int64)
+        Dmax = max(int(depths.max()), 1)
+        probs = np.full((hi - lo, Dmax), 2.0, dtype=np.float64)
+        for j, p in enumerate(pend_probs[lo:hi]):
+            probs[j, : len(p)] = p
+        alt_counts = np.zeros((hi - lo, 3), dtype=np.int64)
+        alt_counts[:, 0] = [m[3].count for m in pend_meta[lo:hi]]
+        bonfs = np.array([float(m[4]) for m in pend_meta[lo:hi]])
+        pvals[lo:hi] = _snpcaller_with_screen(
+            probs, depths, alt_counts, bonfs, conf)[:, 0]
+
+    for (c, key, is_ins, ev, bonf), pv in zip(pend_meta, pvals):
+        with np.errstate(over="ignore"):
+            is_sig = pv * np.longdouble(bonf) < conf.sig
+        if is_sig:
+            if not batch.has_indel_aqs[c]:
+                stats.indel_calls_wo_idaq += 1
+            refbase = NT4[batch.ref_nt4[c]]
+            if is_ins:
+                ref_s, alt_s = refbase, refbase + key
+                dp4 = (int(batch.non_ins_fw_rv[c, 0]),
+                       int(batch.non_ins_fw_rv[c, 1]),
+                       ev.fw_rv[0], ev.fw_rv[1])
+            else:
+                ref_s, alt_s = refbase + key, refbase
+                dp4 = (int(batch.non_del_fw_rv[c, 0]),
+                       int(batch.non_del_fw_rv[c, 1]),
+                       ev.fw_rv[0], ev.fw_rv[1])
+            af = np.float32(ev.count) / np.float32(
+                batch.coverage_plp[c] - batch.num_tails[c])
+            _report_var(
+                out_vars, batch.target, batch.positions[c],
+                ref_s, alt_s, af, PH.prob_to_phred(pv), 1, 0, dp4,
+                int(batch.coverage_plp[c] - batch.num_tails[c]),
+                int(batch.hrun[c]), 0,
+            )
 
 
 def call_vars_batch(batch: ColumnBatch, conf: VarcallConf,

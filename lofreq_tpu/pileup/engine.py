@@ -492,6 +492,28 @@ def get_hrun_array(ref: bytes) -> np.ndarray:
     return hrun
 
 
+def hrun_at_positions(ref: bytes, positions) -> np.ndarray:
+    """get_hrun_array values at selected positions only — O(run length)
+    per position instead of O(genome), for the sparse fused-path attach
+    (plp.c:753-787 semantics, same as the vectorized version above)."""
+    a = ref
+    L = len(a)
+    out = np.ones(len(positions), dtype=np.int64)
+    for k, p in enumerate(positions):
+        p = int(p)
+        if p + 1 >= L:
+            continue
+        b = a[p + 1]
+        i = p + 1
+        while i < L and a[i] == b:
+            i += 1
+        j = p
+        while j >= 0 and a[j] == b:
+            j -= 1
+        out[k] = i - 1 - j
+    return out
+
+
 def compile_columns(
     rows: ReadRows, conf: PileupConf, ref: bytes, target: str
 ) -> ColumnBatch:
@@ -612,13 +634,20 @@ def compile_columns(
     return batch
 
 
-def _collect_indels(batch, rows, f, col_of_row, conf, ref):
-    """Per-column indel bookkeeping (plp.c:1017-1272)."""
+def _collect_indels(batch, rows, f, col_of_row, conf, ref,
+                    counts_done=False):
+    """Per-column indel bookkeeping (plp.c:1017-1272).
+
+    counts_done: the scalar per-column counters (num_ins/num_dels/
+    num_non_indels/num_ign_indels) were already filled by the fused native
+    builder; only the event maps, non-event CSR pools, fw/rv splits and
+    consensus-indel decisions are (re)built here."""
     C = len(batch.positions)
     idq_ok = (f["iq"] >= conf.min_plp_idq) & (f["dq"] >= conf.min_plp_idq)
-    has_indel_evt = (f["indel"] != 0) | f["is_del"]
-    ign = ~idq_ok & has_indel_evt
-    np.add.at(batch.num_ign_indels, col_of_row[ign], 1)
+    if not counts_done:
+        has_indel_evt = (f["indel"] != 0) | f["is_del"]
+        ign = ~idq_ok & has_indel_evt
+        np.add.at(batch.num_ign_indels, col_of_row[ign], 1)
 
     process = idq_ok
     is_ins_row = process & (f["indel"] > 0)
@@ -628,9 +657,10 @@ def _collect_indels(batch, rows, f, col_of_row, conf, ref):
     # !is_del guard), contributing non-indel quals at deleted positions.
     is_none_row = process & (f["indel"] == 0)
 
-    np.add.at(batch.num_ins, col_of_row[is_ins_row], 1)
-    np.add.at(batch.num_dels, col_of_row[is_del_row], 1)
-    np.add.at(batch.num_non_indels, col_of_row[is_none_row], 1)
+    if not counts_done:
+        np.add.at(batch.num_ins, col_of_row[is_ins_row], 1)
+        np.add.at(batch.num_dels, col_of_row[is_del_row], 1)
+        np.add.at(batch.num_non_indels, col_of_row[is_none_row], 1)
 
     # non-event contributions: reads with an *insertion* contribute their dq
     # to the non-del pool and vice versa; non-indel reads contribute both.

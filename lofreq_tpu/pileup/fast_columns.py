@@ -33,9 +33,10 @@ class _ColConf(ctypes.Structure):
 
 
 def supports_fused(vconf) -> bool:
-    """The fused path covers the SNV-only configuration (no per-event indel
-    pools) and the non-median def_alt_bq modes."""
-    return vconf.no_indels and vconf.def_alt_bq != -1
+    """The fused path covers all non-median def_alt_bq modes; in indel
+    mode the per-event pools are attached sparsely (event columns only,
+    _attach_indels) on top of the native column sweep."""
+    return vconf.def_alt_bq != -1
 
 
 def _i64p(a):
@@ -121,11 +122,14 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
 
     # consensus-indel gate: ev-sum > ne-sum is a conservative trigger (the
     # sum over all events bounds the max single event); re-check flagged
-    # columns exactly using the sparse event rows
+    # columns exactly using the sparse event rows.  In indel mode the
+    # attach below recomputes cons_indel exactly from the event maps, so
+    # the approximate recheck is skipped.
     cons_indel = [None] * C
     flag_ins = out["ins_ev"][:C] > out["ins_ne"][:C]
     flag_del = out["del_ev"][:C] > out["del_ne"][:C]
-    flagged = np.nonzero(flag_ins | flag_del)[0]
+    flagged = np.nonzero(flag_ins | flag_del)[0] \
+        if not pconf.collect_indels else np.zeros(0, np.int64)
     if len(flagged):
         flag_pos = set(out["positions"][flagged].tolist())
         ev_rows = np.nonzero((rows.indel != 0)
@@ -202,4 +206,37 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
         alt_counts=out["alt_cnt"][: C * 5].reshape(C, 5)[rowsC, alt_nt],
         alt_raw_counts=out["alt_raw"][: C * 5].reshape(C, 5)[rowsC, alt_nt],
     )
+    if pconf.collect_indels:
+        _attach_indels(batch, rows, pconf, ref)
     return batch
+
+
+def _attach_indels(batch, rows, pconf: PileupConf, ref: bytes):
+    """Sparse per-event indel attach for the fused path: the native sweep
+    already produced the scalar counters (num_ins/num_dels/num_non/num_ign)
+    for every column; the event maps, non-event CSR qual pools, fw/rv
+    splits, exact consensus-indel decisions and hrun are only needed at
+    columns that actually carry an indel event (plp.c:1017-1272), typically
+    a tiny fraction — so this stays O(event rows), not O(all rows)."""
+    from .engine import _collect_indels, hrun_at_positions
+
+    ev_cols = np.nonzero((batch.num_ins > 0) | (batch.num_dels > 0))[0]
+    if not len(ev_cols):
+        return
+    ev_pos = batch.positions[ev_cols]
+    idx = np.nonzero(np.isin(rows.pos, ev_pos))[0]
+    # stable sort by position: within a column, pileup read order is
+    # preserved (same order the native counting sort visits rows)
+    idx = idx[np.argsort(rows.pos[idx], kind="stable")]
+    ci = ev_cols[np.searchsorted(ev_pos, rows.pos[idx])]
+    md = pconf.max_depth
+    if md and md < (1 << 30):
+        # bam_mplp_set_maxcnt semantics: first max_depth rows per column
+        rank = np.arange(len(ci)) - np.searchsorted(ci, ci)
+        keep = rank < md
+        idx, ci = idx[keep], ci[keep]
+    f = {k: getattr(rows, k)[idx] for k in (
+        "iq", "dq", "indel", "is_del", "strand", "mq", "sq", "iaq", "daq",
+        "has_ai", "has_ad", "event_id")}
+    _collect_indels(batch, rows, f, ci, pconf, ref, counts_done=True)
+    batch.hrun[ev_cols] = hrun_at_positions(ref, ev_pos)
