@@ -15,9 +15,11 @@
 
 #include <float.h>
 #include <math.h>
+#include <pthread.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 
 /* from baq.c */
 void lfq_baq_batch(
@@ -382,6 +384,230 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
     return sq;
 }
 
+/* ---- row expansion (pass 2 inner loop) -------------------------------- */
+
+static void fill16(int16_t *p, int64_t n, int16_t v)
+{
+    for (int64_t j = 0; j < n; j++)
+        p[j] = v;
+}
+
+static void fill32(int32_t *p, int64_t n, int32_t v)
+{
+    for (int64_t j = 0; j < n; j++)
+        p[j] = v;
+}
+
+static void fill64(int64_t *p, int64_t n, int64_t v)
+{
+    for (int64_t j = 0; j < n; j++)
+        p[j] = v;
+}
+
+static void fill_iota64(int64_t *p, int64_t n, int64_t x0)
+{
+    for (int64_t j = 0; j < n; j++)
+        p[j] = x0 + j;
+}
+
+static uint8_t CODE256[256];
+static pthread_once_t code256_once = PTHREAD_ONCE_INIT;
+static void code256_init(void)
+{
+    memset(CODE256, 4, sizeof(CODE256));
+    CODE256['A'] = 0;
+    CODE256['C'] = 1;
+    CODE256['G'] = 2;
+    CODE256['T'] = 3;
+}
+
+typedef struct {
+    const rec_t *recs;
+    const char *seqs;
+    const uint8_t *quals;
+    const int64_t *seq_start;
+    const uint8_t *baq_all, *iaq_all, *daq_all, *have;
+    const int64_t *row_off, *ev_off, *evs_off;
+    const ingest_conf_t *conf;
+    const char *ref;
+    int64_t ref_len;
+    int64_t *o_pos;
+    uint8_t *o_nt4;
+    int16_t *o_bq, *o_baq, *o_mq;
+    int32_t *o_sq;
+    uint8_t *o_flags;
+    int32_t *o_indel;
+    int16_t *o_iq, *o_dq, *o_iaq, *o_daq;
+    int64_t *o_event_id;
+    uint8_t *o_ev_isins;
+    int64_t *o_ev_seq_start;
+    uint8_t *o_ev_seq;
+} expand_ctx_t;
+
+static void expand_read(const expand_ctx_t *cx, int64_t i)
+{
+    const rec_t *r = &cx->recs[i];
+    const ingest_conf_t *conf = cx->conf;
+    int64_t s0 = cx->seq_start[i];
+    int64_t tago = s0 + i;
+    int strand = (r->flag & XFREVERSE) ? 1 : 0;
+    int16_t mq = r->mapq > conf->max_mq ? conf->max_mq : r->mapq;
+    int32_t sq = -1;
+    const uint8_t *sqt = aux_get(r, "sq");
+    if (sqt)
+        sq = (int32_t)aux_int(sqt);
+    else if (conf->use_sq)
+        sq = source_qual_one(r, cx->ref, cx->ref_len, conf->def_nm_q,
+                             conf->sq_min_bq, conf);
+    const uint8_t *bi = NULL, *bd = NULL;
+    const uint8_t *t;
+    if ((t = aux_get(r, "BI")) && *t == 'Z') bi = t + 1;
+    if ((t = aux_get(r, "BD")) && *t == 'Z') bd = t + 1;
+    int have = cx->have[i];
+    uint8_t flbase = (uint8_t)((strand ? 16 : 0) | ((have & 2) ? 32 : 0) |
+                               ((have & 4) ? 64 : 0));
+
+    int64_t row = cx->row_off[i], row0 = row;
+    int64_t nev = cx->ev_off[i];
+    int64_t evseq_off = cx->evs_off[i];
+    int64_t x = r->pos;
+    int y = 0;
+    int prev_aligned = 0;
+    for (int k = 0; k < r->n_cigar; k++) {
+        int op = r->cigar[k] & 0xf;
+        int64_t l = r->cigar[k] >> 4;
+        if (op == OPM || op == OPEQ || op == OPX) {
+            fill_iota64(cx->o_pos + row, l, x);
+            const char *sp = cx->seqs + s0 + y;
+            uint8_t *ntp = cx->o_nt4 + row;
+            for (int64_t j = 0; j < l; j++)
+                ntp[j] = CODE256[(uint8_t)sp[j]];
+            const uint8_t *qp = cx->quals + s0 + y;
+            int16_t *bqp = cx->o_bq + row;
+            for (int64_t j = 0; j < l; j++)
+                bqp[j] = qp[j];
+            if (have & 1) {
+                const uint8_t *bp = cx->baq_all + tago + y;
+                int16_t *bap = cx->o_baq + row;
+                for (int64_t j = 0; j < l; j++)
+                    bap[j] = (int16_t)bp[j] - 33;
+            } else {
+                fill16(cx->o_baq + row, l, -1);
+            }
+            fill16(cx->o_mq + row, l, mq);
+            fill32(cx->o_sq + row, l, sq);
+            memset(cx->o_flags + row, flbase, l);
+            fill32(cx->o_indel + row, l, 0);
+            if (bi) {
+                int16_t *iqp = cx->o_iq + row;
+                for (int64_t j = 0; j < l; j++)
+                    iqp[j] = (int16_t)bi[y + j] - 33;
+            } else {
+                fill16(cx->o_iq + row, l, 0);
+            }
+            if (bd) {
+                int16_t *dqp = cx->o_dq + row;
+                for (int64_t j = 0; j < l; j++)
+                    dqp[j] = (int16_t)bd[y + j] - 33;
+            } else {
+                fill16(cx->o_dq + row, l, 0);
+            }
+            fill16(cx->o_iaq + row, l, -1);
+            fill16(cx->o_daq + row, l, -1);
+            fill64(cx->o_event_id + row, l, -1);
+            row += l;
+            x += l;
+            y += l;
+            prev_aligned = 1;
+        } else if (op == OPI) {
+            if (prev_aligned && row > row0) {
+                cx->o_indel[row - 1] = (int32_t)l;
+                cx->o_event_id[row - 1] = nev;
+                cx->o_iaq[row - 1] = (have & 2)
+                    ? (int16_t)cx->iaq_all[tago + (y - 1)] - 33 : -1;
+                cx->o_ev_isins[nev] = 1;
+                cx->o_ev_seq_start[nev] = evseq_off;
+                memcpy(cx->o_ev_seq + evseq_off, cx->seqs + s0 + y,
+                       (size_t)l);
+                evseq_off += l;
+                nev++;
+            }
+            y += l;
+            prev_aligned = 0;
+        } else if (op == OPD || op == OPN) {
+            if (op == OPD && prev_aligned && row > row0) {
+                cx->o_indel[row - 1] = (int32_t)(-l);
+                cx->o_event_id[row - 1] = nev;
+                cx->o_daq[row - 1] = (have & 4)
+                    ? (int16_t)cx->daq_all[tago + (y - 1)] - 33 : -1;
+                cx->o_ev_isins[nev] = 0;
+                cx->o_ev_seq_start[nev] = evseq_off;
+                nev++;
+            }
+            int64_t qpd = y > 0 ? y - 1 : 0;
+            uint8_t fl = (op == OPD) ? (uint8_t)(1 | flbase)
+                                     : (uint8_t)(2 | (strand ? 16 : 0));
+            fill_iota64(cx->o_pos + row, l, x);
+            memset(cx->o_nt4 + row, 4, l);
+            fill16(cx->o_bq + row, l, cx->quals[s0 + qpd]);
+            fill16(cx->o_baq + row, l, -1);
+            fill16(cx->o_mq + row, l, mq);
+            fill32(cx->o_sq + row, l, sq);
+            memset(cx->o_flags + row, fl, l);
+            fill32(cx->o_indel + row, l, 0);
+            fill16(cx->o_iq + row, l, bi ? (int16_t)bi[qpd] - 33 : 0);
+            fill16(cx->o_dq + row, l, bd ? (int16_t)bd[qpd] - 33 : 0);
+            fill16(cx->o_iaq + row, l, -1);
+            fill16(cx->o_daq + row, l, -1);
+            fill64(cx->o_event_id + row, l, -1);
+            row += l;
+            x += l;
+            prev_aligned = 0;
+        } else if (op == OPS) {
+            y += l;
+            prev_aligned = 0;
+        } else {
+            prev_aligned = 0;
+        }
+    }
+    if (row > row0) {
+        cx->o_flags[row0] |= 4;      /* is_head */
+        cx->o_flags[row - 1] |= 8;   /* is_tail */
+    }
+}
+
+static void expand_range(const expand_ctx_t *cx, int64_t i0, int64_t i1)
+{
+    for (int64_t i = i0; i < i1; i++)
+        expand_read(cx, i);
+}
+
+typedef struct {
+    const expand_ctx_t *cx;
+    int64_t i0, i1;
+} expand_job_t;
+
+static void *expand_worker(void *arg)
+{
+    expand_job_t *j = arg;
+    expand_range(j->cx, j->i0, j->i1);
+    return NULL;
+}
+
+/* same knob as the BAQ/column stripes (LOFREQ_NATIVE_THREADS) */
+static int ingest_threads(void)
+{
+    const char *e = getenv("LOFREQ_NATIVE_THREADS");
+    if (e && *e) {
+        int n = atoi(e);
+        return n < 1 ? 1 : (n > 64 ? 64 : n);
+    }
+    long n = sysconf(_SC_NPROCESSORS_ONLN);
+    if (n < 1)
+        n = 1;
+    return n > 8 ? 8 : (int)n;
+}
+
 /* Pass 2: fill row arrays.  All outputs preallocated by the caller using
  * the pass-1 counts.  Row field arrays have length n_rows; event arrays
  * n_events; ev_seq buffer ev_seq_total bytes.
@@ -517,145 +743,65 @@ int64_t lfq_ingest_fill(
         free(flags);
     }
 
-    /* expand rows */
-    int64_t row = 0, nev = 0, evseq_off = 0;
+    /* expand rows: per-read output offsets (prefix sums of count_read),
+     * then striped pthread workers.  Each field is written in its own
+     * tight per-run loop — one interleaved 13-stream store loop exhausts
+     * the CPU's line-fill buffers (measured 15-25x slower than this
+     * split form on 96M rows). */
+    pthread_once(&code256_once, code256_init);
+    int64_t *row_off = malloc((nreads + 1) * sizeof(int64_t));
+    int64_t *ev_off = malloc((nreads + 1) * sizeof(int64_t));
+    int64_t *evs_off = malloc((nreads + 1) * sizeof(int64_t));
+    row_off[0] = ev_off[0] = evs_off[0] = 0;
     for (int64_t i = 0; i < nreads; i++) {
-        rec_t *r = &recs[i];
-        int64_t s0 = seq_start[i];
-        int64_t tago = s0 + i;
-        int strand = (r->flag & XFREVERSE) ? 1 : 0;
-        int16_t mq = r->mapq > conf->max_mq ? conf->max_mq : r->mapq;
-        int32_t sq = -1;
-        const uint8_t *sqt = aux_get(r, "sq");
-        if (sqt)
-            sq = (int32_t)aux_int(sqt);
-        else if (conf->use_sq)
-            sq = source_qual_one(r, ref, ref_len, conf->def_nm_q,
-                                 conf->sq_min_bq, conf);
-        const uint8_t *bi = NULL, *bd = NULL;
-        const uint8_t *t;
-        if ((t = aux_get(r, "BI")) && *t == 'Z') bi = t + 1;
-        if ((t = aux_get(r, "BD")) && *t == 'Z') bd = t + 1;
-
-        int64_t x = r->pos;
-        int y = 0;
-        int prev_aligned = 0;
-        int64_t row0 = row;
-        for (int k = 0; k < r->n_cigar; k++) {
-            int op = r->cigar[k] & 0xf, l = r->cigar[k] >> 4;
-            if (op == OPM || op == OPEQ || op == OPX) {
-                for (int j = 0; j < l; j++) {
-                    o_pos[row] = x + j;
-                    int qp = y + j;
-                    char qc = seqs[s0 + qp];
-                    uint8_t nt4;
-                    switch (qc) {
-                    case 'A': nt4 = 0; break;
-                    case 'C': nt4 = 1; break;
-                    case 'G': nt4 = 2; break;
-                    case 'T': nt4 = 3; break;
-                    default: nt4 = 4; break;
-                    }
-                    o_nt4[row] = nt4;
-                    o_bq[row] = quals[s0 + qp];
-                    o_baq[row] = (have[i] & 1) ? (int16_t)baq_all[tago + qp] - 33
-                                               : -1;
-                    o_mq[row] = mq;
-                    o_sq[row] = sq;
-                    o_flags[row] = (strand ? 16 : 0) |
-                                   ((have[i] & 2) ? 32 : 0) |
-                                   ((have[i] & 4) ? 64 : 0);
-                    o_indel[row] = 0;
-                    o_iq[row] = bi ? (int16_t)bi[qp] - 33 : 0;
-                    o_dq[row] = bd ? (int16_t)bd[qp] - 33 : 0;
-                    o_iaq[row] = -1;
-                    o_daq[row] = -1;
-                    o_event_id[row] = -1;
-                    row++;
-                }
-                x += l;
-                y += l;
-                prev_aligned = 1;
-            } else if (op == OPI) {
-                if (prev_aligned && row > row0) {
-                    o_indel[row - 1] = l;
-                    o_event_id[row - 1] = nev;
-                    o_iaq[row - 1] = (have[i] & 2)
-                        ? (int16_t)iaq_all[tago + (y - 1)] - 33 : -1;
-                    o_ev_isins[nev] = 1;
-                    o_ev_seq_start[nev] = evseq_off;
-                    for (int j = 0; j < l; j++)
-                        o_ev_seq[evseq_off++] = seqs[s0 + y + j];
-                    nev++;
-                    o_ev_seq_start[nev] = evseq_off;
-                }
-                y += l;
-                prev_aligned = 0;
-            } else if (op == OPD) {
-                if (prev_aligned && row > row0) {
-                    o_indel[row - 1] = -l;
-                    o_event_id[row - 1] = nev;
-                    o_daq[row - 1] = (have[i] & 4)
-                        ? (int16_t)daq_all[tago + (y - 1)] - 33 : -1;
-                    o_ev_isins[nev] = 0;
-                    o_ev_seq_start[nev] = evseq_off;
-                    nev++;
-                    o_ev_seq_start[nev] = evseq_off;
-                }
-                int qp = y > 0 ? y - 1 : 0;
-                for (int j = 0; j < l; j++) {
-                    o_pos[row] = x + j;
-                    o_nt4[row] = 4;
-                    o_bq[row] = quals[s0 + qp];
-                    o_baq[row] = -1;
-                    o_mq[row] = mq;
-                    o_sq[row] = sq;
-                    o_flags[row] = 1 | (strand ? 16 : 0) |
-                                   ((have[i] & 2) ? 32 : 0) |
-                                   ((have[i] & 4) ? 64 : 0);
-                    o_indel[row] = 0;
-                    o_iq[row] = bi ? (int16_t)bi[qp] - 33 : 0;
-                    o_dq[row] = bd ? (int16_t)bd[qp] - 33 : 0;
-                    o_iaq[row] = -1;
-                    o_daq[row] = -1;
-                    o_event_id[row] = -1;
-                    row++;
-                }
-                x += l;
-                prev_aligned = 0;
-            } else if (op == OPN) {
-                int qp = y > 0 ? y - 1 : 0;
-                for (int j = 0; j < l; j++) {
-                    o_pos[row] = x + j;
-                    o_nt4[row] = 4;
-                    o_bq[row] = quals[s0 + qp];
-                    o_baq[row] = -1;
-                    o_mq[row] = mq;
-                    o_sq[row] = sq;
-                    o_flags[row] = 2 | (strand ? 16 : 0);
-                    o_indel[row] = 0;
-                    o_iq[row] = bi ? (int16_t)bi[qp] - 33 : 0;
-                    o_dq[row] = bd ? (int16_t)bd[qp] - 33 : 0;
-                    o_iaq[row] = -1;
-                    o_daq[row] = -1;
-                    o_event_id[row] = -1;
-                    row++;
-                }
-                x += l;
-                prev_aligned = 0;
-            } else if (op == OPS) {
-                y += l;
-                prev_aligned = 0;
-            } else {
-                prev_aligned = 0;
-            }
-        }
-        if (row > row0) {
-            o_flags[row0] |= 4;      /* is_head */
-            o_flags[row - 1] |= 8;   /* is_tail */
-        }
+        int64_t nr = 0, ne = 0, nb = 0;
+        count_read(&recs[i], &nr, &ne, &nb);
+        row_off[i + 1] = row_off[i] + nr;
+        ev_off[i + 1] = ev_off[i] + ne;
+        evs_off[i + 1] = evs_off[i] + nb;
     }
 
+    expand_ctx_t cx = {
+        .recs = recs, .seqs = seqs, .quals = quals,
+        .seq_start = seq_start, .baq_all = baq_all, .iaq_all = iaq_all,
+        .daq_all = daq_all, .have = have,
+        .row_off = row_off, .ev_off = ev_off, .evs_off = evs_off,
+        .conf = conf, .ref = ref, .ref_len = ref_len,
+        .o_pos = o_pos, .o_nt4 = o_nt4, .o_bq = o_bq, .o_baq = o_baq,
+        .o_mq = o_mq, .o_sq = o_sq, .o_flags = o_flags,
+        .o_indel = o_indel, .o_iq = o_iq, .o_dq = o_dq, .o_iaq = o_iaq,
+        .o_daq = o_daq, .o_event_id = o_event_id,
+        .o_ev_isins = o_ev_isins, .o_ev_seq_start = o_ev_seq_start,
+        .o_ev_seq = o_ev_seq,
+    };
+    int nth = ingest_threads();
+    if ((int64_t)nth > nreads)
+        nth = nreads > 0 ? (int)nreads : 1;
+    if (nth <= 1) {
+        expand_range(&cx, 0, nreads);
+    } else {
+        pthread_t tids[64];
+        expand_job_t jobs[64];
+        int started[64];
+        for (int t = 0; t < nth; t++) {
+            jobs[t].cx = &cx;
+            jobs[t].i0 = nreads * t / nth;
+            jobs[t].i1 = nreads * (t + 1) / nth;
+            started[t] = pthread_create(&tids[t], NULL, expand_worker,
+                                        &jobs[t]) == 0;
+            if (!started[t])
+                expand_range(&cx, jobs[t].i0, jobs[t].i1);
+        }
+        for (int t = 0; t < nth; t++)
+            if (started[t])
+                pthread_join(tids[t], NULL);
+    }
+    int64_t row = row_off[nreads];
+    int64_t nev = ev_off[nreads];
+    int64_t evseq_off = evs_off[nreads];
+    o_ev_seq_start[nev] = evseq_off;
+
+    free(row_off); free(ev_off); free(evs_off);
     free(recs);
     free(seqs); free(quals); free(seq_start); free(cigar_start);
     free(read_pos); free(cigars);

@@ -82,7 +82,11 @@ class VarcallConf:
             return False
         if self.use_device_baq:
             return True
-        return self.device_screen_on()
+        if not self.device_screen_on():
+            return False
+        from ..ops.device_baq import device_baq_worthwhile
+
+        return device_baq_worthwhile()
 
 
 @dataclass
@@ -210,10 +214,14 @@ def snv_errprobs_for_batch(batch: ColumnBatch, conf: VarcallConf):
     )
 
 
-def pack_probs(flat_probs, starts, depths, cols):
+def pack_probs(flat_probs, starts, depths, cols, sort=True):
     """Pack the selected columns' err probs into [len(cols), Dmax], each row
     sorted with the reference's eps-comparator qsort (lofreq_call.c:784 +
-    utils.c dbl_cmp); the 2.0 pad beyond depths[b] is left untouched."""
+    utils.c dbl_cmp); the 2.0 pad beyond depths[b] is left untouched.
+
+    sort=False skips the qsort: the device screen is permutation
+    invariant, so the screened path packs unsorted and sorts only the
+    candidate rows that reach the exact DP (_snpcaller_with_screen)."""
     from .. import native
 
     d = depths[cols]
@@ -221,7 +229,8 @@ def pack_probs(flat_probs, starts, depths, cols):
     probs = np.full((len(cols), max(Dmax, 1)), 2.0, dtype=np.float64)
     for j, c in enumerate(cols):
         probs[j, : d[j]] = flat_probs[starts[c] : starts[c + 1]]
-    native.sort_errprobs_batch(probs, d)
+    if sort:
+        native.sort_errprobs_batch(probs, d)
     return probs
 
 
@@ -290,7 +299,7 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
             cols = order_idx[lo:hi]
             with stagetimer.stage("pack_sort"):
                 probs = pack_probs(ep["flat_probs"], ep["starts"],
-                                   ep["depths"], cols)
+                                   ep["depths"], cols, sort=False)
             cand = _screen_mask(
                 probs, ep["depths"][cols], ep["alt_counts"][cols],
                 running_bonf[lo:hi].astype(np.float64), conf)
@@ -301,15 +310,20 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
 
     pvalues = np.full((n_test, 3), PH.LDBL_MAX, dtype=np.longdouble)
     CHUNK = 4096
+    # with the screen on, pack unsorted and sort only the rows that
+    # survive screening (the screen is permutation invariant; the
+    # reference qsort is only observable through the exact DP)
+    screen_on = conf.device_screen_on()
     for lo in range(0, n_test, CHUNK):
         hi = min(lo + CHUNK, n_test)
         cols = order_idx[lo:hi]
         with stagetimer.stage("pack_sort"):
             probs = pack_probs(ep["flat_probs"], ep["starts"], ep["depths"],
-                               cols)
+                               cols, sort=not screen_on)
         pvalues[lo:hi] = _snpcaller_with_screen(
             probs, ep["depths"][cols], ep["alt_counts"][cols],
             running_bonf[lo:hi].astype(np.float64), conf,
+            presorted=not screen_on,
         )
 
     _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf)
@@ -344,12 +358,17 @@ def _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf):
             )
 
 
-def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf):
+def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf,
+                           presorted=True):
     """snpcaller over packed columns, with optional TPU pre-screen.
 
     The screen computes a conservative f32 estimate of the max-count tail
     p-value for every column on device; only plausible candidates go through
     the exact native DP.  Disabled -> all columns exact.
+
+    presorted=False: rows are packed unsorted (screen path); the
+    reference's eps-comparator qsort is applied only to the candidate rows
+    that reach the exact DP.
     """
     from ..core import stagetimer
 
@@ -377,8 +396,14 @@ def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf):
     idx = np.nonzero(run_mask)[0]
     if len(idx) == 0:
         return pvalues
+    sub = probs[idx]
+    if not presorted:
+        from .. import native
+
+        with stagetimer.stage("pack_sort"):
+            native.sort_errprobs_batch(sub, depths[idx])
     with stagetimer.stage("exact_dp"):
-        state, _ = pruned_prob_dist_batch(probs[idx], depths[idx], ks[idx],
+        state, _ = pruned_prob_dist_batch(sub, depths[idx], ks[idx],
                                           bonf[idx], conf.sig)
     sub_ks = ks[idx]
     tail = state[np.arange(len(idx)), sub_ks]
@@ -425,7 +450,7 @@ def _screen_mask(probs, depths, alt_counts, bonf, conf: VarcallConf):
 
 def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
                            pconf, conf: VarcallConf, cands: list,
-                           ign_pos=None) -> list:
+                           ign_pos=None, raw=None) -> list:
     """Exact re-scoring of screened candidate columns (device-BAQ mode).
 
     cands: [(position, running_bonf)] collected by the screening pass.
@@ -433,7 +458,10 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
     columns rebuilt with zero bias, and the exact DP run at each column's
     recorded dynamic-Bonferroni factor — reproducing precisely what the
     all-exact path computes for these columns.  Returns emitted Vars in
-    position order."""
+    position order.
+
+    raw: the originating window's raw record bytes; when given, cluster
+    re-ingests parse them in memory instead of re-reading the BAM."""
     import copy
 
     from ..pileup.fast_columns import build_snv_batch
@@ -446,7 +474,10 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
     vc.baq_screen_bias = 0
     vc.use_device_screen = False  # tiny batches: exact DP directly
     cands = sorted(set(cands))
-    GAP = 2000
+    # merge candidates into one re-ingest only when they can share reads
+    # (~read length apart); a wider gap re-decodes and re-BAQs unrelated
+    # full-depth territory
+    GAP = 300
     clusters = [[cands[0]]]
     for c in cands[1:]:
         if c[0] - clusters[-1][-1][0] > GAP:
@@ -459,7 +490,7 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
     for cl in clusters:
         lo, hi = cl[0][0], cl[-1][0] + 1
         rows = ingest_region(rdr, pconf, ref, tid, beg=lo, end=hi,
-                             ign_pos=ign_arr)
+                             ign_pos=ign_arr, raw=raw)
         if not len(rows.pos):
             continue
         batch = build_snv_batch(rows, rows.raw_flags, lo, hi, ref, chrom,

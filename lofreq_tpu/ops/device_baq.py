@@ -31,13 +31,71 @@ log = logging.getLogger("lofreq_tpu")
 TILE_B = 32768  # reads per device batch (431k reads/s on v5e at this size)
 TILE_B_CPU = 1024  # CPU backend (tests): keep per-batch work small
 BW = 7          # band width: matches realn_one's M-only window (baq.c:422)
-REF_PAD = 16384  # reference-window length bucket (bounds recompiles)
+# reference-window compile size: FIXED so the kernel compiles once per
+# read length (the call pipeline's ingest windows are 100 kb; reads that
+# span a wider range are chunked into segments rebased to their own
+# window).  A varying W_pad caused a fresh multi-minute Mosaic compile on
+# the first full-size window — the shape must not depend on the data.
+W_PAD = 131072
 
 
 def _tile_b() -> int:
     import jax
 
     return TILE_B_CPU if jax.default_backend() == "cpu" else TILE_B
+
+
+_LINK_BW = None
+
+
+def link_bandwidth_mbs() -> float:
+    """Measured host->device bandwidth (MB/s), cached per process.
+
+    Device BAQ ships ~200 B/read and returns ~100 B/read; on a thin
+    tunneled link (tens of MB/s) that transfer costs more than the
+    threaded C kernel computes in, so the auto-on default checks the link
+    first.  A PCIe/ICI-attached chip measures GB/s and passes easily."""
+    global _LINK_BW
+    if _LINK_BW is not None:
+        return _LINK_BW
+    import os
+    import time
+
+    override = os.environ.get("LOFREQ_TPU_LINK_MBS")
+    if override:
+        _LINK_BW = float(override)
+        return _LINK_BW
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        buf = np.zeros(8 << 20, np.uint8)  # 8 MB probe
+        d = jax.device_put(buf)
+        np.asarray(d[:1])  # warm the path
+        t0 = time.perf_counter()
+        d = jax.device_put(buf)
+        np.asarray(d[:1])
+        dt = time.perf_counter() - t0
+        _LINK_BW = (buf.nbytes / (1 << 20)) / max(dt, 1e-6)
+    except Exception:
+        _LINK_BW = 0.0
+    return _LINK_BW
+
+
+# below this, the C BAQ kernel on host threads beats shipping reads over
+# the link (C: ~120k reads/s/core; device path needs ~300 B/read moved)
+MIN_LINK_MBS = 200.0
+
+
+def device_baq_worthwhile() -> bool:
+    bw = link_bandwidth_mbs()
+    if bw < MIN_LINK_MBS:
+        log.info(
+            "device BAQ auto-off: host<->device link measured %.0f MB/s "
+            "(< %.0f MB/s); the threaded C kernel is faster on this link "
+            "(--device-baq forces it on)", bw, MIN_LINK_MBS)
+        return False
+    return True
 
 
 def _build_step(L: int, Lr_pad: int, W_pad: int, tile: int, ext: bool):
@@ -148,8 +206,21 @@ class DeviceBaqRunner:
         Lr_pad = -(-max(Lr, 1) // 128) * 128
         base = int(xb.min())
         wlen = int(xe.max()) - base
-        W_pad = -(-max(wlen, 1) // REF_PAD) * REF_PAD
-        fn = self._get_fn(L, Lr_pad, W_pad)
+        if wlen > W_PAD:
+            # reads span more than one ref-window compile size: split by
+            # position (xb ascending from the extract order) and recurse,
+            # each segment rebased to its own fixed-size window
+            cut = np.searchsorted(xb, base + W_PAD - Lr, side="left")
+            if cut == 0 or cut >= N:
+                return None
+            a = self.run(ref, codes[:cut], quals[:cut], pos[:cut],
+                         xb[:cut], xe[:cut])
+            b = self.run(ref, codes[cut:], quals[cut:], pos[cut:],
+                         xb[cut:], xe[cut:])
+            if a is None or b is None:
+                return None
+            return np.concatenate([a, b])
+        fn = self._get_fn(L, Lr_pad, W_PAD)
         if fn is None:
             return None
         if self._q2p_dev is None:
@@ -157,8 +228,8 @@ class DeviceBaqRunner:
         # per-window reference slice, shipped once for all batches
         from .baq_jax import _BASECODE
 
-        refwin = np.full(W_pad, 4, np.uint8)
-        hi = min(base + W_pad, len(ref))
+        refwin = np.full(W_PAD, 4, np.uint8)
+        hi = min(base + W_PAD, len(ref))
         refwin[: hi - base] = _BASECODE[
             np.frombuffer(ref, np.uint8)[base:hi]]
         refwin_dev = jnp.asarray(refwin)

@@ -22,6 +22,9 @@ from functools import partial
 import numpy as np
 
 SCREEN_S = 32  # DP prefix length
+# max probs shipped/scanned per column: deep columns are screened from
+# their top-S largest err probs (subset tail = lower bound of full tail)
+TOP_S = 128
 KMAX = 16  # clipped tail cell (tail at smaller k bounds tail at k)
 MARGIN = 1e3  # screening slack for f32 drift + running-bonf growth
 NEG = -1e30
@@ -193,22 +196,39 @@ _manager = _ScreenManager()
 
 def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
     """Host wrapper: probs [B, D] float64 (padded with 2.0, any order — the
-    DP is permutation invariant); returns boolean candidate mask.  Runs the
-    *full-depth* f32 DP on device, so the screen resolves every column up
-    to the f32 margin and K clipping (both conservative).  B and D are
-    padded to buckets so jit compiles are bounded; if compilation blows the
-    deadline the screen degrades and every column is marked candidate."""
+    DP is permutation invariant); returns boolean candidate mask.
+
+    Deep columns are screened from their TOP-S largest err probs only:
+    the Poisson-binomial tail over ANY subset of a column's reads is a
+    lower bound of the full tail, so a subset bound that already exceeds
+    the threshold proves insignificance — and the largest probs carry
+    virtually all of the tail mass, so the bound stays sharp.  This keeps
+    the host->device transfer at S=%d floats per column regardless of
+    depth (full-depth [B, 2048] f32 tiles were the dominant cost on thin
+    links).  B and S are padded to buckets so jit compiles are bounded;
+    if compilation blows the deadline the screen degrades and every
+    column is marked candidate."""
     _jax, jnp = _get_jax()
     B, D = probs.shape
-    s = _bucket(D)
+    s = min(_bucket(D), TOP_S)
     Bp = _bucket_b(B)
     fn = _manager.get(Bp, s)
     if fn is None:
         return np.ones(B, dtype=bool)
     prefix = np.full((Bp, s), 2.0, dtype=np.float32)
-    prefix[:B, :D] = probs
     depths_p = np.zeros(Bp, dtype=np.int32)
-    depths_p[:B] = depths
+    if D > s:
+        # top-S per row; padding/invalid (>1.0) mapped to 0.0 first (an
+        # exact DP identity) so it can never crowd out real probs.  The
+        # selected row order is arbitrary, so every slot is "in depth"
+        # (zeros are identities).
+        in_depth = np.arange(D)[None, :] < np.asarray(depths)[:, None]
+        arr = np.where((probs <= 1.0) & in_depth, probs, 0.0)
+        prefix[:B] = np.partition(arr, D - s, axis=1)[:, D - s:]
+        depths_p[:B] = s
+    else:
+        prefix[:B, :D] = probs
+        depths_p[:B] = depths
     ks_p = np.ones(Bp, dtype=np.int32)
     ks_p[:B] = np.maximum(np.asarray(ks, dtype=np.int32), 1)
     bonf = np.broadcast_to(np.asarray(bonf, dtype=np.float64), (B,))

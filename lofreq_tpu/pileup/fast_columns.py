@@ -44,9 +44,14 @@ def _i64p(a):
 
 
 def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
-                    target: str, pconf: PileupConf, vconf) -> ColumnBatch:
+                    target: str, pconf: PileupConf, vconf,
+                    pool=None) -> ColumnBatch:
     """Run the fused builder; returns a ColumnBatch with `.ep` attached
-    (the errprob dict consumed by call_snvs_batch) or None if empty."""
+    (the errprob dict consumed by call_snvs_batch) or None if empty.
+    pool: optional SlabPool generation source for the output arrays (the
+    call pipeline rotates two generations; see SlabPool contract)."""
+    from .native_ingest import SlabPool
+
     lib = get_lib()
     n = len(rows.pos)
     if n == 0:
@@ -68,18 +73,29 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
         mq0_errprob=D.MQ0_ERRPROB,
     )
     W = win_len
+    gen = pool.next_gen() if pool is not None else None
+    tk = SlabPool.take
     out = dict(
-        positions=np.empty(W, np.int64), coverage=np.empty(W, np.int64),
-        num_bases=np.empty(W, np.int64), heads=np.empty(W, np.int64),
-        tails=np.empty(W, np.int64),
-        ref_nt4=np.empty(W, np.uint8), cons_nt4=np.empty(W, np.uint8),
-        fw=np.empty(W * 5, np.int64), rv=np.empty(W * 5, np.int64),
-        alt_cnt=np.empty(W * 5, np.int64), alt_raw=np.empty(W * 5, np.int64),
-        col_start=np.empty(W + 1, np.int64), probs=np.empty(n, np.float64),
-        num_ins=np.empty(W, np.int64), num_dels=np.empty(W, np.int64),
-        num_non=np.empty(W, np.int64), num_ign=np.empty(W, np.int64),
-        ins_ne=np.empty(W, np.int64), del_ne=np.empty(W, np.int64),
-        ins_ev=np.empty(W, np.int64), del_ev=np.empty(W, np.int64),
+        positions=tk(gen, "positions", W, np.int64),
+        coverage=tk(gen, "coverage", W, np.int64),
+        num_bases=tk(gen, "num_bases", W, np.int64),
+        heads=tk(gen, "heads", W, np.int64),
+        tails=tk(gen, "tails", W, np.int64),
+        ref_nt4=tk(gen, "ref_nt4", W, np.uint8),
+        cons_nt4=tk(gen, "cons_nt4", W, np.uint8),
+        fw=tk(gen, "fw", W * 5, np.int64), rv=tk(gen, "rv", W * 5, np.int64),
+        alt_cnt=tk(gen, "alt_cnt", W * 5, np.int64),
+        alt_raw=tk(gen, "alt_raw", W * 5, np.int64),
+        col_start=tk(gen, "col_start", W + 1, np.int64),
+        probs=tk(gen, "probs", n, np.float64),
+        num_ins=tk(gen, "num_ins", W, np.int64),
+        num_dels=tk(gen, "num_dels", W, np.int64),
+        num_non=tk(gen, "num_non", W, np.int64),
+        num_ign=tk(gen, "num_ign", W, np.int64),
+        ins_ne=tk(gen, "ins_ne", W, np.int64),
+        del_ne=tk(gen, "del_ne", W, np.int64),
+        ins_ev=tk(gen, "ins_ev", W, np.int64),
+        del_ev=tk(gen, "del_ev", W, np.int64),
     )
     pos = np.ascontiguousarray(rows.pos, dtype=np.int64)
     nt4 = np.ascontiguousarray(rows.nt4, dtype=np.uint8)

@@ -41,6 +41,41 @@ def get_lib():
     return get_native_lib()
 
 
+class SlabPool:
+    """Reusable output-buffer arena for the per-window ingest/column
+    arrays.  Fresh multi-GB np.empty allocations are mmap-backed, so every
+    window would otherwise re-fault ~1M pages — expensive in a microVM
+    (measured tens of seconds per deep window).  The call pipeline keeps
+    TWO generations (one being consumed, one being prefetched) and rotates
+    them, so slabs stay warm.
+
+    Ownership contract: arrays taken from a pool are valid until the same
+    generation is reused (two `take_group` rotations later in the
+    pipeline).  Callers that keep batches alive longer must not pass a
+    pool (fresh allocation is the default everywhere else)."""
+
+    def __init__(self, generations: int = 2):
+        self._gens = [dict() for _ in range(generations)]
+        self._i = 0
+
+    def next_gen(self) -> dict:
+        g = self._gens[self._i % len(self._gens)]
+        self._i += 1
+        return g
+
+    @staticmethod
+    def take(gen: dict | None, name: str, n, dtype):
+        dt = np.dtype(dtype)
+        need = int(n) * dt.itemsize
+        if gen is None:
+            return np.empty(int(n), dt)
+        a = gen.get(name)
+        if a is None or a.nbytes < need:
+            a = np.empty(max(int(need * 1.25), 256), np.uint8)
+            gen[name] = a
+        return a[:need].view(dt)
+
+
 def _conf_struct(conf: PileupConf, tid: int, beg, end,
                  ign_arr=None) -> _IngestConf:
     from .. import defaults as D
@@ -138,12 +173,17 @@ def _splice_device_baq(lib, buf, raw, cs, ref, n_reads, device_baq):
 def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
                   tid: int, beg=None, end=None,
                   raw: bytes = None, ign_pos=None,
-                  device_baq=None) -> ReadRows:
+                  device_baq=None, pool: SlabPool = None,
+                  keep_raw=False) -> ReadRows:
     """Run the native ingest for reads overlapping [beg, end) on tid.
     ign_pos: sorted np.int64 positions (this chrom) to ignore in the
     source-qual mismatch count (-S vcf).  device_baq: optional device BAQ
     runner (ops.device_baq); eligible reads get device-computed BAQ spliced
-    into the fill, the C kernel covering the rest."""
+    into the fill, the C kernel covering the rest.  pool: optional SlabPool
+    whose next generation backs the row arrays (see SlabPool contract).
+    keep_raw: attach the raw record bytes as .raw (the device-BAQ confirm
+    pass re-ingests candidate clusters from them without touching the
+    BAM again)."""
     from ..core import stagetimer
 
     lib = get_lib()
@@ -175,23 +215,25 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     if n_rows == 0:
         return ReadRows.empty()
 
+    gen = pool.next_gen() if pool is not None else None
+    tk = SlabPool.take
     o = dict(
-        pos=np.empty(n_rows, np.int64),
-        nt4=np.empty(n_rows, np.uint8),
-        bq=np.empty(n_rows, np.int16),
-        baq=np.empty(n_rows, np.int16),
-        mq=np.empty(n_rows, np.int16),
-        sq=np.empty(n_rows, np.int32),
-        flags=np.empty(n_rows, np.uint8),
-        indel=np.empty(n_rows, np.int32),
-        iq=np.empty(n_rows, np.int16),
-        dq=np.empty(n_rows, np.int16),
-        iaq=np.empty(n_rows, np.int16),
-        daq=np.empty(n_rows, np.int16),
-        event_id=np.empty(n_rows, np.int64),
-        ev_isins=np.empty(max(n_ev, 1), np.uint8),
-        ev_seq_start=np.zeros(n_ev + 1, np.int64),
-        ev_seq=np.empty(max(ev_seq_total, 1), np.uint8),
+        pos=tk(gen, "pos", n_rows, np.int64),
+        nt4=tk(gen, "nt4", n_rows, np.uint8),
+        bq=tk(gen, "bq", n_rows, np.int16),
+        baq=tk(gen, "baq", n_rows, np.int16),
+        mq=tk(gen, "mq", n_rows, np.int16),
+        sq=tk(gen, "sq", n_rows, np.int32),
+        flags=tk(gen, "flags", n_rows, np.uint8),
+        indel=tk(gen, "indel", n_rows, np.int32),
+        iq=tk(gen, "iq", n_rows, np.int16),
+        dq=tk(gen, "dq", n_rows, np.int16),
+        iaq=tk(gen, "iaq", n_rows, np.int16),
+        daq=tk(gen, "daq", n_rows, np.int16),
+        event_id=tk(gen, "event_id", n_rows, np.int64),
+        ev_isins=tk(gen, "ev_isins", max(n_ev, 1), np.uint8),
+        ev_seq_start=tk(gen, "ev_seq_start", n_ev + 1, np.int64),
+        ev_seq=tk(gen, "ev_seq", max(ev_seq_total, 1), np.uint8),
     )
 
     def p(a, typ):
@@ -248,4 +290,6 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     rr.event_id = o["event_id"]
     rr.events = events
     rr.raw_flags = _raw_flags
+    if keep_raw:
+        rr.raw = raw
     return rr

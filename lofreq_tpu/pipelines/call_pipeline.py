@@ -128,23 +128,29 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     if ign_pos:
         ign_arr = _np.asarray(sorted(ign_pos), dtype=_np.int64)
 
+    from ..pileup.native_ingest import SlabPool
+
+    row_pool = SlabPool(2)   # one generation consumed, one prefetched
+    col_pool = SlabPool(2)
+
     def _submit(w):
         return ex.submit(ingest_region, rdr, pconf, ref, tid,
                          beg=max(w, lo), end=min(w + window, hi),
-                         ign_pos=ign_arr, device_baq=device_baq)
+                         ign_pos=ign_arr, device_baq=device_baq,
+                         pool=row_pool, keep_raw=device_baq is not None)
 
     try:
         fut = _submit(win) if win < hi else None
         for _batch in _native_window_loop(
                 fut, _submit, win, hi, window, lo, fused, rdr, tid, chrom,
-                ref, pconf, vconf):
+                ref, pconf, vconf, col_pool):
             yield _batch
     finally:
         ex.shutdown(wait=True)
 
 
 def _native_window_loop(fut, submit, win, hi, window, lo, fused, rdr, tid,
-                        chrom, ref, pconf, vconf):
+                        chrom, ref, pconf, vconf, col_pool=None):
     import numpy as _np
 
     from ..pileup.engine import compile_columns
@@ -162,8 +168,9 @@ def _native_window_loop(fut, submit, win, hi, window, lo, fused, rdr, tid,
             with stagetimer.stage("columns"):
                 batch = build_snv_batch(rows, rows.raw_flags, max(win, lo),
                                         min(win_e, hi), ref, chrom, pconf,
-                                        vconf)
+                                        vconf, pool=col_pool)
             if batch is not None:
+                batch.raw = getattr(rows, "raw", None)
                 yield batch
             win = win_e
             continue
@@ -269,6 +276,19 @@ def run_call(
                 vs = call_vars_batch(batch, vconf, res.stats,
                                      screen_ctx=screen_ctx)
                 res.vars.extend(vs)
+                if screen_ctx:
+                    # exact confirmation per window, while the window's
+                    # raw record bytes are still in memory (no BAM
+                    # re-reads, no BAI queries)
+                    from ..call.caller import confirm_snv_candidates
+                    from ..core import stagetimer
+
+                    with stagetimer.stage("confirm"):
+                        res.vars.extend(confirm_snv_candidates(
+                            rdr, tid, chrom, ref, pconf, vconf, screen_ctx,
+                            ign_pos=chrom_ign,
+                            raw=getattr(batch, "raw", None)))
+                    screen_ctx.clear()
                 n_cols += len(batch.positions)
                 if n_cols >= next_beat:
                     print(f"Alive and happily crunching away on pos "
@@ -277,14 +297,6 @@ def run_call(
                     next_beat += HEARTBEAT_COLS
                 if progress:
                     progress(chrom, int(batch.positions[-1]))
-            if screen_ctx is not None:
-                from ..call.caller import confirm_snv_candidates
-                from ..core import stagetimer
-
-                with stagetimer.stage("confirm"):
-                    res.vars.extend(confirm_snv_candidates(
-                        rdr, tid, chrom, ref, pconf, vconf, screen_ctx,
-                        ign_pos=chrom_ign))
             continue
 
         if region:
