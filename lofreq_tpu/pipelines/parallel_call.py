@@ -199,6 +199,12 @@ def finalize_parallel_output(lines, n_snv, n_indel, args, vconf,
     with VcfWriter(args.out, header) as w:
         for v in out_vars:
             w.write(v)
+    if str(args.out).endswith(".gz"):
+        # tabix the merged output like the reference wrapper's
+        # `bcftools index -t` step (lofreq2_call_pparallel.py:164-185)
+        from ..io.tabix import build_tbi
+
+        build_tbi(args.out)
     print(f"Number of substitution tests performed: {n_snv}",
           file=sys.stderr)
     print(f"Number of indel tests performed: {n_indel}", file=sys.stderr)

@@ -1,13 +1,61 @@
 """VCF set operations: intersect / complement / concat.
 
 Equivalent of `lofreq vcfset` (lofreq_vcfset.c:110-539).  vcf1 streams;
-vcf2 is held in a position-keyed in-memory index (replacing the reference's
-tabix random access — files at this layer are small relative to memory).
+vcf2 lookups go through its tabix index when one exists next to a bgzip
+file (the reference's access pattern, lofreq_vcfset.c:427-433 — scales to
+dbSNP-size inputs without loading them), falling back to a position-keyed
+in-memory index otherwise.
 """
 
 from __future__ import annotations
 
-from ..io.vcf import VcfReader, VcfWriter, add_header_line
+import os
+
+from ..io.vcf import Var, VcfReader, VcfWriter, add_header_line
+
+
+class _TabixVar2:
+    """vcf2 lookup via tabix random access (streaming, O(1) memory)."""
+
+    def __init__(self, path):
+        from ..io.tabix import TabixVcf
+
+        self.tbx = TabixVcf(path)
+
+    def get(self, chrom, pos):
+        out = []
+        for line in self.tbx.fetch_lines(chrom, pos, pos + 1):
+            v = Var.from_line(line.decode())
+            if v.pos == pos:
+                out.append(v)
+        return out
+
+    def close(self):
+        self.tbx.close()
+
+
+class _MemVar2:
+    def __init__(self, path):
+        self.idx = {}
+        with VcfReader(path) as r2:
+            for v2 in r2:
+                self.idx.setdefault((v2.chrom, v2.pos), []).append(v2)
+
+    def get(self, chrom, pos):
+        return self.idx.get((chrom, pos), ())
+
+    def close(self):
+        pass
+
+
+def _open_var2(path):
+    p = str(path)
+    if os.path.exists(p + ".tbi"):
+        try:
+            return _TabixVar2(p)
+        except OSError:
+            pass
+    return _MemVar2(p)
 
 
 def run_vcfset(
@@ -25,15 +73,10 @@ def run_vcfset(
 ):
     assert action in ("intersect", "complement", "concat")
 
-    # index vcf2 by (chrom, pos)
-    var2_idx = {}
-    if vcf2_path is not None:
-        with VcfReader(vcf2_path) as r2:
-            for v2 in r2:
-                var2_idx.setdefault((v2.chrom, v2.pos), []).append(v2)
+    var2 = _open_var2(vcf2_path) if vcf2_path is not None else None
 
     def var2_match(v1) -> bool:
-        for v2 in var2_idx.get((v1.chrom, v1.pos), ()):
+        for v2 in var2.get(v1.chrom, v1.pos):
             if only_passed and not v2.passes():
                 continue
             if only_snvs and v2.is_indel():
@@ -85,4 +128,6 @@ def run_vcfset(
                         writer.write(v1)
     if writer:
         writer.close()
+    if var2 is not None:
+        var2.close()
     return num_out
