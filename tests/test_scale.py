@@ -41,3 +41,22 @@ def test_2mb_parallel_equals_single(tmp_path):
     detectable = {t[0] for t in sim["truth"]
                   if t[6] and t[5] / t[6] >= 0.02 and t[5] >= 10}
     assert detectable <= called
+
+
+@pytest.mark.skipif(not RUN, reason="set LOFREQ_TPU_SCALE_TESTS=1")
+def test_sharded_column_scaling_efficiency():
+    """Sharded column step on the virtual CPU mesh: >=0.8 efficiency at
+    2 devices (BASELINE.json target; larger meshes exceed this host's
+    physical cores, see tools/scaling_bench.py header)."""
+    import json
+
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "scaling_bench.py"), "2", "4096", "512"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    rows = [json.loads(l) for l in out.stdout.splitlines()
+            if l.startswith("{")]
+    assert rows and rows[-1]["devices"] == 2, out.stdout + out.stderr
+    assert rows[-1]["efficiency"] >= 0.8, rows
