@@ -65,6 +65,10 @@ def _print_batch(batch, vconf, stream):
         nt4_c = batch.b_nt4[lo:hi]
         titles = ["BQ", "BAQ", "MQ", "SQ"]
         nx = 4 if vconf.use_sq else 3
+        def vline(prefix, vals):
+            # reference emits " %d" per value: no trailing space when empty
+            stream.write(prefix + "".join(f" {int(v)}" for v in vals) + "\n")
+
         for i in range(5):
             m = nt4_c == i
             if not np.any(m):
@@ -73,24 +77,19 @@ def _print_batch(batch, vconf, stream):
                 arr = (batch.b_bq, batch.b_baq, batch.b_mq,
                        batch.b_sq)[x][lo:hi]
                 if x == 1 and not vconf.use_baq:
-                    vals = ["-1"] * int(m.sum())
+                    vals = [-1] * int(m.sum())
                 else:
-                    vals = [str(int(v)) for v in arr[m]]
-                stream.write(f"  {NT4[i]}\t{titles[x]} =\t " +
-                             " ".join(vals) + "\n")
+                    vals = arr[m]
+                vline(f"  {NT4[i]}\t{titles[x]} =\t", vals)
         for t, neq, events in (("+", batch.ins_neq_at(c), batch.ins_events[c]),
                                ("-", batch.del_neq_at(c), batch.del_events[c])):
             q, mq, _sq = neq
-            stream.write(f"  {t}0\tIDQ =\t " + " ".join(map(str, q)) + "\n")
-            stream.write(f"  {t}0\tMQ =\t " + " ".join(map(str, mq)) + "\n")
+            vline(f"  {t}0\tIDQ =\t", q)
+            vline(f"  {t}0\tMQ =\t", mq)
             for key, ev in (events or {}).items():
                 tag = "IQ" if t == "+" else "IDQ"
-                stream.write(f"  {t}{key}\t{tag} =\t " +
-                             " ".join(map(str, ev.quals)) + "\n")
-                stream.write(f"  {t}{key}\tMQ =\t " +
-                             " ".join(map(str, ev.map_quals)) + "\n")
-                stream.write(f"  {t}{key}\tAQ =\t " +
-                             " ".join(map(str, ev.aln_quals)) + "\n")
-                stream.write(f"  {t}{key}\tSQ =\t " +
-                             " ".join(map(str, ev.source_quals)) + "\n")
+                vline(f"  {t}{key}\t{tag} =\t", ev.quals)
+                vline(f"  {t}{key}\tMQ =\t", ev.map_quals)
+                vline(f"  {t}{key}\tAQ =\t", ev.aln_quals)
+                vline(f"  {t}{key}\tSQ =\t", ev.source_quals)
         stream.write("\n")
