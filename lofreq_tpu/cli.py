@@ -74,6 +74,9 @@ def add_call_args(p: argparse.ArgumentParser):
     p.add_argument("--no-device-baq", dest="device_baq",
                    action="store_false",
                    help="force the exact host BAQ kernel everywhere")
+    p.add_argument("--profile", dest="profile_dir", metavar="DIR",
+                   help="write a jax.profiler trace of the device work "
+                        "to DIR (inspect with tensorboard/xprof)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("bam")
@@ -148,11 +151,24 @@ def cmd_call(args) -> int:
         run_plp_summary(args.bam, args.ref, vconf, pconf,
                         region=args.region, bed=bed)
         return 0
-    res = call_and_filter(
-        args.bam, args.ref, args.out, vconf=vconf, pconf=pconf,
-        no_default_filter=args.no_default_filter, region=args.region,
-        bed=bed, ign_pos=ign_pos,
-    )
+    profile_ctx = None
+    if getattr(args, "profile_dir", None):
+        # device-side tracing (SURVEY §5 aux subsystem): view with
+        # tensorboard / xprof.  Host stages are covered by --verbose's
+        # stagetimer report.
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+        profile_ctx.__enter__()
+    try:
+        res = call_and_filter(
+            args.bam, args.ref, args.out, vconf=vconf, pconf=pconf,
+            no_default_filter=args.no_default_filter, region=args.region,
+            bed=bed, ign_pos=ign_pos,
+        )
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
     if res.stats.indel_calls_wo_idaq and vconf.use_idaq:
         print(f"WARNING: {res.stats.indel_calls_wo_idaq} indel calls "
               "(before filtering) were made without indel alignment-quality!"

@@ -212,6 +212,11 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
     B, D = probs.shape
     s = min(_bucket(D), TOP_S)
     Bp = _bucket_b(B)
+    if _jax.default_backend() != "cpu":
+        # one compile shape total on real accelerators: remote compiles
+        # cost minutes, padding costs microseconds (top-S rows are 512 B)
+        s = TOP_S
+        Bp = max(Bp, 4096)
     fn = _manager.get(Bp, s)
     if fn is None:
         return np.ones(B, dtype=bool)
