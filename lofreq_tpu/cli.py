@@ -635,6 +635,14 @@ def build_parser():
     p.add_argument("-i", "--vcf-in", required=True)
     p.add_argument("-o", "--out", default="vcfplot.pdf")
     p.add_argument("--summary-only", action="store_true")
+    p.add_argument("--simple", action="store_true",
+                   help="skip the pairwise heatmap pages")
+    p.add_argument("--ign-filter", action="store_true",
+                   help="include variants with FILTER entries")
+    p.add_argument("--maxdp", type=int,
+                   help="ignore variants above this coverage")
+    p.add_argument("--indels", dest="indels_only", action="store_true",
+                   help="plot indels instead of substitutions")
 
     p = sub.add_parser("version", help="print version")
     return ap
@@ -733,7 +741,9 @@ def _main(argv=None) -> int:
     if args.cmd == "vcfplot":
         from .tools.vcfplot import vcfplot
 
-        vcfplot(args.vcf_in, args.out, summary_only=args.summary_only)
+        vcfplot(args.vcf_in, args.out, summary_only=args.summary_only,
+                simple=args.simple, ign_filter=args.ign_filter,
+                maxdp=args.maxdp, indels_only=args.indels_only)
         return 0
     return 1
 

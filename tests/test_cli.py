@@ -417,3 +417,28 @@ def test_call_with_bed_regions(sim, tmp_path):
                  if max(0, pos0 - 50) <= int(r[1]) - 1 < pos0 + 50]
     assert [r[1] for r in srecs] == [r[1] for r in in_window]
     assert srecs[0][1] == recs[0][1]
+
+
+def test_vcfplot_full_pages(sim, tmp_path):
+    """Expanded vcfplot: multi-page PDF with boxplot/hist/scatter per
+    prop, subst types + Ts/Tv, pairwise heatmaps; summary tables."""
+    from lofreq_tpu.cli import main
+
+    out = str(tmp_path / "calls.vcf")
+    assert main(["call", "-f", sim["fa"], "-o", out, sim["bam"],
+                 "--no-device-screen", "--no-device-baq"]) == 0
+    pdf = str(tmp_path / "full.pdf")
+    assert main(["vcfplot", "-i", out, "-o", pdf]) == 0
+    data = open(pdf, "rb").read()
+    assert data[:5] == b"%PDF-"
+    assert data.count(b"/Type /Page ") + data.count(b"/Type/Page") >= 5
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["vcfplot", "-i", out, "-o", pdf,
+                     "--summary-only"]) == 0
+    txt = buf.getvalue()
+    assert "AF\tmedian\t" in txt
+    assert "Distance (log10)\trange-min\trange-max\tcount" in txt
