@@ -84,8 +84,9 @@ def device_run(art):
     res = run_call(art["bam"], art["fa"], vconf=VarcallConf(),
                    progress=progress)
     wall = time.time() - t0
+    # lists, not tuples: the baseline's came through a JSON round-trip
     return dict(wall=wall,
-                vars=[(v.pos, v.ref, v.alt, v.qual, v.info)
+                vars=[[v.pos, v.ref, v.alt, v.qual, v.info]
                       for v in res.vars],
                 tests=res.stats.num_snv_tests)
 
