@@ -31,7 +31,7 @@ EM = 0.33333333333
 
 
 @lru_cache(maxsize=64)
-def _build(L, Lr, bw, want_pd=False):
+def _build(L, Lr, bw, want_pd=False, want_margin=False):
     import jax
     import jax.numpy as jnp
 
@@ -187,11 +187,24 @@ def _build(L, Lr, bw, want_pd=False):
             rest = (jnp.sum(jnp.where(win_m, 0.0, zM_i), axis=1)
                     + jnp.sum(jnp.where(win_i, 0.0, zI_i), axis=1))
             pfail = rest / jnp.maximum(rest + best, 1e-30)
-            qph = (-4.343 * jnp.log(jnp.maximum(pfail, 1e-38)) + 0.499)
-            qph = qph.astype(jnp.int32)
+            y = -4.343 * jnp.log(jnp.maximum(pfail, 1e-38)) + 0.499
+            qph = y.astype(jnp.int32)
             qph = jnp.where(qph > 100, 99, qph)  # C: k>100 ? 99 : k
             st = (best_k.astype(jnp.int32) << 2) | is_ins.astype(jnp.int32)
-            return qph, st
+            if not want_margin:
+                return qph, st
+            # decision margins for the exact-confirm band (device f64->f32
+            # deviations can only flip results where these are small):
+            # margin_q: distance of the pre-truncation phred to an integer
+            # boundary; margin_s: relative gap of the MAP winner to the
+            # runner-up cell (a state flip changes the diagonal check)
+            frac = y - jnp.floor(y)
+            margin_q = jnp.minimum(frac, 1.0 - frac)
+            second = jnp.maximum(
+                jnp.max(jnp.where(win_m, 0.0, zM_i), axis=1),
+                jnp.max(jnp.where(win_i, 0.0, zI_i), axis=1))
+            margin_s = 1.0 - second / jnp.maximum(best, 1e-30)
+            return qph, st, margin_q, margin_s
 
         if want_pd:
             xs = (qualp[:, 1:].T[::-1], query[:, 1:].T[::-1], ss[:-1][::-1])
@@ -215,13 +228,21 @@ def _build(L, Lr, bw, want_pd=False):
         def bwd_map_step(carry, xs):
             q_i1, query_i1, s_i, Ms_i, Is_i = xs
             (bMn, bIn, bDn, i), _ = bwd_step(carry, (q_i1, query_i1, s_i))
-            qph, st = map_row(Ms_i * bMn, Is_i * bIn)
-            return (bMn, bIn, bDn, i), (qph, st)
+            return (bMn, bIn, bDn, i), map_row(Ms_i * bMn, Is_i * bIn)
 
         xs = (qualp[:, 1:].T[::-1], query[:, 1:].T[::-1], ss[:-1][::-1],
               Ms[:-1][::-1], Is[:-1][::-1])
-        _, (q_r, st_r) = jax.lax.scan(
-            bwd_map_step, (bM_L, bI_L, bD_L, jnp.int32(L - 1)), xs)
+        carry0 = (bM_L, bI_L, bD_L, jnp.int32(L - 1))
+        if want_margin:
+            _, (q_r, st_r, mq_r, ms_r) = jax.lax.scan(bwd_map_step, carry0,
+                                                      xs)
+            qL, stL, mqL, msL = map_row(Ms[-1] * bM_L, Is[-1] * bI_L)
+            qphred = jnp.concatenate([q_r[::-1], qL[None]], axis=0)
+            state = jnp.concatenate([st_r[::-1], stL[None]], axis=0)
+            marg_q = jnp.concatenate([mq_r[::-1], mqL[None]], axis=0)
+            marg_s = jnp.concatenate([ms_r[::-1], msL[None]], axis=0)
+            return qphred.T, state.T, marg_q.T, marg_s.T, None
+        _, (q_r, st_r) = jax.lax.scan(bwd_map_step, carry0, xs)
         qL, stL = map_row(Ms[-1] * bM_L, Is[-1] * bI_L)
         qphred = jnp.concatenate([q_r[::-1], qL[None]], axis=0)
         state = jnp.concatenate([st_r[::-1], stL[None]], axis=0)
