@@ -29,8 +29,8 @@ import sys
 import tempfile
 import time
 
-GENOME = int(os.environ.get("LOFREQ_BENCH_GENOME", 300_000))
-DEPTH = int(os.environ.get("LOFREQ_BENCH_DEPTH", 200))
+GENOME = int(os.environ.get("LOFREQ_BENCH_GENOME", 200_000))
+DEPTH = int(os.environ.get("LOFREQ_BENCH_DEPTH", 800))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 

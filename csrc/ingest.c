@@ -175,7 +175,31 @@ typedef struct {
      * wins (tags are never recomputed unless redo_baq). */
     const uint8_t *pre_baq;
     const uint8_t *pre_have;
+    /* optional interval-list region filter (device-BAQ confirm: all
+     * candidate clusters of a window in ONE pass).  2*n_reg int64s of
+     * sorted non-overlapping [beg, end) pairs; when set it replaces the
+     * single reg_beg/reg_end check. */
+    const int64_t *reg_list;
+    int64_t n_reg;
 } ingest_conf_t;
+
+/* record-overlaps-region check; *cur is a per-loop cursor valid because
+ * records arrive position-sorted */
+static int in_region(const ingest_conf_t *c, int64_t *cur,
+                     int64_t pos, int64_t endpos)
+{
+    if (c->n_reg > 0) {
+        /* advance to the first interval with end > pos */
+        while (*cur < c->n_reg && c->reg_list[2 * (*cur) + 1] <= pos)
+            (*cur)++;
+        if (*cur >= c->n_reg)
+            return 0;
+        return endpos > c->reg_list[2 * (*cur)];
+    }
+    if (c->reg_end > 0)
+        return pos < c->reg_end && endpos > c->reg_beg;
+    return 1;
+}
 
 static int in_ign(const ingest_conf_t *c, int64_t pos)
 {
@@ -257,6 +281,7 @@ int64_t lfq_ingest_count(const uint8_t *buf, int64_t buflen,
 {
     int64_t off = 0;
     int64_t nreads = 0, nrows = 0, nev = 0, evseq = 0, seqtot = 0;
+    int64_t regcur = 0;
     while (off + 4 <= buflen) {
         int32_t sz = *(int32_t *)(buf + off);
         off += 4;
@@ -264,8 +289,7 @@ int64_t lfq_ingest_count(const uint8_t *buf, int64_t buflen,
             return -1;
         rec_t r;
         if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
-            if (!(conf->reg_end > 0 &&
-                  (r.pos >= conf->reg_end || rec_endpos(&r) <= conf->reg_beg))) {
+            if (in_region(conf, &regcur, r.pos, rec_endpos(&r))) {
                 nreads++;
                 seqtot += r.l_qseq;
                 count_read(&r, &nrows, &nev, &evseq);
@@ -632,14 +656,13 @@ int64_t lfq_ingest_fill(
     rec_t *recs = malloc(cap * sizeof(rec_t));
     int64_t nreads = 0;
     int64_t off = 0;
+    int64_t regcur = 0;
     while (off + 4 <= buflen) {
         int32_t sz = *(int32_t *)(buf + off);
         off += 4;
         rec_t r;
         if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
-            if (!(conf->reg_end > 0 &&
-                  (r.pos >= conf->reg_end ||
-                   rec_endpos(&r) <= conf->reg_beg))) {
+            if (in_region(conf, &regcur, r.pos, rec_endpos(&r))) {
                 if (nreads == cap) {
                     cap *= 2;
                     recs = realloc(recs, cap * sizeof(rec_t));
@@ -822,6 +845,7 @@ int32_t lfq_mode_read_len(const uint8_t *buf, int64_t buflen,
     static _Thread_local int64_t hist[MAXL];
     memset(hist, 0, sizeof(hist));
     int64_t off = 0;
+    int64_t regcur = 0;
     while (off + 4 <= buflen) {
         int32_t sz = *(int32_t *)(buf + off);
         off += 4;
@@ -829,8 +853,7 @@ int32_t lfq_mode_read_len(const uint8_t *buf, int64_t buflen,
             return -1;
         rec_t r;
         if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf) &&
-            !(conf->reg_end > 0 &&
-              (r.pos >= conf->reg_end || rec_endpos(&r) <= conf->reg_beg))) {
+            in_region(conf, &regcur, r.pos, rec_endpos(&r))) {
             if (r.l_qseq > 0 && r.l_qseq < MAXL)
                 hist[r.l_qseq]++;
         }
@@ -859,7 +882,7 @@ int64_t lfq_extract_reads(
 {
     static const uint8_t code16[16] = {4, 0, 1, 4, 2, 4, 4, 4,
                                        3, 4, 4, 4, 4, 4, 4, 4};
-    int64_t off = 0, i = 0;
+    int64_t off = 0, i = 0, regcur = 0;
     while (off + 4 <= buflen) {
         int32_t sz = *(int32_t *)(buf + off);
         off += 4;
@@ -867,8 +890,7 @@ int64_t lfq_extract_reads(
             return -1;
         rec_t r;
         if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf) &&
-            !(conf->reg_end > 0 &&
-              (r.pos >= conf->reg_end || rec_endpos(&r) <= conf->reg_beg))) {
+            in_region(conf, &regcur, r.pos, rec_endpos(&r))) {
             o_pos[i] = r.pos;
             o_lq[i] = r.l_qseq;
             int elig = 0;

@@ -227,8 +227,12 @@ def pack_probs(flat_probs, starts, depths, cols, sort=True):
     d = depths[cols]
     Dmax = int(d.max()) if len(cols) else 0
     probs = np.full((len(cols), max(Dmax, 1)), 2.0, dtype=np.float64)
-    for j, c in enumerate(cols):
-        probs[j, : d[j]] = flat_probs[starts[c] : starts[c + 1]]
+    if len(cols):
+        # vectorized ragged gather: flat index = start[c] + lane, masked
+        lane = np.arange(Dmax)
+        m = lane[None, :] < d[:, None]
+        src = np.asarray(starts)[cols][:, None] + lane[None, :]
+        probs[m] = flat_probs[src[m]]
     if sort:
         native.sort_errprobs_batch(probs, d)
     return probs
@@ -474,47 +478,47 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
     vc.baq_screen_bias = 0
     vc.use_device_screen = False  # tiny batches: exact DP directly
     cands = sorted(set(cands))
-    # merge candidates into one re-ingest only when they can share reads
-    # (~read length apart); a wider gap re-decodes and re-BAQs unrelated
-    # full-depth territory
+    # merge candidates into one interval only when they can share reads
+    # (~read length apart); all intervals go into ONE native ingest pass
+    # (csrc/ingest.c in_region interval list), so the window's raw bytes
+    # are parsed once and the exact C BAQ runs only on overlapping reads
     GAP = 300
-    clusters = [[cands[0]]]
-    for c in cands[1:]:
-        if c[0] - clusters[-1][-1][0] > GAP:
-            clusters.append([c])
+    intervals = [[cands[0][0], cands[0][0] + 1]]
+    for p, _bf in cands[1:]:
+        if p - intervals[-1][1] > GAP:
+            intervals.append([p, p + 1])
         else:
-            clusters[-1].append(c)
+            intervals[-1][1] = p + 1
     ign_arr = None
     if ign_pos:
         ign_arr = np.asarray(sorted(ign_pos), dtype=np.int64)
-    for cl in clusters:
-        lo, hi = cl[0][0], cl[-1][0] + 1
-        rows = ingest_region(rdr, pconf, ref, tid, beg=lo, end=hi,
-                             ign_pos=ign_arr, raw=raw)
-        if not len(rows.pos):
-            continue
-        batch = build_snv_batch(rows, rows.raw_flags, lo, hi, ref, chrom,
-                                pconf, vc)
-        if batch is None:
-            continue
-        pos_to_col = {int(p): i for i, p in enumerate(batch.positions)}
-        cols, bonfs = [], []
-        for p, bf in cl:
-            ci = pos_to_col.get(p)
-            if ci is not None:
-                cols.append(ci)
-                bonfs.append(bf)
-        if not cols:
-            continue
-        cols = np.asarray(cols)
-        bonfs = np.asarray(bonfs, dtype=np.int64)
-        ep = batch.ep
-        probs = pack_probs(ep["flat_probs"], ep["starts"], ep["depths"],
-                           cols)
-        pv = _snpcaller_with_screen(
-            probs, ep["depths"][cols], ep["alt_counts"][cols],
-            bonfs.astype(np.float64), vc)
-        _emit_snvs(out, batch, ep, cols, pv, bonfs, vc)
+    reg_list = np.asarray(intervals, dtype=np.int64).ravel()
+    lo, hi = cands[0][0], cands[-1][0] + 1
+    rows = ingest_region(rdr, pconf, ref, tid, beg=lo, end=hi,
+                         ign_pos=ign_arr, raw=raw, reg_list=reg_list)
+    if not len(rows.pos):
+        return out
+    batch = build_snv_batch(rows, rows.raw_flags, lo, hi, ref, chrom,
+                            pconf, vc)
+    if batch is None:
+        return out
+    pos_to_col = {int(p): i for i, p in enumerate(batch.positions)}
+    cols, bonfs = [], []
+    for p, bf in cands:
+        ci = pos_to_col.get(p)
+        if ci is not None:
+            cols.append(ci)
+            bonfs.append(bf)
+    if not cols:
+        return out
+    cols = np.asarray(cols)
+    bonfs = np.asarray(bonfs, dtype=np.int64)
+    ep = batch.ep
+    probs = pack_probs(ep["flat_probs"], ep["starts"], ep["depths"], cols)
+    pv = _snpcaller_with_screen(
+        probs, ep["depths"][cols], ep["alt_counts"][cols],
+        bonfs.astype(np.float64), vc)
+    _emit_snvs(out, batch, ep, cols, pv, bonfs, vc)
     out.sort(key=lambda v: v.pos)
     return out
 

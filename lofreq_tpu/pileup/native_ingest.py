@@ -34,6 +34,8 @@ class _IngestConf(ctypes.Structure):
         ("n_ign", ctypes.c_int64),
         ("pre_baq", ctypes.POINTER(ctypes.c_uint8)),
         ("pre_have", ctypes.POINTER(ctypes.c_uint8)),
+        ("reg_list", ctypes.POINTER(ctypes.c_int64)),
+        ("n_reg", ctypes.c_int64),
     ]
 
 
@@ -77,7 +79,7 @@ class SlabPool:
 
 
 def _conf_struct(conf: PileupConf, tid: int, beg, end,
-                 ign_arr=None) -> _IngestConf:
+                 ign_arr=None, reg_list=None) -> _IngestConf:
     from .. import defaults as D
 
     cs = _IngestConf(
@@ -97,6 +99,12 @@ def _conf_struct(conf: PileupConf, tid: int, beg, end,
     if ign_arr is not None and len(ign_arr):
         cs.ign_pos = ign_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         cs.n_ign = len(ign_arr)
+    if reg_list is not None and len(reg_list):
+        # sorted non-overlapping [beg, end) interval pairs, flat int64
+        cs.reg_list = reg_list.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64))
+        cs.n_reg = len(reg_list) // 2
+        cs._reg_keepalive = reg_list
     return cs
 
 
@@ -174,7 +182,7 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
                   tid: int, beg=None, end=None,
                   raw: bytes = None, ign_pos=None,
                   device_baq=None, pool: SlabPool = None,
-                  keep_raw=False) -> ReadRows:
+                  keep_raw=False, reg_list=None) -> ReadRows:
     """Run the native ingest for reads overlapping [beg, end) on tid.
     ign_pos: sorted np.int64 positions (this chrom) to ignore in the
     source-qual mismatch count (-S vcf).  device_baq: optional device BAQ
@@ -183,7 +191,9 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     whose next generation backs the row arrays (see SlabPool contract).
     keep_raw: attach the raw record bytes as .raw (the device-BAQ confirm
     pass re-ingests candidate clusters from them without touching the
-    BAM again)."""
+    BAM again).  reg_list: flat int64 array of sorted non-overlapping
+    [beg, end) pairs — keeps only reads overlapping any interval (the
+    confirm pass covers every candidate cluster in one ingest)."""
     from ..core import stagetimer
 
     lib = get_lib()
@@ -196,7 +206,8 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     if ign_pos is not None and len(ign_pos):
         ign_arr = np.ascontiguousarray(np.asarray(sorted(ign_pos)),
                                        dtype=np.int64)
-    cs = _conf_struct(conf, tid, beg, end, ign_arr=ign_arr)
+    cs = _conf_struct(conf, tid, beg, end, ign_arr=ign_arr,
+                      reg_list=reg_list)
     cs._ign_keepalive = ign_arr
     counts = np.zeros(5, dtype=np.int64)
     buf = np.frombuffer(raw, dtype=np.uint8)
