@@ -43,6 +43,20 @@ def make_cases():
     add(probs, 299, 1000, 0.01)
     # dense high-error
     add(rng.uniform(0.01, 0.99, 50), 10, 1, 0.05)
+    # fuzz sweep (round 2): random N/K with q2/q93 phred edges mixed in
+    # (q2 = p 0.63, q93 = p 5e-10 — the SANGER clamp endpoints), random
+    # bonf/sig incl. borderline-significance regimes that stress the
+    # early-exit path (snpcaller.c:950)
+    for _ in range(40):
+        n = int(rng.integers(2, 3000))
+        k = int(rng.integers(1, min(n, 40) + 1))
+        probs = 10 ** (-rng.uniform(0.2, 9.3, n))
+        edge = rng.random(n)
+        probs[edge < 0.05] = 10 ** (-0.2)       # q2
+        probs[edge > 0.97] = 10 ** (-9.3)       # q93
+        bonf = float(rng.choice([1.0, 3.0, 999.0, 30000.0, 2.7e6]))
+        sig = float(rng.choice([0.01, 0.05, 1.0]))
+        add(probs, k, bonf, sig)
     return cases
 
 
