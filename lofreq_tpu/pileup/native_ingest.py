@@ -169,8 +169,19 @@ def _splice_device_baq(lib, buf, raw, cs, ref, n_reads, device_baq):
     np.cumsum(lq, out=seq_start[1:])
     pre = np.zeros(int(seq_start[-1]) + n_reads + 1, np.uint8)
     offs = seq_start[idx] + idx
-    flat = (offs[:, None] + np.arange(L)).ravel()
-    pre[flat] = (baq.astype(np.uint8) + 33).ravel()
+    enc = baq.astype(np.uint8) + 33
+    # write per contiguous run of eligible reads: consecutive length-L
+    # reads sit at stride L+1 in the tag buffer, so each run is a pure
+    # reshaped view store (the fancy-scatter alternative materializes an
+    # O(total bases) int64 index — GBs at deep windows)
+    run_breaks = np.nonzero(np.diff(offs) != L + 1)[0] + 1
+    lo = 0
+    for hi in list(run_breaks) + [len(idx)]:
+        m = hi - lo
+        if m:
+            view = pre[offs[lo]: offs[lo] + m * (L + 1)]
+            view.reshape(m, L + 1)[:, :L] = enc[lo:hi]
+        lo = hi
     pre_have = np.zeros(n_reads, np.uint8)
     pre_have[idx] = 1
     cs.pre_baq = pre.ctypes.data_as(u8p)
