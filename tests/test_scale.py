@@ -60,3 +60,33 @@ def test_sharded_column_scaling_efficiency():
             if l.startswith("{")]
     assert rows and rows[-1]["devices"] == 2, out.stdout + out.stderr
     assert rows[-1]["efficiency"] >= 0.8, rows
+
+
+@pytest.mark.skipif(not RUN, reason="set LOFREQ_TPU_SCALE_TESTS=1")
+def test_pseudoclonal_deep_subpercent(tmp_path):
+    """denv2-pseudoclonal-shaped oracle (BASELINE.md rows 1-2): a 10.7 kb
+    genome at 2000x with variants down to 0.5% AF — 0 false positives,
+    every detectable planted SNV recovered, DEFAULT engine config (BAQ on,
+    device screen per backend)."""
+    from simulate import simulate
+
+    from lofreq_tpu.call.caller import VarcallConf
+    from lofreq_tpu.pipelines.call_pipeline import call_and_filter
+
+    art = simulate(str(tmp_path), genome_len=10700, depth=2000, seed=42,
+                   snvs=((0.005, 12), (0.01, 12), (0.05, 12), (0.5, 12)))
+    out = str(tmp_path / "out.vcf")
+    res = call_and_filter(art["bam"], art["fa"], out,
+                          vconf=VarcallConf())
+    got = {(v.pos, v.ref, v.alt) for v in res.vars if not v.is_indel()}
+    truth = {(pos, ref, alt) for pos, ref, alt, af, kind, cnt, dp
+             in art["truth"] if kind == "snv"}
+    truth_pos = {t[0] for t in truth}
+    fps = [c for c in got if c not in truth and c[0] not in truth_pos]
+    assert not fps, f"false positives: {sorted(fps)[:10]}"
+    want = {(pos, ref, alt) for pos, ref, alt, af, kind, cnt, dp
+            in art["truth"] if kind == "snv" and dp
+            and cnt / dp >= 0.005 and cnt >= 10}
+    missed = want - got
+    assert not missed, f"missed: {sorted(missed)}"
+    assert len(want) >= 30  # sub-percent calls actually exercised
