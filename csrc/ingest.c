@@ -16,6 +16,8 @@
 #include <float.h>
 #include <math.h>
 #include <pthread.h>
+#include <stdio.h>
+#include <time.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -639,6 +641,168 @@ static int ingest_threads(void)
  * row_flags bits: 1 is_del, 2 is_refskip, 4 is_head, 8 is_tail, 16 strand,
  *                 32 has_ai, 64 has_ad
  */
+
+/* ---- pass A: collect kept reads, decode scratch, resolve BAQ/IDAQ ---- */
+
+typedef struct {
+    rec_t *recs;
+    int64_t nreads;
+    int64_t seqtot;
+    char *seqs;
+    uint8_t *quals;
+    int64_t *seq_start, *cigar_start, *read_pos;
+    uint32_t *cigars;
+    uint8_t *baq_all, *iaq_all, *daq_all;
+    uint8_t *have;   /* 1 lb, 2 ai, 4 ad */
+} prep_t;
+
+static void prep_free(prep_t *pp)
+{
+    free(pp->recs);
+    free(pp->seqs); free(pp->quals);
+    free(pp->seq_start); free(pp->cigar_start); free(pp->read_pos);
+    free(pp->cigars);
+    free(pp->baq_all); free(pp->iaq_all); free(pp->daq_all);
+    free(pp->have);
+}
+
+static int prep_build(const uint8_t *buf, int64_t buflen,
+                      const ingest_conf_t *conf, const char *ref,
+                      int64_t ref_len, prep_t *pp)
+{
+    memset(pp, 0, sizeof(*pp));
+    /* first collect kept reads (pointers) so BAQ can run as one batch */
+    /* first collect kept reads (pointers) so BAQ can run as one batch */
+    int64_t cap = 1024;
+    rec_t *recs = malloc(cap * sizeof(rec_t));
+    int64_t nreads = 0;
+    int64_t off = 0;
+    int64_t regcur = 0;
+    while (off + 4 <= buflen) {
+        int32_t sz = *(int32_t *)(buf + off);
+        off += 4;
+        rec_t r;
+        if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
+            if (in_region(conf, &regcur, r.pos, rec_endpos(&r))) {
+                if (nreads == cap) {
+                    cap *= 2;
+                    recs = realloc(recs, cap * sizeof(rec_t));
+                }
+                recs[nreads++] = r;
+            }
+        }
+        off += sz;
+    }
+
+    /* per-read scratch: decoded seq chars + (possibly rescaled) quals */
+    int64_t seqtot = 0;
+    for (int64_t i = 0; i < nreads; i++)
+        seqtot += recs[i].l_qseq;
+    char *seqs = malloc(seqtot + 1);
+    uint8_t *quals = malloc(seqtot + 1);
+    int64_t *seq_start = malloc((nreads + 1) * sizeof(int64_t));
+    int64_t *cigar_start = malloc((nreads + 1) * sizeof(int64_t));
+    int64_t *read_pos = malloc((nreads + 1) * sizeof(int64_t));
+    int64_t ncig_tot = 0;
+    seq_start[0] = 0;
+    cigar_start[0] = 0;
+    for (int64_t i = 0; i < nreads; i++) {
+        rec_t *r = &recs[i];
+        int64_t s0 = seq_start[i];
+        for (int j = 0; j < r->l_qseq; j++)
+            seqs[s0 + j] =
+                NT16_CHR[(r->seq4[j >> 1] >> ((~j & 1) << 2)) & 0xf];
+        for (int j = 0; j < r->l_qseq; j++) {
+            uint8_t q = r->qual[j];
+            if (conf->illumina13)
+                q = q > 31 ? q - 31 : 0;
+            quals[s0 + j] = q;
+        }
+        seq_start[i + 1] = s0 + r->l_qseq;
+        ncig_tot += r->n_cigar;
+        cigar_start[i + 1] = ncig_tot;
+        read_pos[i] = r->pos;
+    }
+    uint32_t *cigars = malloc((ncig_tot + 1) * sizeof(uint32_t));
+    for (int64_t i = 0; i < nreads; i++)
+        memcpy(cigars + cigar_start[i], recs[i].cigar,
+               4 * (size_t)recs[i].n_cigar);
+
+    /* BAQ/IDAQ: reuse tags when present, compute otherwise */
+    uint8_t *baq_all = malloc(seqtot + nreads + 1);
+    uint8_t *iaq_all = malloc(seqtot + nreads + 1);
+    uint8_t *daq_all = malloc(seqtot + nreads + 1);
+    memset(baq_all, 0, seqtot + nreads + 1);
+    memset(iaq_all, 0, seqtot + nreads + 1);
+    memset(daq_all, 0, seqtot + nreads + 1);
+    uint8_t *have = calloc(nreads, 1); /* 1 lb, 2 ai, 4 ad */
+    if (conf->use_baq || conf->use_idaq) {
+        uint8_t *want_baq = calloc(nreads, 1);
+        uint8_t *want_idaq = calloc(nreads, 1);
+        for (int64_t i = 0; i < nreads; i++) {
+            rec_t *r = &recs[i];
+            int64_t o = seq_start[i] + i;
+            const uint8_t *t;
+            if (!conf->redo_baq && (t = aux_get(r, "lb")) && *t == 'Z') {
+                memcpy(baq_all + o, t + 1, r->l_qseq);
+                have[i] |= 1;
+            }
+            if (!conf->redo_idaq && (t = aux_get(r, "ai")) && *t == 'Z') {
+                memcpy(iaq_all + o, t + 1, r->l_qseq);
+                have[i] |= 2;
+            }
+            if (!conf->redo_idaq && (t = aux_get(r, "ad")) && *t == 'Z') {
+                memcpy(daq_all + o, t + 1, r->l_qseq);
+                have[i] |= 4;
+            }
+            if (!(have[i] & 1) && conf->pre_have && conf->pre_have[i]) {
+                /* device-computed BAQ spliced in (lb tag wins above) */
+                memcpy(baq_all + o, conf->pre_baq + o, r->l_qseq);
+                have[i] |= 1;
+            }
+            int has_ins = 0, has_del = 0;
+            for (int k = 0; k < r->n_cigar; k++) {
+                int op = r->cigar[k] & 0xf;
+                if (op == OPI) has_ins = 1;
+                if (op == OPD) has_del = 1;
+            }
+            want_baq[i] = conf->use_baq && !(have[i] & 1);
+            int need_ai = conf->use_idaq && has_ins && !(have[i] & 2);
+            int need_ad = conf->use_idaq && has_del && !(have[i] & 4);
+            want_idaq[i] = need_ai || need_ad;
+        }
+        /* run the HMM only for reads needing something */
+        uint8_t *flags = calloc(nreads, 1);
+        lfq_baq_batch(ref, ref_len, nreads, read_pos, cigars, cigar_start,
+                      seqs, quals, seq_start, want_baq, want_idaq,
+                      conf->ext_baq, 0.00001, 0.4,
+                      baq_all, iaq_all, daq_all, flags);
+        for (int64_t i = 0; i < nreads; i++) {
+            if (flags[i] & 1) have[i] |= 1;
+            if (flags[i] & 2) have[i] |= 2;
+            if (flags[i] & 4) have[i] |= 4;
+        }
+        free(want_baq);
+        free(want_idaq);
+        free(flags);
+    }
+
+    pp->recs = recs;
+    pp->nreads = nreads;
+    pp->seqtot = seqtot;
+    pp->seqs = seqs;
+    pp->quals = quals;
+    pp->seq_start = seq_start;
+    pp->cigar_start = cigar_start;
+    pp->read_pos = read_pos;
+    pp->cigars = cigars;
+    pp->baq_all = baq_all;
+    pp->iaq_all = iaq_all;
+    pp->daq_all = daq_all;
+    pp->have = have;
+    return 0;
+}
+
 int64_t lfq_ingest_fill(
     const uint8_t *buf, int64_t buflen, const ingest_conf_t *conf,
     const char *ref, int64_t ref_len,
@@ -928,4 +1092,554 @@ int64_t lfq_extract_reads(
         off += sz;
     }
     return i;
+}
+
+/* ---- fused ingest->columns (default SNV path) -------------------------
+ *
+ * One pass from raw BAM records to per-column outputs, skipping the row
+ * materialization entirely: at 100 kb x 800x the row arrays are ~4 GB
+ * written + ~4 GB re-read by the separate column builder; the fused pass
+ * touches ~0.5 GB.  Per-row semantics replicate csrc/columns.c's
+ * process_position exactly (same filters, merge, counts, consensus,
+ * light indel accounting) — equality-tested against the two-pass path.
+ *
+ * Threading: position stripes (each thread walks all reads overlapping
+ * its stripe, clipped), so per-column arrival order stays read order —
+ * identical to the row path's stable counting sort.
+ *
+ * colconf layout MUST stay in sync with columns.c / fast_columns.py. */
+
+typedef struct {
+    int32_t min_plp_bq;
+    int32_t min_bq, min_alt_bq, def_alt_bq;
+    int32_t min_jq, min_alt_jq, def_alt_jq;
+    int32_t use_baq, use_mq, use_sq;
+    int32_t min_plp_idq;
+    int32_t max_depth;
+    int32_t baq_bias;
+    double mq0_errprob;
+} icolconf_t;
+
+static double iq2p_tab[256];
+static pthread_once_t iq2p_once = PTHREAD_ONCE_INIT;
+static void iq2p_init(void)
+{
+    for (int i = 0; i < 256; i++)
+        iq2p_tab[i] = pow(10.0, -1.0 * i / 10.0);
+}
+
+static inline double iq2p8(int q) { return iq2p_tab[q & 0xff]; }
+
+static inline double iq2p_full(int32_t q)
+{
+    if (q < 0)
+        return 0.0;
+    if (q < 256)
+        return iq2p8(q);
+    return pow(10.0, -1.0 * (double)q / 10.0);
+}
+
+/* per-read precomputed fields for the fused pass */
+typedef struct {
+    int64_t endpos;
+    int32_t sq;
+    int16_t mq;
+    uint8_t strand;
+    const uint8_t *bi, *bd;   /* BI/BD tag values or NULL */
+} readinfo_t;
+
+typedef struct {
+    const prep_t *pp;
+    const readinfo_t *ri;
+    const ingest_conf_t *iconf;
+    const icolconf_t *cf;
+    int64_t win_beg, win_len;
+    const char *ref;
+    int64_t ref_len;
+    const int64_t *offset;        /* capped row-count prefix [W+1] */
+    const int64_t *cols_before;   /* [W+1] */
+    int64_t *cur;                 /* probs write cursor per position [W] */
+    int64_t *seen;                /* rows seen per position (depth cap) */
+    uint8_t *tagbuf;              /* nt4 tag per written prob slot */
+    /* outputs (indexed by column id = cols_before[p]) */
+    int64_t *o_num_bases, *o_heads, *o_tails;
+    uint8_t *o_cons_nt4;
+    int64_t *o_fw, *o_rv, *o_alt_cnt, *o_alt_raw;
+    double *o_probs;
+    int64_t *o_num_ins, *o_num_dels, *o_num_non_indels, *o_num_ign;
+    int64_t *o_ins_ne_sum, *o_del_ne_sum, *o_ins_ev_max, *o_del_ev_max;
+    double *bc;                   /* consensus accumulators [W*5] */
+    const uint8_t *o_ref_nt4;     /* per-column ref codes (read-only) */
+    int64_t p_beg, p_end;         /* this stripe */
+} fusedctx_t;
+
+/* classify one row's light indel contribution (plp.c:1062-1192 via
+ * columns.c): kind 0 = none, 1 = ins, 2 = del; is_del_row marks
+ * deletion-span rows (refskip rows are NOT is_del for the ign check) */
+static inline void fused_indel_acct(const fusedctx_t *fx, int64_t ci,
+                                    int iqv, int dqv, int kind,
+                                    int is_del_row)
+{
+    const icolconf_t *cf = fx->cf;
+    if (iqv < cf->min_plp_idq || dqv < cf->min_plp_idq) {
+        if (kind != 0 || is_del_row)
+            fx->o_num_ign[ci]++;
+        return;
+    }
+    if (kind == 1) {
+        fx->o_num_ins[ci]++;
+        fx->o_ins_ev_max[ci] += iqv;
+        fx->o_del_ne_sum[ci] += dqv;
+    } else if (kind == 2) {
+        fx->o_num_dels[ci]++;
+        fx->o_del_ev_max[ci] += dqv;
+        fx->o_ins_ne_sum[ci] += iqv;
+    } else {
+        fx->o_num_non_indels[ci]++;
+        fx->o_ins_ne_sum[ci] += iqv;
+        fx->o_del_ne_sum[ci] += dqv;
+    }
+}
+
+/* one base row at window position p (0-based); returns nothing.  Mirrors
+ * the !is_del && !is_skip branch of columns.c:process_position. */
+static inline void fused_base_row(const fusedctx_t *fx, int64_t p,
+                                  int64_t i, int64_t qp,
+                                  int is_head, int is_tail)
+{
+    const prep_t *pp = fx->pp;
+    const icolconf_t *cf = fx->cf;
+    const readinfo_t *r = &fx->ri[i];
+    int64_t ci = fx->cols_before[p];
+    int b = pp->quals[pp->seq_start[i] + qp];
+    if (is_head)
+        fx->o_heads[ci]++;
+    if (is_tail)
+        fx->o_tails[ci]++;
+    if (b < cf->min_plp_bq)
+        return;
+    fx->o_num_bases[ci]++;
+    int bb = b > 93 ? 93 : b;
+    char qc = pp->seqs[pp->seq_start[i] + qp];
+    uint8_t n4 = CODE256[(uint8_t)qc];
+    if (r->strand)
+        fx->o_rv[ci * 5 + n4]++;
+    else
+        fx->o_fw[ci * 5 + n4]++;
+    double incr = 1.0 - iq2p8(bb);
+    if (incr == 0.0)
+        incr = DBL_MIN;
+    fx->bc[p * 5 + n4] += incr;
+    if (n4 == 4)
+        return;
+    uint8_t ref4 = fx->o_ref_nt4[ci];
+    int is_alt = n4 != ref4;
+    if (is_alt)
+        fx->o_alt_raw[ci * 5 + n4]++;
+    if (bb < cf->min_bq || (is_alt && bb < cf->min_alt_bq))
+        return;
+    int use_b = bb;
+    if (is_alt && cf->def_alt_bq > 0)
+        use_b = cf->def_alt_bq;
+    int32_t mqe = cf->use_mq ? (r->mq == 255 ? -1 : r->mq) : -1;
+    int32_t bqe = -1;
+    if (cf->use_baq && (pp->have[i] & 1)) {
+        bqe = (int32_t)pp->baq_all[pp->seq_start[i] + i + qp] - 33;
+        if (bqe >= 0 && cf->baq_bias)
+            bqe += cf->baq_bias;
+    } else if (cf->use_baq) {
+        bqe = -1;
+    }
+    int32_t sqe = cf->use_sq ? r->sq : -1;
+    double spv = iq2p_full(sqe);
+    double mpv = (mqe == 0) ? cf->mq0_errprob : iq2p_full(mqe);
+    double bav = iq2p_full(bqe);
+    double bpv = iq2p_full(use_b);
+    double mp = mpv + (1.0 - mpv) * spv + (1 - mpv) * (1 - spv) * bav +
+        (1 - mpv) * (1 - spv) * (1 - bav) * bpv;
+    if (cf->min_jq > 0 || cf->min_alt_jq > 0) {
+        int mqual = mp <= 0.0 ? 2147483647
+            : (int)(-10.0L * log10l((long double)mp));
+        if (mqual < cf->min_jq)
+            return;
+        if (is_alt && mqual < cf->min_alt_jq)
+            return;
+    }
+    if (is_alt && cf->def_alt_jq > 0)
+        mp = iq2p8(cf->def_alt_jq);
+    if (is_alt)
+        fx->o_alt_cnt[ci * 5 + n4]++;
+    int64_t slot = fx->cur[p]++;
+    fx->tagbuf[slot] = n4;
+    fx->o_probs[slot] = mp;
+}
+
+static void fused_stripe(fusedctx_t *fx)
+{
+    const prep_t *pp = fx->pp;
+    const icolconf_t *cf = fx->cf;
+    int64_t gp0 = fx->win_beg + fx->p_beg, gp1 = fx->win_beg + fx->p_end;
+    int64_t maxd = cf->max_depth > 0 ? cf->max_depth : INT64_MAX;
+    for (int64_t i = 0; i < pp->nreads; i++) {
+        const rec_t *r = &pp->recs[i];
+        const readinfo_t *ri = &fx->ri[i];
+        if (r->pos >= gp1 || ri->endpos <= gp0)
+            continue;
+        int64_t s0 = pp->seq_start[i];
+        int64_t first_emit = r->pos;           /* head row position */
+        int64_t last_emit = ri->endpos - 1;    /* tail row position */
+        int64_t x = r->pos;
+        int64_t y = 0;
+        int prev_aligned = 0, emitted = 0;
+        /* deferred last-M-row indel classification */
+        int have_defer = 0;
+        int64_t defer_p = 0, defer_qp = 0;
+        for (int k = 0; k < r->n_cigar; k++) {
+            int op = r->cigar[k] & 0xf;
+            int64_t l = r->cigar[k] >> 4;
+            if (op == OPM || op == OPEQ || op == OPX) {
+                if (have_defer) {  /* previous M ended at a non-indel op */
+                    have_defer = 0;
+                    if (defer_p >= fx->p_beg && defer_p < fx->p_end) {
+                        int64_t ci = fx->cols_before[defer_p];
+                        int iqv = ri->bi ? (int)ri->bi[defer_qp] - 33 : 0;
+                        int dqv = ri->bd ? (int)ri->bd[defer_qp] - 33 : 0;
+                        fused_indel_acct(fx, ci, iqv, dqv, 0, 0);
+                    }
+                }
+                for (int64_t j = 0; j < l; j++) {
+                    int64_t gp = x + j;
+                    int64_t p = gp - fx->win_beg;
+                    int64_t qp = y + j;
+                    int last_of_run = (j == l - 1);
+                    if (p >= fx->p_beg && p < fx->p_end) {
+                        if (fx->seen[p] >= maxd) {
+                            /* beyond depth cap: row fully ignored */
+                        } else {
+                            fx->seen[p]++;
+                            fused_base_row(fx, p, i, qp,
+                                           gp == first_emit,
+                                           gp == last_emit);
+                            int64_t ci = fx->cols_before[p];
+                            if (!last_of_run) {
+                                int iqv = ri->bi ? (int)ri->bi[qp] - 33 : 0;
+                                int dqv = ri->bd ? (int)ri->bd[qp] - 33 : 0;
+                                fused_indel_acct(fx, ci, iqv, dqv, 0, 0);
+                            } else {
+                                have_defer = 1;
+                                defer_p = p;
+                                defer_qp = qp;
+                            }
+                        }
+                    } else if (last_of_run) {
+                        have_defer = 0;  /* out-of-stripe row */
+                    }
+                }
+                x += l;
+                y += l;
+                prev_aligned = 1;
+                emitted = 1;
+            } else if (op == OPI) {
+                if (prev_aligned && emitted) {
+                    if (have_defer) {
+                        have_defer = 0;
+                        int64_t ci = fx->cols_before[defer_p];
+                        int iqv = ri->bi ? (int)ri->bi[defer_qp] - 33 : 0;
+                        int dqv = ri->bd ? (int)ri->bd[defer_qp] - 33 : 0;
+                        fused_indel_acct(fx, ci, iqv, dqv, 1, 0);
+                    }
+                }
+                y += l;
+                prev_aligned = 0;
+            } else if (op == OPD || op == OPN) {
+                int is_d = (op == OPD);
+                if (is_d && prev_aligned && emitted && have_defer) {
+                    have_defer = 0;
+                    int64_t ci = fx->cols_before[defer_p];
+                    int iqv = ri->bi ? (int)ri->bi[defer_qp] - 33 : 0;
+                    int dqv = ri->bd ? (int)ri->bd[defer_qp] - 33 : 0;
+                    fused_indel_acct(fx, ci, iqv, dqv, 2, 0);
+                } else if (have_defer) {
+                    have_defer = 0;
+                    int64_t ci = fx->cols_before[defer_p];
+                    int iqv = ri->bi ? (int)ri->bi[defer_qp] - 33 : 0;
+                    int dqv = ri->bd ? (int)ri->bd[defer_qp] - 33 : 0;
+                    fused_indel_acct(fx, ci, iqv, dqv, 0, 0);
+                }
+                int64_t qpd = y > 0 ? y - 1 : 0;
+                int iqv = ri->bi ? (int)ri->bi[qpd] - 33 : 0;
+                int dqv = ri->bd ? (int)ri->bd[qpd] - 33 : 0;
+                for (int64_t j = 0; j < l; j++) {
+                    int64_t gp = x + j;
+                    int64_t p = gp - fx->win_beg;
+                    if (p < fx->p_beg || p >= fx->p_end)
+                        continue;
+                    if (fx->seen[p] >= maxd)
+                        continue;
+                    fx->seen[p]++;
+                    int64_t ci = fx->cols_before[p];
+                    /* del/refskip rows: no base stats, only indel acct;
+                     * head/tail flags only count on base rows */
+                    fused_indel_acct(fx, ci, iqv, dqv, 0, is_d);
+                }
+                x += l;
+                prev_aligned = 0;
+                emitted = 1;
+            } else if (op == OPS) {
+                y += l;
+                prev_aligned = 0;
+            } else {
+                prev_aligned = 0;
+            }
+        }
+        if (have_defer && defer_p >= fx->p_beg && defer_p < fx->p_end) {
+            int64_t ci = fx->cols_before[defer_p];
+            int iqv = ri->bi ? (int)ri->bi[defer_qp] - 33 : 0;
+            int dqv = ri->bd ? (int)ri->bd[defer_qp] - 33 : 0;
+            fused_indel_acct(fx, ci, iqv, dqv, 0, 0);
+        }
+    }
+    /* per-column: regroup probs by nt4 (stable), write cons argmax */
+    int64_t span = fx->offset[fx->p_end] - fx->offset[fx->p_beg];
+    if (span < 1)
+        span = 1;
+    double *scratch = malloc(span * sizeof(double));
+    for (int64_t p = fx->p_beg; p < fx->p_end; p++) {
+        int64_t ci = fx->cols_before[p];
+        if (fx->cols_before[p + 1] == ci)
+            continue;  /* no coverage */
+        int64_t lo = fx->offset[p], hi = fx->cur[p];
+        int64_t np = hi - lo;
+        if (np > 1) {
+            int64_t cnt[4] = {0}, off4[4];
+            for (int64_t k = lo; k < hi; k++)
+                cnt[fx->tagbuf[k]]++;
+            off4[0] = 0;
+            for (int k2 = 1; k2 < 4; k2++)
+                off4[k2] = off4[k2 - 1] + cnt[k2 - 1];
+            for (int64_t k = lo; k < hi; k++)
+                scratch[off4[fx->tagbuf[k]]++] = fx->o_probs[k];
+            memcpy(fx->o_probs + lo, scratch, np * sizeof(double));
+        }
+        int mx = 0;
+        const double *bcp = fx->bc + p * 5;
+        for (int k2 = 1; k2 < 5; k2++)
+            if (bcp[k2] > bcp[mx])
+                mx = k2;
+        fx->o_cons_nt4[ci] = (uint8_t)mx;
+    }
+    free(scratch);
+}
+
+static void *fused_worker(void *arg)
+{
+    fused_stripe((fusedctx_t *)arg);
+    return NULL;
+}
+
+int64_t lfq_ingest_columns(
+    const uint8_t *buf, int64_t buflen, const ingest_conf_t *iconf,
+    const icolconf_t *cf, int64_t win_beg, int64_t win_end,
+    const char *ref, int64_t ref_len,
+    int64_t *o_positions, int64_t *o_coverage, int64_t *o_num_bases,
+    int64_t *o_heads, int64_t *o_tails, uint8_t *o_ref_nt4,
+    uint8_t *o_cons_nt4, int64_t *o_fw, int64_t *o_rv,
+    int64_t *o_alt_cnt, int64_t *o_alt_raw,
+    int64_t *o_col_start, double *o_probs,
+    int64_t *o_num_ins, int64_t *o_num_dels, int64_t *o_num_non_indels,
+    int64_t *o_num_ign, int64_t *o_ins_ne_sum, int64_t *o_del_ne_sum,
+    int64_t *o_ins_ev_max, int64_t *o_del_ev_max)
+{
+    int64_t win_len = win_end - win_beg;
+    if (win_len <= 0)
+        return 0;
+    pthread_once(&iq2p_once, iq2p_init);
+    pthread_once(&code256_once, code256_init);
+
+    struct timespec _ts; double _t0, _t1;
+    const char *_dbg = getenv("LOFREQ_FUSED_PHASE");
+    clock_gettime(CLOCK_MONOTONIC, &_ts); _t0 = _ts.tv_sec + 1e-9*_ts.tv_nsec;
+    #define FPH(name) do { if (_dbg) { clock_gettime(CLOCK_MONOTONIC, &_ts); _t1 = _ts.tv_sec + 1e-9*_ts.tv_nsec; fprintf(stderr, "FUSED %s: %.2f\n", name, _t1-_t0); _t0 = _t1; } } while (0)
+    prep_t pp;
+    if (prep_build(buf, buflen, iconf, ref, ref_len, &pp) != 0)
+        return -1;
+    int64_t n = pp.nreads;
+    FPH("prep");
+
+    /* per-read fields + raw per-position counts */
+    readinfo_t *ri = malloc((n ? n : 1) * sizeof(readinfo_t));
+    int64_t *count = calloc(win_len + 1, sizeof(int64_t));
+    for (int64_t i = 0; i < n; i++) {
+        const rec_t *r = &pp.recs[i];
+        readinfo_t *q = &ri[i];
+        q->endpos = rec_endpos(r);
+        q->mq = r->mapq > iconf->max_mq ? iconf->max_mq : r->mapq;
+        q->strand = (r->flag & XFREVERSE) ? 1 : 0;
+        q->sq = -1;
+        const uint8_t *t;
+        q->bi = ((t = aux_get(r, "BI")) && *t == 'Z') ? t + 1 : NULL;
+        q->bd = ((t = aux_get(r, "BD")) && *t == 'Z') ? t + 1 : NULL;
+        const uint8_t *sqt = aux_get(r, "sq");
+        if (sqt)
+            q->sq = (int32_t)aux_int(sqt);
+        else if (iconf->use_sq)
+            q->sq = source_qual_one(r, ref, ref_len, iconf->def_nm_q,
+                                    iconf->sq_min_bq, iconf);
+        /* raw per-position row counts (all row kinds) */
+        int64_t x = r->pos;
+        for (int k = 0; k < r->n_cigar; k++) {
+            int op = r->cigar[k] & 0xf;
+            int64_t l = r->cigar[k] >> 4;
+            if (op == OPM || op == OPEQ || op == OPX ||
+                op == OPD || op == OPN) {
+                int64_t a = x - win_beg, b = x + l - win_beg;
+                if (a < 0) a = 0;
+                if (b > win_len) b = win_len;
+                for (int64_t p = a; p < b; p++)
+                    count[p + 1]++;
+                x += l;
+            }
+        }
+    }
+    FPH("count");
+    int64_t maxd = cf->max_depth > 0 ? cf->max_depth : INT64_MAX;
+    int64_t *offset = malloc((win_len + 1) * sizeof(int64_t));
+    int64_t *cols_before = malloc((win_len + 1) * sizeof(int64_t));
+    offset[0] = 0;
+    cols_before[0] = 0;
+    for (int64_t p = 0; p < win_len; p++) {
+        int64_t c = count[p + 1];
+        if (c > maxd)
+            c = maxd;
+        offset[p + 1] = offset[p] + c;
+        cols_before[p + 1] = cols_before[p] + (count[p + 1] > 0);
+    }
+    int64_t total = offset[win_len];
+    int64_t C = cols_before[win_len];
+    if (C == 0) {
+        o_col_start[0] = 0;
+        free(ri); free(count); free(offset); free(cols_before);
+        prep_free(&pp);
+        return 0;
+    }
+
+    /* per-column setup + zero the accumulated outputs */
+    for (int64_t p = 0; p < win_len; p++) {
+        if (count[p + 1] == 0)
+            continue;
+        int64_t ci = cols_before[p];
+        int64_t gp = win_beg + p;
+        o_positions[ci] = gp;
+        int64_t c = count[p + 1];
+        o_coverage[ci] = c > maxd ? maxd : c;
+        char refc = (gp < ref_len) ? ref[gp] : 'N';
+        o_ref_nt4[ci] = CODE256[(uint8_t)refc] > 3
+            ? 4 : CODE256[(uint8_t)refc];
+    }
+    memset(o_num_bases, 0, C * sizeof(int64_t));
+    memset(o_heads, 0, C * sizeof(int64_t));
+    memset(o_tails, 0, C * sizeof(int64_t));
+    memset(o_fw, 0, C * 5 * sizeof(int64_t));
+    memset(o_rv, 0, C * 5 * sizeof(int64_t));
+    memset(o_alt_cnt, 0, C * 5 * sizeof(int64_t));
+    memset(o_alt_raw, 0, C * 5 * sizeof(int64_t));
+    memset(o_num_ins, 0, C * sizeof(int64_t));
+    memset(o_num_dels, 0, C * sizeof(int64_t));
+    memset(o_num_non_indels, 0, C * sizeof(int64_t));
+    memset(o_num_ign, 0, C * sizeof(int64_t));
+    memset(o_ins_ne_sum, 0, C * sizeof(int64_t));
+    memset(o_del_ne_sum, 0, C * sizeof(int64_t));
+    memset(o_ins_ev_max, 0, C * sizeof(int64_t));
+    memset(o_del_ev_max, 0, C * sizeof(int64_t));
+
+    int64_t *cur = malloc(win_len * sizeof(int64_t));
+    memcpy(cur, offset, win_len * sizeof(int64_t));
+    int64_t *seen = calloc(win_len, sizeof(int64_t));
+    uint8_t *tagbuf = malloc((total ? total : 1));
+    double *bc = calloc((size_t)win_len * 5, sizeof(double));
+
+    fusedctx_t base = {
+        .pp = &pp, .ri = ri, .iconf = iconf, .cf = cf,
+        .win_beg = win_beg, .win_len = win_len,
+        .ref = ref, .ref_len = ref_len,
+        .offset = offset, .cols_before = cols_before,
+        .cur = cur, .seen = seen, .tagbuf = tagbuf,
+        .o_num_bases = o_num_bases, .o_heads = o_heads,
+        .o_tails = o_tails, .o_cons_nt4 = o_cons_nt4,
+        .o_fw = o_fw, .o_rv = o_rv, .o_alt_cnt = o_alt_cnt,
+        .o_alt_raw = o_alt_raw, .o_probs = o_probs,
+        .o_num_ins = o_num_ins, .o_num_dels = o_num_dels,
+        .o_num_non_indels = o_num_non_indels, .o_num_ign = o_num_ign,
+        .o_ins_ne_sum = o_ins_ne_sum, .o_del_ne_sum = o_del_ne_sum,
+        .o_ins_ev_max = o_ins_ev_max, .o_del_ev_max = o_del_ev_max,
+        .bc = bc, .o_ref_nt4 = o_ref_nt4,
+    };
+
+    FPH("setup");
+    int nth = ingest_threads();
+    if ((int64_t)nth > C)
+        nth = (int)C;
+    if (total < 65536)
+        nth = 1;
+    fusedctx_t stripes[64];
+    int n_st = 0;
+    {
+        int64_t p_cur = 0;
+        for (int t = 0; t < nth && p_cur < win_len; t++) {
+            int64_t target = (total * (int64_t)(t + 1)) / nth;
+            int64_t p_end = p_cur;
+            while (p_end < win_len && offset[p_end] < target)
+                p_end++;
+            if (t == nth - 1)
+                p_end = win_len;
+            if (p_end > p_cur) {
+                stripes[n_st] = base;
+                stripes[n_st].p_beg = p_cur;
+                stripes[n_st].p_end = p_end;
+                n_st++;
+                p_cur = p_end;
+            }
+        }
+        if (p_cur < win_len && n_st)
+            stripes[n_st - 1].p_end = win_len;
+    }
+    if (n_st <= 1) {
+        if (n_st)
+            fused_stripe(&stripes[0]);
+    } else {
+        pthread_t tids[64];
+        int started[64] = {0};
+        for (int t = 1; t < n_st; t++)
+            started[t] = pthread_create(&tids[t], NULL, fused_worker,
+                                        &stripes[t]) == 0;
+        fused_stripe(&stripes[0]);
+        for (int t = 1; t < n_st; t++) {
+            if (started[t])
+                pthread_join(tids[t], NULL);
+            else
+                fused_stripe(&stripes[t]);
+        }
+    }
+
+    FPH("stripes");
+    /* compact per-position prob regions into a dense CSR */
+    int64_t dense = 0;
+    for (int64_t p = 0; p < win_len; p++) {
+        if (count[p + 1] == 0)
+            continue;
+        int64_t ci = cols_before[p];
+        int64_t np = cur[p] - offset[p];
+        if (offset[p] != dense && np)
+            memmove(o_probs + dense, o_probs + offset[p],
+                    (size_t)np * sizeof(double));
+        o_col_start[ci] = dense;
+        dense += np;
+    }
+    o_col_start[C] = dense;
+
+    FPH("compact");
+    free(ri); free(count); free(offset); free(cols_before);
+    free(cur); free(seen); free(tagbuf); free(bc);
+    prep_free(&pp);
+    return C;
 }

@@ -39,6 +39,24 @@ def supports_fused(vconf) -> bool:
     return vconf.def_alt_bq != -1
 
 
+def colconf_struct(pconf: PileupConf, vconf) -> _ColConf:
+    return _ColConf(
+        min_plp_bq=pconf.min_plp_bq,
+        min_bq=vconf.min_bq, min_alt_bq=vconf.min_alt_bq,
+        def_alt_bq=vconf.def_alt_bq,
+        min_jq=vconf.min_jq, min_alt_jq=vconf.min_alt_jq,
+        def_alt_jq=vconf.def_alt_jq,
+        use_baq=1 if vconf.use_baq else 0,
+        use_mq=1 if vconf.use_mq else 0,
+        use_sq=1 if vconf.use_sq else 0,
+        min_plp_idq=pconf.min_plp_idq,
+        max_depth=pconf.max_depth if pconf.max_depth
+        and pconf.max_depth < (1 << 30) else 0,
+        baq_bias=getattr(vconf, "baq_screen_bias", 0),
+        mq0_errprob=D.MQ0_ERRPROB,
+    )
+
+
 def _i64p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
@@ -57,21 +75,7 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
     if n == 0:
         return None
     win_len = int(win_end - win_beg)
-    cf = _ColConf(
-        min_plp_bq=pconf.min_plp_bq,
-        min_bq=vconf.min_bq, min_alt_bq=vconf.min_alt_bq,
-        def_alt_bq=vconf.def_alt_bq,
-        min_jq=vconf.min_jq, min_alt_jq=vconf.min_alt_jq,
-        def_alt_jq=vconf.def_alt_jq,
-        use_baq=1 if vconf.use_baq else 0,
-        use_mq=1 if vconf.use_mq else 0,
-        use_sq=1 if vconf.use_sq else 0,
-        min_plp_idq=pconf.min_plp_idq,
-        max_depth=pconf.max_depth if pconf.max_depth
-        and pconf.max_depth < (1 << 30) else 0,
-        baq_bias=getattr(vconf, "baq_screen_bias", 0),
-        mq0_errprob=D.MQ0_ERRPROB,
-    )
+    cf = colconf_struct(pconf, vconf)
     W = win_len
     gen = pool.next_gen() if pool is not None else None
     tk = SlabPool.take
@@ -175,6 +179,15 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
                 key = max(per_col_del[p], key=per_col_del[p].get)
                 cons_indel[ci] = ("-", key)
 
+    batch = _batch_from_out(out, C, cons_indel, target)
+    if pconf.collect_indels:
+        _attach_indels(batch, rows, pconf, ref)
+    return batch
+
+
+def _batch_from_out(out, C, cons_indel, target) -> ColumnBatch:
+    """ColumnBatch + ep bundle from the native column output arrays
+    (shared by the row-path builder and the fused ingest->columns path)."""
     z = np.zeros(0, dtype=np.int64)
     batch = ColumnBatch(
         target=target,
@@ -206,7 +219,6 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
         non_del_fw_rv=np.zeros((C, 2), np.int64),
         has_indel_aqs=np.zeros(C, bool),
     )
-    # precomputed errprob bundle for call_snvs_batch
     alt_nt = np.array(
         [[b for b in range(4) if b != r] if r < 4 else [0, 1, 2]
          for r in range(5)], dtype=np.int64
@@ -222,9 +234,34 @@ def build_snv_batch(rows, flags_raw, win_beg, win_end, ref: bytes,
         alt_counts=out["alt_cnt"][: C * 5].reshape(C, 5)[rowsC, alt_nt],
         alt_raw_counts=out["alt_raw"][: C * 5].reshape(C, 5)[rowsC, alt_nt],
     )
-    if pconf.collect_indels:
-        _attach_indels(batch, rows, pconf, ref)
     return batch
+
+
+def build_snv_batch_fused(rdr, ref: bytes, target: str, tid: int, beg, end,
+                          pconf: PileupConf, vconf, raw=None, ign_pos=None,
+                          device_baq=None, pool=None, keep_raw=False):
+    """Fused ingest->columns (csrc/ingest.c:lfq_ingest_columns) for the
+    SNV-only default path: raw records straight to a ColumnBatch with no
+    row materialization.  Returns (batch_or_None, ok); ok=False means a
+    consensus-indel recheck needs per-event rows — the caller falls back
+    to the two-pass row path for this window (rare: indel-dominant
+    columns)."""
+    from .native_ingest import ingest_columns
+
+    cf = colconf_struct(pconf, vconf)
+    out, C, raw = ingest_columns(rdr, pconf, cf, ref, tid, beg, end,
+                                 raw=raw, ign_pos=ign_pos,
+                                 device_baq=device_baq, pool=pool)
+    if out is None:
+        return None, True
+    flag = (out["ins_ev"][:C] > out["ins_ne"][:C]) | \
+           (out["del_ev"][:C] > out["del_ne"][:C])
+    if flag.any():
+        return None, False
+    batch = _batch_from_out(out, C, [None] * C, target)
+    if keep_raw:
+        batch.raw = raw
+    return batch, True
 
 
 def _attach_indels(batch, rows, pconf: PileupConf, ref: bytes):

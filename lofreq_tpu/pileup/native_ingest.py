@@ -315,3 +315,99 @@ def ingest_region(rdr: BamReader, conf: PileupConf, ref: bytes,
     if keep_raw:
         rr.raw = raw
     return rr
+
+
+def ingest_columns(rdr: BamReader, pconf: PileupConf, colconf_struct,
+                   ref: bytes, tid: int, beg, end,
+                   raw: bytes = None, ign_pos=None, device_baq=None,
+                   pool: SlabPool = None, reg_list=None):
+    """Fused ingest->columns: raw BAM records straight to per-column
+    outputs (csrc/ingest.c:lfq_ingest_columns), skipping the row
+    materialization — the default SNV call path.  Returns
+    (out_dict, C, raw) or (None, 0, raw) when empty; out matches
+    fast_columns.build_snv_batch's native output layout."""
+    from ..core import stagetimer
+
+    lib = get_lib()
+    if raw is None:
+        with stagetimer.stage("ingest.raw"):
+            raw = raw_records_for_region(rdr, tid, beg, end)
+    if not raw:
+        return None, 0, raw
+    ign_arr = None
+    if ign_pos is not None and len(ign_pos):
+        ign_arr = np.ascontiguousarray(np.asarray(sorted(ign_pos)),
+                                       dtype=np.int64)
+    cs = _conf_struct(pconf, tid, beg, end, ign_arr=ign_arr,
+                      reg_list=reg_list)
+    cs._ign_keepalive = ign_arr
+    counts = np.zeros(5, dtype=np.int64)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    with stagetimer.stage("ingest.count"):
+        rc = lib.lfq_ingest_count(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(raw)), ctypes.byref(cs),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    if rc != 0:
+        raise IOError("native ingest: corrupt BAM record stream")
+    n_reads, n_rows = int(counts[0]), int(counts[1])
+    if n_rows == 0:
+        return None, 0, raw
+    if device_baq is not None and pconf.use_baq and n_reads > 0:
+        cs._pre_keepalive = _splice_device_baq(lib, buf, raw, cs, ref,
+                                               n_reads, device_baq)
+
+    W = int(end - beg)
+    gen = pool.next_gen() if pool is not None else None
+    tk = SlabPool.take
+    out = dict(
+        positions=tk(gen, "positions", W, np.int64),
+        coverage=tk(gen, "coverage", W, np.int64),
+        num_bases=tk(gen, "num_bases", W, np.int64),
+        heads=tk(gen, "heads", W, np.int64),
+        tails=tk(gen, "tails", W, np.int64),
+        ref_nt4=tk(gen, "ref_nt4", W, np.uint8),
+        cons_nt4=tk(gen, "cons_nt4", W, np.uint8),
+        fw=tk(gen, "fw", W * 5, np.int64),
+        rv=tk(gen, "rv", W * 5, np.int64),
+        alt_cnt=tk(gen, "alt_cnt", W * 5, np.int64),
+        alt_raw=tk(gen, "alt_raw", W * 5, np.int64),
+        col_start=tk(gen, "col_start", W + 1, np.int64),
+        probs=tk(gen, "probs", n_rows, np.float64),
+        num_ins=tk(gen, "num_ins", W, np.int64),
+        num_dels=tk(gen, "num_dels", W, np.int64),
+        num_non=tk(gen, "num_non", W, np.int64),
+        num_ign=tk(gen, "num_ign", W, np.int64),
+        ins_ne=tk(gen, "ins_ne", W, np.int64),
+        del_ne=tk(gen, "del_ne", W, np.int64),
+        ins_ev=tk(gen, "ins_ev", W, np.int64),
+        del_ev=tk(gen, "del_ev", W, np.int64),
+    )
+
+    def i64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    f64 = ctypes.POINTER(ctypes.c_double)
+    lib.lfq_ingest_columns.restype = ctypes.c_int64
+    with stagetimer.stage("ingest.columns"):
+        C = lib.lfq_ingest_columns(
+            buf.ctypes.data_as(u8), ctypes.c_int64(len(raw)),
+            ctypes.byref(cs), ctypes.byref(colconf_struct),
+            ctypes.c_int64(beg), ctypes.c_int64(end),
+            ref, ctypes.c_int64(len(ref)),
+            i64(out["positions"]), i64(out["coverage"]),
+            i64(out["num_bases"]), i64(out["heads"]), i64(out["tails"]),
+            out["ref_nt4"].ctypes.data_as(u8),
+            out["cons_nt4"].ctypes.data_as(u8),
+            i64(out["fw"]), i64(out["rv"]),
+            i64(out["alt_cnt"]), i64(out["alt_raw"]),
+            i64(out["col_start"]), out["probs"].ctypes.data_as(f64),
+            i64(out["num_ins"]), i64(out["num_dels"]), i64(out["num_non"]),
+            i64(out["num_ign"]), i64(out["ins_ne"]), i64(out["del_ne"]),
+            i64(out["ins_ev"]), i64(out["del_ev"]),
+        )
+    if C < 0:
+        raise IOError("native fused ingest failed")
+    return (out if C else None), int(C), raw

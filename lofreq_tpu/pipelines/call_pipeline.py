@@ -128,23 +128,65 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     if ign_pos:
         ign_arr = _np.asarray(sorted(ign_pos), dtype=_np.int64)
 
+    from ..pileup.fast_columns import build_snv_batch_fused
     from ..pileup.native_ingest import SlabPool
 
     row_pool = SlabPool(2)   # one generation consumed, one prefetched
     col_pool = SlabPool(2)
+    # fully-fused ingest->columns path (no row materialization) covers the
+    # SNV-only default; indel mode needs the per-event rows
+    fused_snv = fused and vconf is not None and vconf.no_indels
+
+    def _fused_window(w):
+        from ..core import stagetimer
+
+        b, e = max(w, lo), min(w + window, hi)
+        with stagetimer.stage("ingest_columns"):
+            batch, ok = build_snv_batch_fused(
+                rdr, ref, chrom, tid, b, e, pconf, vconf,
+                ign_pos=ign_arr, device_baq=device_baq, pool=col_pool,
+                keep_raw=device_baq is not None)
+        if not ok:
+            # rare: a consensus-indel recheck needs per-event rows
+            rows = ingest_region(rdr, pconf, ref, tid, beg=b, end=e,
+                                 ign_pos=ign_arr, device_baq=device_baq,
+                                 pool=row_pool,
+                                 keep_raw=device_baq is not None)
+            from ..pileup.fast_columns import build_snv_batch
+
+            batch = build_snv_batch(rows, rows.raw_flags, b, e, ref,
+                                    chrom, pconf, vconf, pool=col_pool)
+            if batch is not None:
+                batch.raw = getattr(rows, "raw", None)
+        return batch
 
     def _submit(w):
+        if fused_snv:
+            return ex.submit(_fused_window, w)
         return ex.submit(ingest_region, rdr, pconf, ref, tid,
                          beg=max(w, lo), end=min(w + window, hi),
                          ign_pos=ign_arr, device_baq=device_baq,
                          pool=row_pool, keep_raw=device_baq is not None)
 
+    from ..core import stagetimer
+
     try:
         fut = _submit(win) if win < hi else None
-        for _batch in _native_window_loop(
-                fut, _submit, win, hi, window, lo, fused, rdr, tid, chrom,
-                ref, pconf, vconf, col_pool):
-            yield _batch
+        if fused_snv:
+            while win < hi:
+                win_e = win + window
+                with stagetimer.stage("ingest_wait"):
+                    batch = fut.result()
+                if win_e < hi:
+                    fut = _submit(win_e)
+                if batch is not None:
+                    yield batch
+                win = win_e
+        else:
+            for _batch in _native_window_loop(
+                    fut, _submit, win, hi, window, lo, fused, rdr, tid,
+                    chrom, ref, pconf, vconf, col_pool):
+                yield _batch
     finally:
         ex.shutdown(wait=True)
 
