@@ -642,7 +642,57 @@ static int ingest_threads(void)
  *                 32 has_ai, 64 has_ad
  */
 
+/* thread-local grow-only scratch arenas: pass A re-allocates ~0.5 GB of
+ * mallocs per window otherwise, and first-touch page faults are expensive
+ * in a microVM.  One live prep per thread (prefetch worker / main). */
+typedef struct { void *p; size_t cap; } arena_t;
+
+static void *arena_get(arena_t *a, size_t need)
+{
+    if (need == 0)
+        need = 1;
+    if (a->cap < need) {
+        free(a->p);
+        a->p = malloc(need + need / 4);
+        a->cap = a->p ? need + need / 4 : 0;
+    }
+    return a->p;
+}
+
 /* ---- pass A: collect kept reads, decode scratch, resolve BAQ/IDAQ ---- */
+
+typedef struct {
+    const rec_t *recs;
+    char *seqs;
+    uint8_t *quals;
+    uint32_t *cigars;
+    const int64_t *seq_start, *cigar_start;
+    int illumina13;
+    int64_t i0, i1;
+} prep_decode_job_t;
+
+static void *prep_decode_worker(void *arg)
+{
+    prep_decode_job_t *j = arg;
+    for (int64_t i = j->i0; i < j->i1; i++) {
+        const rec_t *r = &j->recs[i];
+        int64_t s0 = j->seq_start[i];
+        for (int k = 0; k < r->l_qseq; k++)
+            j->seqs[s0 + k] =
+                NT16_CHR[(r->seq4[k >> 1] >> ((~k & 1) << 2)) & 0xf];
+        if (j->illumina13) {
+            for (int k = 0; k < r->l_qseq; k++) {
+                uint8_t q = r->qual[k];
+                j->quals[s0 + k] = q > 31 ? q - 31 : 0;
+            }
+        } else {
+            memcpy(j->quals + s0, r->qual, (size_t)r->l_qseq);
+        }
+        memcpy(j->cigars + j->cigar_start[i], r->cigar,
+               4 * (size_t)r->n_cigar);
+    }
+    return NULL;
+}
 
 typedef struct {
     rec_t *recs;
@@ -658,23 +708,25 @@ typedef struct {
 
 static void prep_free(prep_t *pp)
 {
-    free(pp->recs);
-    free(pp->seqs); free(pp->quals);
-    free(pp->seq_start); free(pp->cigar_start); free(pp->read_pos);
-    free(pp->cigars);
-    free(pp->baq_all); free(pp->iaq_all); free(pp->daq_all);
-    free(pp->have);
+    /* all members live in the calling thread's grow-only arenas */
+    (void)pp;
 }
 
 static int prep_build(const uint8_t *buf, int64_t buflen,
                       const ingest_conf_t *conf, const char *ref,
                       int64_t ref_len, prep_t *pp)
 {
+    static _Thread_local arena_t ar_recs, ar_seqs, ar_quals, ar_ss, ar_cs,
+        ar_rp, ar_cig, ar_baq, ar_iaq, ar_daq, ar_have;
     memset(pp, 0, sizeof(*pp));
     /* first collect kept reads (pointers) so BAQ can run as one batch */
-    /* first collect kept reads (pointers) so BAQ can run as one batch */
-    int64_t cap = 1024;
-    rec_t *recs = malloc(cap * sizeof(rec_t));
+    int64_t nrec_max = 0;
+    for (int64_t o = 0; o + 4 <= buflen;) {
+        int32_t sz = *(int32_t *)(buf + o);
+        o += 4 + sz;
+        nrec_max++;
+    }
+    rec_t *recs = arena_get(&ar_recs, (nrec_max + 1) * sizeof(rec_t));
     int64_t nreads = 0;
     int64_t off = 0;
     int64_t regcur = 0;
@@ -683,59 +735,66 @@ static int prep_build(const uint8_t *buf, int64_t buflen,
         off += 4;
         rec_t r;
         if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
-            if (in_region(conf, &regcur, r.pos, rec_endpos(&r))) {
-                if (nreads == cap) {
-                    cap *= 2;
-                    recs = realloc(recs, cap * sizeof(rec_t));
-                }
+            if (in_region(conf, &regcur, r.pos, rec_endpos(&r)))
                 recs[nreads++] = r;
-            }
         }
         off += sz;
     }
 
-    /* per-read scratch: decoded seq chars + (possibly rescaled) quals */
+    /* per-read scratch: decoded seq chars + (possibly rescaled) quals.
+     * Prefix sums serial; the byte-level decode striped across threads. */
     int64_t seqtot = 0;
     for (int64_t i = 0; i < nreads; i++)
         seqtot += recs[i].l_qseq;
-    char *seqs = malloc(seqtot + 1);
-    uint8_t *quals = malloc(seqtot + 1);
-    int64_t *seq_start = malloc((nreads + 1) * sizeof(int64_t));
-    int64_t *cigar_start = malloc((nreads + 1) * sizeof(int64_t));
-    int64_t *read_pos = malloc((nreads + 1) * sizeof(int64_t));
+    char *seqs = arena_get(&ar_seqs, seqtot + 1);
+    uint8_t *quals = arena_get(&ar_quals, seqtot + 1);
+    int64_t *seq_start = arena_get(&ar_ss, (nreads + 1) * sizeof(int64_t));
+    int64_t *cigar_start = arena_get(&ar_cs,
+                                     (nreads + 1) * sizeof(int64_t));
+    int64_t *read_pos = arena_get(&ar_rp, (nreads + 1) * sizeof(int64_t));
     int64_t ncig_tot = 0;
     seq_start[0] = 0;
     cigar_start[0] = 0;
     for (int64_t i = 0; i < nreads; i++) {
-        rec_t *r = &recs[i];
-        int64_t s0 = seq_start[i];
-        for (int j = 0; j < r->l_qseq; j++)
-            seqs[s0 + j] =
-                NT16_CHR[(r->seq4[j >> 1] >> ((~j & 1) << 2)) & 0xf];
-        for (int j = 0; j < r->l_qseq; j++) {
-            uint8_t q = r->qual[j];
-            if (conf->illumina13)
-                q = q > 31 ? q - 31 : 0;
-            quals[s0 + j] = q;
-        }
-        seq_start[i + 1] = s0 + r->l_qseq;
-        ncig_tot += r->n_cigar;
+        seq_start[i + 1] = seq_start[i] + recs[i].l_qseq;
+        ncig_tot += recs[i].n_cigar;
         cigar_start[i + 1] = ncig_tot;
-        read_pos[i] = r->pos;
+        read_pos[i] = recs[i].pos;
     }
-    uint32_t *cigars = malloc((ncig_tot + 1) * sizeof(uint32_t));
-    for (int64_t i = 0; i < nreads; i++)
-        memcpy(cigars + cigar_start[i], recs[i].cigar,
-               4 * (size_t)recs[i].n_cigar);
+    uint32_t *cigars = arena_get(&ar_cig,
+                                 (ncig_tot + 1) * sizeof(uint32_t));
+    {
+        prep_decode_job_t jobs[64];
+        pthread_t tids[64];
+        int nth = ingest_threads();
+        if ((int64_t)nth > nreads)
+            nth = nreads > 0 ? (int)nreads : 1;
+        int started[64];
+        for (int t = 0; t < nth; t++) {
+            jobs[t] = (prep_decode_job_t){
+                recs, seqs, quals, cigars, seq_start, cigar_start,
+                conf->illumina13, nreads * t / nth,
+                nreads * (t + 1) / nth};
+            started[t] = (t > 0) && pthread_create(
+                &tids[t], NULL, prep_decode_worker, &jobs[t]) == 0;
+        }
+        prep_decode_worker(&jobs[0]);
+        for (int t = 1; t < nth; t++) {
+            if (started[t])
+                pthread_join(tids[t], NULL);
+            else
+                prep_decode_worker(&jobs[t]);
+        }
+    }
 
     /* BAQ/IDAQ: reuse tags when present, compute otherwise */
-    uint8_t *baq_all = malloc(seqtot + nreads + 1);
-    uint8_t *iaq_all = malloc(seqtot + nreads + 1);
-    uint8_t *daq_all = malloc(seqtot + nreads + 1);
-    memset(baq_all, 0, seqtot + nreads + 1);
-    memset(iaq_all, 0, seqtot + nreads + 1);
-    memset(daq_all, 0, seqtot + nreads + 1);
-    uint8_t *have = calloc(nreads, 1); /* 1 lb, 2 ai, 4 ad */
+    /* values only read under the matching have[] bit, which implies the
+     * producer wrote the full read -> no zeroing of the big buffers */
+    uint8_t *baq_all = arena_get(&ar_baq, seqtot + nreads + 1);
+    uint8_t *iaq_all = arena_get(&ar_iaq, seqtot + nreads + 1);
+    uint8_t *daq_all = arena_get(&ar_daq, seqtot + nreads + 1);
+    uint8_t *have = arena_get(&ar_have, nreads ? nreads : 1);
+    memset(have, 0, nreads ? nreads : 1); /* 1 lb, 2 ai, 4 ad */
     if (conf->use_baq || conf->use_idaq) {
         uint8_t *want_baq = calloc(nreads, 1);
         uint8_t *want_idaq = calloc(nreads, 1);
@@ -815,120 +874,21 @@ int64_t lfq_ingest_fill(
     uint8_t *o_ev_isins, int64_t *o_ev_seq_start, uint8_t *o_ev_seq,
     int64_t *out_counts)
 {
-    /* first collect kept reads (pointers) so BAQ can run as one batch */
-    int64_t cap = 1024;
-    rec_t *recs = malloc(cap * sizeof(rec_t));
-    int64_t nreads = 0;
-    int64_t off = 0;
-    int64_t regcur = 0;
-    while (off + 4 <= buflen) {
-        int32_t sz = *(int32_t *)(buf + off);
-        off += 4;
-        rec_t r;
-        if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
-            if (in_region(conf, &regcur, r.pos, rec_endpos(&r))) {
-                if (nreads == cap) {
-                    cap *= 2;
-                    recs = realloc(recs, cap * sizeof(rec_t));
-                }
-                recs[nreads++] = r;
-            }
-        }
-        off += sz;
-    }
-
-    /* per-read scratch: decoded seq chars + (possibly rescaled) quals */
-    int64_t seqtot = 0;
-    for (int64_t i = 0; i < nreads; i++)
-        seqtot += recs[i].l_qseq;
-    char *seqs = malloc(seqtot + 1);
-    uint8_t *quals = malloc(seqtot + 1);
-    int64_t *seq_start = malloc((nreads + 1) * sizeof(int64_t));
-    int64_t *cigar_start = malloc((nreads + 1) * sizeof(int64_t));
-    int64_t *read_pos = malloc((nreads + 1) * sizeof(int64_t));
-    int64_t ncig_tot = 0;
-    seq_start[0] = 0;
-    cigar_start[0] = 0;
-    for (int64_t i = 0; i < nreads; i++) {
-        rec_t *r = &recs[i];
-        int64_t s0 = seq_start[i];
-        for (int j = 0; j < r->l_qseq; j++)
-            seqs[s0 + j] =
-                NT16_CHR[(r->seq4[j >> 1] >> ((~j & 1) << 2)) & 0xf];
-        for (int j = 0; j < r->l_qseq; j++) {
-            uint8_t q = r->qual[j];
-            if (conf->illumina13)
-                q = q > 31 ? q - 31 : 0;
-            quals[s0 + j] = q;
-        }
-        seq_start[i + 1] = s0 + r->l_qseq;
-        ncig_tot += r->n_cigar;
-        cigar_start[i + 1] = ncig_tot;
-        read_pos[i] = r->pos;
-    }
-    uint32_t *cigars = malloc((ncig_tot + 1) * sizeof(uint32_t));
-    for (int64_t i = 0; i < nreads; i++)
-        memcpy(cigars + cigar_start[i], recs[i].cigar,
-               4 * (size_t)recs[i].n_cigar);
-
-    /* BAQ/IDAQ: reuse tags when present, compute otherwise */
-    uint8_t *baq_all = malloc(seqtot + nreads + 1);
-    uint8_t *iaq_all = malloc(seqtot + nreads + 1);
-    uint8_t *daq_all = malloc(seqtot + nreads + 1);
-    memset(baq_all, 0, seqtot + nreads + 1);
-    memset(iaq_all, 0, seqtot + nreads + 1);
-    memset(daq_all, 0, seqtot + nreads + 1);
-    uint8_t *have = calloc(nreads, 1); /* 1 lb, 2 ai, 4 ad */
-    if (conf->use_baq || conf->use_idaq) {
-        uint8_t *want_baq = calloc(nreads, 1);
-        uint8_t *want_idaq = calloc(nreads, 1);
-        for (int64_t i = 0; i < nreads; i++) {
-            rec_t *r = &recs[i];
-            int64_t o = seq_start[i] + i;
-            const uint8_t *t;
-            if (!conf->redo_baq && (t = aux_get(r, "lb")) && *t == 'Z') {
-                memcpy(baq_all + o, t + 1, r->l_qseq);
-                have[i] |= 1;
-            }
-            if (!conf->redo_idaq && (t = aux_get(r, "ai")) && *t == 'Z') {
-                memcpy(iaq_all + o, t + 1, r->l_qseq);
-                have[i] |= 2;
-            }
-            if (!conf->redo_idaq && (t = aux_get(r, "ad")) && *t == 'Z') {
-                memcpy(daq_all + o, t + 1, r->l_qseq);
-                have[i] |= 4;
-            }
-            if (!(have[i] & 1) && conf->pre_have && conf->pre_have[i]) {
-                /* device-computed BAQ spliced in (lb tag wins above) */
-                memcpy(baq_all + o, conf->pre_baq + o, r->l_qseq);
-                have[i] |= 1;
-            }
-            int has_ins = 0, has_del = 0;
-            for (int k = 0; k < r->n_cigar; k++) {
-                int op = r->cigar[k] & 0xf;
-                if (op == OPI) has_ins = 1;
-                if (op == OPD) has_del = 1;
-            }
-            want_baq[i] = conf->use_baq && !(have[i] & 1);
-            int need_ai = conf->use_idaq && has_ins && !(have[i] & 2);
-            int need_ad = conf->use_idaq && has_del && !(have[i] & 4);
-            want_idaq[i] = need_ai || need_ad;
-        }
-        /* run the HMM only for reads needing something */
-        uint8_t *flags = calloc(nreads, 1);
-        lfq_baq_batch(ref, ref_len, nreads, read_pos, cigars, cigar_start,
-                      seqs, quals, seq_start, want_baq, want_idaq,
-                      conf->ext_baq, 0.00001, 0.4,
-                      baq_all, iaq_all, daq_all, flags);
-        for (int64_t i = 0; i < nreads; i++) {
-            if (flags[i] & 1) have[i] |= 1;
-            if (flags[i] & 2) have[i] |= 2;
-            if (flags[i] & 4) have[i] |= 4;
-        }
-        free(want_baq);
-        free(want_idaq);
-        free(flags);
-    }
+    prep_t pp;
+    if (prep_build(buf, buflen, conf, ref, ref_len, &pp) != 0)
+        return -1;
+    rec_t *recs = pp.recs;
+    int64_t nreads = pp.nreads;
+    char *seqs = pp.seqs;
+    uint8_t *quals = pp.quals;
+    int64_t *seq_start = pp.seq_start;
+    int64_t *cigar_start = pp.cigar_start;
+    int64_t *read_pos = pp.read_pos;
+    uint32_t *cigars = pp.cigars;
+    uint8_t *baq_all = pp.baq_all, *iaq_all = pp.iaq_all,
+            *daq_all = pp.daq_all;
+    uint8_t *have = pp.have;
+    (void)read_pos; (void)cigars; (void)cigar_start;
 
     /* expand rows: per-read output offsets (prefix sums of count_read),
      * then striped pthread workers.  Each field is written in its own
@@ -989,10 +949,7 @@ int64_t lfq_ingest_fill(
     o_ev_seq_start[nev] = evseq_off;
 
     free(row_off); free(ev_off); free(evs_off);
-    free(recs);
-    free(seqs); free(quals); free(seq_start); free(cigar_start);
-    free(read_pos); free(cigars);
-    free(baq_all); free(iaq_all); free(daq_all); free(have);
+    prep_free(&pp);  /* arena-owned; see prep_build */
     out_counts[0] = nreads;
     out_counts[1] = row;
     out_counts[2] = nev;
