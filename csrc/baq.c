@@ -469,17 +469,19 @@ static void realn_one(
         uint8_t *bq = sc_get(sc, 9, l_qseq + 1);
         memcpy(bq, qual, l_qseq);
         if (!ext_baq) {
+            /* In the reference's compiled (non-ORIG_BAQ) build the
+             * diagonal zeroing of this branch is DEAD CODE: without
+             * ORIG_BAQ there is no `else`, so `bq[i] = q[i]` executes
+             * unconditionally right after the zero (bam_md_ext.c:417-421).
+             * Non-ext BAQ is therefore the raw MAP posterior for every
+             * aligned base, no state masking.  (Caught by fuzz goldens:
+             * off-diagonal states with ext=0.) */
             int64_t xx = read_pos; int yy = 0;
             for (int k = 0; k < n_cigar; ++k) {
                 int op = cigar[k] & 0xf, l = cigar[k] >> 4;
                 if (op == OP_M || op == OP_EQ || op == OP_X) {
-                    for (int i = yy; i < yy + l; ++i) {
-                        if ((state[i] & 3) != 0 ||
-                            state[i] >> 2 != xx - xb + (i - yy))
-                            bq[i] = 0;
-                        else
-                            bq[i] = q[i];
-                    }
+                    for (int i = yy; i < yy + l; ++i)
+                        bq[i] = q[i];
                     xx += l; yy += l;
                 } else if (op == OP_S || op == OP_I) yy += l;
                 else if (op == OP_D || op == OP_N) xx += l;
@@ -631,4 +633,20 @@ void lfq_baq_batch(
             jobs[t].nth = nth;
             baq_worker(&jobs[t]);
         }
+}
+
+/* debug/differential export: run the banded glocal HMM directly on
+ * precomputed code arrays (state/q out) — used by the state-level
+ * differential tests against the reference's kpa_ext_glocal */
+int lfq_glocal_dbg(const uint8_t *ref_codes, int l_ref,
+                   const uint8_t *query_codes, int l_query,
+                   const uint8_t *iqual, double par_d, double par_e,
+                   int par_bw, int *state, uint8_t *q)
+{
+    baq_scratch_t sc;
+    memset(&sc, 0, sizeof(sc));
+    int r = glocal(ref_codes, l_ref, query_codes, l_query, iqual,
+                   par_d, par_e, par_bw, state, q, NULL, 0, &sc);
+    sc_free(&sc);
+    return r;
 }

@@ -296,13 +296,17 @@ def baq_batch_jax(reads_info, ref: bytes):
 def extract_baq(q, state, pos, xb, ext=True):
     """Host-side BAQ extraction for an all-match read (the general cigar
     walk lives in csrc/baq.c; this covers the M-only bucket the device
-    path handles): zero off-diagonal states, then ext smoothing."""
+    path handles): zero off-diagonal states + ext smoothing.  Non-ext BAQ
+    is the raw posterior with NO state masking — in the reference's
+    compiled build the zeroing of that branch is dead code
+    (bam_md_ext.c:417-421, no ORIG_BAQ)."""
     L = len(q)
+    if not ext:
+        return np.minimum(q, 93)
     diag = pos - xb + np.arange(L)
     ok = ((state & 3) == 0) & ((state >> 2) == diag)
     bq = np.where(ok, q, 0)
-    if ext:
-        left = np.maximum.accumulate(bq)
-        right = np.maximum.accumulate(bq[::-1])[::-1]
-        bq = np.minimum(left, right)
+    left = np.maximum.accumulate(bq)
+    right = np.maximum.accumulate(bq[::-1])[::-1]
+    bq = np.minimum(left, right)
     return np.minimum(bq, 93)

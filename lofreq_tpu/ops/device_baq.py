@@ -121,13 +121,17 @@ def _build_step(L: int, Lr_pad: int, W_pad: int, tile: int, ext: bool):
         refw = jnp.where(lane[None, :] < l_ref[:, None], refw, 4)
         qualp = jnp.take(q2p, qual.astype(jnp.int32))
         q, st, _a, _b, _c = run(refw, query.astype(jnp.int32), qualp, l_ref)
-        diag = diag0[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
-        ok = ((st & 3) == 0) & ((st >> 2) == diag)
-        bq = jnp.where(ok, q, 0)
         if ext:
+            diag = diag0[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+            ok = ((st & 3) == 0) & ((st >> 2) == diag)
+            bq = jnp.where(ok, q, 0)
             left = jax.lax.cummax(bq, axis=1)
             right = jax.lax.cummax(bq[:, ::-1], axis=1)[:, ::-1]
             bq = jnp.minimum(left, right)
+        else:
+            # non-ext: raw posterior, no state masking — the reference's
+            # compiled build dead-codes the zeroing (bam_md_ext.c:417-421)
+            bq = q
         return jnp.minimum(bq, 93).astype(jnp.uint8)
 
     return step

@@ -100,6 +100,33 @@ def make_cases():
         mutate = [(int(rng.integers(0, qlen)), str(rng.choice(list("ACGT"))))
                   for _ in range(nmut)]
         add(pos, ops, mutate)
+    # fuzz sweep (round 2): multi-op cigars with clips on both ends,
+    # adjacent/mixed indels, long reads, extreme quals, both ext modes
+    for _ in range(40):
+        pos = int(rng.integers(0, 2200))
+        ops = []
+        if rng.random() < 0.4:
+            ops.append(("S", int(rng.integers(1, 12))))
+        ops.append(("M", int(rng.integers(15, 120))))
+        for _k in range(int(rng.integers(0, 3))):
+            ops.append(("I" if rng.random() < 0.5 else "D",
+                        int(rng.integers(1, 8))))
+            ops.append(("M", int(rng.integers(5, 50))))
+        if rng.random() < 0.4:
+            ops.append(("S", int(rng.integers(1, 8))))
+        qlen = sum(l for op, l in ops if op in "MIS")
+        nmut = int(rng.integers(0, 5))
+        mutate = [(int(rng.integers(0, qlen)), str(rng.choice(list("ACGT"))))
+                  for _ in range(nmut)]
+        seq, cig, _ = read_from(pos, ops, mutate)
+        if rng.random() < 0.3:  # extreme qual profiles incl q2/q60 walls
+            q = rng.choice([2, 5, 20, 40, 60], qlen,
+                           p=[0.2, 0.2, 0.2, 0.2, 0.2])
+        else:
+            q = rng.integers(2, 61, qlen)
+        qual = "".join(chr(int(x) + 33) for x in q)
+        cases.append(dict(pos=pos, cigar=cig, seq=seq, qual=qual,
+                          ext=int(rng.random() < 0.7)))
     return genome, cases
 
 

@@ -115,7 +115,7 @@ def test_baq_jax_flips_only_at_truncation_boundaries():
         r.qual = rng.integers(5, 41, L).astype(np.uint8)
         r.set_cigar_string(f"{L}M")
         reads.append(r)
-    realn_batch(reads, ref, baq=True, ext_baq=False, idaq=False)
+    realn_batch(reads, ref, baq=True, ext_baq=True, idaq=False)
     c_bq = np.stack([np.frombuffer(r.get_tag("lb").encode("latin-1"),
                                    np.uint8) for r in reads]) - 33
 
@@ -140,8 +140,15 @@ def test_baq_jax_flips_only_at_truncation_boundaries():
     mq, ms = np.asarray(mq), np.asarray(ms)
     diag = d0[:, None] + np.arange(L)[None, :]
     ok = ((st & 3) == 0) & ((st >> 2) == diag)
-    dev_bq = np.minimum(np.where(ok, q, 0), 93)
+    bq0 = np.where(ok, q, 0)
+    left = np.maximum.accumulate(bq0, axis=1)
+    right = np.maximum.accumulate(bq0[:, ::-1], axis=1)[:, ::-1]
+    dev_bq = np.minimum(np.minimum(left, right), 93)
     flips = dev_bq != c_bq
     assert flips.mean() < 0.01  # flips are rare ...
-    near = (mq < 1e-3) | (ms < 1e-3)
-    assert not np.any(flips & ~near)  # ... and boundary-confined
+    # ext smoothing propagates a flip along the read, so confinement is
+    # asserted per READ: any read with flips must contain a base within
+    # the margin band
+    near_read = ((mq < 1e-3) | (ms < 1e-3)).any(axis=1)
+    flip_read = flips.any(axis=1)
+    assert not np.any(flip_read & ~near_read)
