@@ -62,6 +62,32 @@ def make_cases():
     # Q2 quals
     add("ACGTACGTACGTACGTACGT", "ACGTACGACGTACGTACGT",
         quals=[2] * 5 + [30] * 14, q2def=25)
+    # fuzz sweep (round 2): multiple indels per read, long reads, q2
+    # walls mixed with high quals, repeat-rich contexts, varied q2def
+    for _ in range(40):
+        L = int(rng.integers(50, 140))
+        if rng.random() < 0.3:  # repeat-rich reference
+            unit = "".join(rng.choice(list("ACGT"),
+                                      int(rng.integers(1, 4))))
+            ref = (unit * (L // len(unit) + 24))[: L + 24]
+        else:
+            ref = "".join(rng.choice(list("ACGT"), L + 24))
+        q = list(ref[12 : 12 + L])
+        for _ev in range(int(rng.integers(1, 4))):
+            if len(q) < 20:
+                break
+            at = int(rng.integers(5, len(q) - 8))
+            if rng.random() < 0.5:
+                q = q[:at] + q[at + int(rng.integers(1, 5)):]
+            else:
+                q = q[:at] + list(rng.choice(list("ACGT"),
+                                             int(rng.integers(1, 5)))) + q[at:]
+        for _m in range(int(rng.integers(0, 4))):
+            at = int(rng.integers(0, len(q)))
+            q[at] = str(rng.choice(list("ACGT")))
+        quals = rng.choice([2, 2, 17, 30, 40], len(q)).astype(int)
+        add(ref, "".join(q), quals=list(quals),
+            q2def=int(rng.choice([20, 25, 2])))
     return cases
 
 
