@@ -50,6 +50,36 @@ def gen_cases():
                     events.append((ekey, rows))
                 cases.append(dict(mode=mode, flags=flags, key=key,
                                   neq=neq, events=events))
+    # fuzz sweep (round 2): deep pools, long keys, extreme quals (q0/q93),
+    # many same-key events (repeat pileups)
+    for _ in range(40):
+        mode = rng.randint(0, 1)
+        flags = rng.choice([0, 1, 3, 5, 7])
+        key = rand_key(rng, 1, 12)
+        nneq = rng.randint(0, 60)
+        neq = [(rng.choice([0, 2, 20, 45, 93]),
+                rng.choice([0, 13, 37, 60, 255]))
+               for _ in range(nneq)]
+        nev = rng.randint(0, 5)
+        events = []
+        keys = {key}
+        for _e in range(nev):
+            if rng.random() < 0.6:
+                ekey = key
+            else:
+                ekey = rand_key(rng, 1, 12)
+                while ekey in keys:
+                    ekey = rand_key(rng, 1, 12)
+                keys.add(ekey)
+            nq = rng.randint(1, 25)
+            rows = [(rng.choice([0, 2, 20, 45, 93]),
+                     rng.choice([-1, 0, 2, 45, 93]),
+                     rng.choice([0, 13, 37, 60, 255]),
+                     rng.choice([-1, 0, 20, 50, 300, 2147483647]))
+                    for _ in range(nq)]
+            events.append((ekey, rows))
+        cases.append(dict(mode=mode, flags=flags, key=key,
+                          neq=neq, events=events))
     return cases
 
 
