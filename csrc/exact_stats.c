@@ -16,9 +16,11 @@
 
 #include <float.h>
 #include <math.h>
+#include <pthread.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <unistd.h>
 
 /* Reference dbl_cmp clone (utils.c:66-76): doubles within an ABSOLUTE
  * DBL_EPSILON compare equal, so glibc qsort leaves near-ties in a
@@ -48,6 +50,89 @@ void lfq_sort_errprobs_batch(double *p, const int64_t *depths,
     for (int64_t b = 0; b < B; b++)
         qsort(p + b * Dmax, (size_t)depths[b], sizeof(double),
               lfq_dbl_cmp_eps);
+}
+
+/* Threaded gather + per-row eps qsort: pack the err probs of selected
+ * columns (CSR layout flat/starts/depths) into a dense [B x Dmax] matrix,
+ * padding each row's tail with 2.0 (> any probability, so the padding
+ * sorts after real entries and the DP's depth mask ignores it).  Rows are
+ * independent and each is sorted by the same serial glibc qsort as the
+ * reference, so the thread count never changes a bit of output. */
+typedef struct {
+    const double *flat;
+    const int64_t *starts, *depths, *cols;
+    int64_t B, Dmax;
+    int do_sort;
+    double *out;
+    int tid, nth;
+} pack_job_t;
+
+static void *pack_worker(void *arg)
+{
+    pack_job_t *j = arg;
+    for (int64_t b = j->tid; b < j->B; b += j->nth) {
+        int64_t c = j->cols[b];
+        int64_t d = j->depths[c];
+        if (d > j->Dmax)
+            d = j->Dmax;
+        double *row = j->out + b * j->Dmax;
+        memcpy(row, j->flat + j->starts[c], (size_t)d * sizeof(double));
+        for (int64_t i = d; i < j->Dmax; i++)
+            row[i] = 2.0;
+        if (j->do_sort)
+            qsort(row, (size_t)d, sizeof(double), lfq_dbl_cmp_eps);
+    }
+    return NULL;
+}
+
+/* same policy as baq.c:baq_threads (LOFREQ_NATIVE_THREADS; default = online
+ * CPUs capped at 8) */
+static int pack_threads(void)
+{
+    const char *e = getenv("LOFREQ_NATIVE_THREADS");
+    if (e && *e) {
+        int n = atoi(e);
+        return n < 1 ? 1 : (n > 64 ? 64 : n);
+    }
+    long n = sysconf(_SC_NPROCESSORS_ONLN);
+    if (n < 1)
+        n = 1;
+    return n > 8 ? 8 : (int)n;
+}
+
+void lfq_pack_probs_batch(const double *flat, const int64_t *starts,
+                          const int64_t *depths, const int64_t *cols,
+                          int64_t B, int64_t Dmax, int64_t do_sort,
+                          double *out)
+{
+    int nth = pack_threads();
+    if ((int64_t)nth > B)
+        nth = B > 0 ? (int)B : 1;
+    pack_job_t base = {flat, starts, depths, cols, B, Dmax,
+                       (int)do_sort, out, 0, nth};
+    if (nth <= 1 || B < 32) {
+        base.nth = 1;
+        pack_worker(&base);
+        return;
+    }
+    pthread_t tids[64];
+    pack_job_t jobs[64];
+    for (int t = 0; t < nth; t++) {
+        jobs[t] = base;
+        jobs[t].tid = t;
+    }
+    for (int t = 1; t < nth; t++)
+        if (pthread_create(&tids[t], NULL, pack_worker, &jobs[t]) != 0)
+            jobs[t].nth = 0;
+    pack_worker(&jobs[0]);
+    for (int t = 1; t < nth; t++)
+        if (jobs[t].nth)
+            pthread_join(tids[t], NULL);
+    for (int t = 1; t < nth; t++)
+        if (!jobs[t].nth) {
+            jobs[t].nth = nth;
+            pack_worker(&jobs[t]);
+        }
 }
 
 #define LOGZERO -1e100

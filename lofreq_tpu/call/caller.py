@@ -226,15 +226,13 @@ def pack_probs(flat_probs, starts, depths, cols, sort=True):
 
     d = depths[cols]
     Dmax = int(d.max()) if len(cols) else 0
-    probs = np.full((len(cols), max(Dmax, 1)), 2.0, dtype=np.float64)
+    probs = np.empty((len(cols), max(Dmax, 1)), dtype=np.float64)
     if len(cols):
-        # vectorized ragged gather: flat index = start[c] + lane, masked
-        lane = np.arange(Dmax)
-        m = lane[None, :] < d[:, None]
-        src = np.asarray(starts)[cols][:, None] + lane[None, :]
-        probs[m] = flat_probs[src[m]]
-    if sort:
-        native.sort_errprobs_batch(probs, d)
+        # native threaded gather (+ per-row reference qsort when sort=True)
+        native.pack_probs_batch(flat_probs, starts, depths, cols, probs,
+                                sort)
+    else:
+        probs.fill(2.0)
     return probs
 
 

@@ -40,6 +40,10 @@ def get_lib():
             lib.lfq_sort_errprobs_batch.argtypes = [
                 _f64, _i64, ctypes.c_int64, ctypes.c_int64,
             ]
+            lib.lfq_pack_probs_batch.argtypes = [
+                _f64, _i64, _i64, _i64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f64,
+            ]
             _lib = lib
     return _lib
 
@@ -110,6 +114,26 @@ def sort_errprobs_batch(probs, depths):
         lib.lfq_sort_errprobs_batch(_ptr(probs, _f64), _ptr(depths, _i64),
                                     B, Dmax)
     return probs
+
+
+def pack_probs_batch(flat_probs, starts, depths, cols, out, sort):
+    """Threaded gather of CSR err probs into the preallocated [B, Dmax]
+    matrix `out` (tail-padded with 2.0), optionally row-sorting with the
+    reference's eps-comparator qsort.  Byte-identical to gather +
+    sort_errprobs_batch at any thread count (rows are independent)."""
+    lib = get_lib()
+    assert out.dtype == np.float64 and out.flags.c_contiguous
+    flat_probs = np.ascontiguousarray(flat_probs, dtype=np.float64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    depths = np.ascontiguousarray(depths, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    B, Dmax = out.shape
+    if B:
+        lib.lfq_pack_probs_batch(
+            _ptr(flat_probs, _f64), _ptr(starts, _i64), _ptr(depths, _i64),
+            _ptr(cols, _i64), B, Dmax, 1 if sort else 0, _ptr(out, _f64),
+        )
+    return out
 
 
 def libm_log(x):
