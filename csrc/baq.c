@@ -88,16 +88,19 @@ static void base_code_init(void)
  * read (fresh mmap pages each time); reusing warm buffers and memsetting
  * only what the algorithm reads as zero removes the page-fault churn. */
 typedef struct {
-    void *buf[12];
-    size_t cap[12];
+    void *buf[16];
+    size_t cap[16];
 } baq_scratch_t;
 
 static void *sc_get(baq_scratch_t *sc, int slot, size_t need)
 {
     if (sc->cap[slot] < need) {
         free(sc->buf[slot]);
-        size_t cap = need + need / 2 + 64;
-        sc->buf[slot] = malloc(cap);
+        size_t cap = (need + need / 2 + 128) & ~(size_t)63;
+        /* 64B-aligned: the x4 kernel stores one v4df per band cell and
+         * split-line vector stores break store-to-load forwarding in the
+         * sequential D chain */
+        sc->buf[slot] = aligned_alloc(64, cap);
         sc->cap[slot] = sc->buf[slot] ? cap : 0;
     }
     return sc->buf[slot];
@@ -105,7 +108,7 @@ static void *sc_get(baq_scratch_t *sc, int slot, size_t need)
 
 static void sc_free(baq_scratch_t *sc)
 {
-    for (int i = 0; i < 12; i++) {
+    for (int i = 0; i < 16; i++) {
         free(sc->buf[i]);
         sc->buf[i] = NULL;
         sc->cap[i] = 0;
@@ -114,7 +117,9 @@ static void sc_free(baq_scratch_t *sc)
 
 /* Banded glocal fwd/bwd.  Outputs: state[l_query] (MAP ref-pos<<2|type),
  * q[l_query] (phred posterior), pd (posterior matrix, (l_query+1) rows of
- * (2*bw+1)*3+6 doubles) — pd may be NULL.  Returns effective band width. */
+ * (2*bw+1)*3+6 doubles) — pd may be NULL.  Returns effective band width.
+ * This is the scalar path; glocal_x4 below runs four same-geometry reads
+ * in SIMD lanes with bit-identical per-lane results (fuzz-tested). */
 static int glocal(const uint8_t *ref_codes, int l_ref,
                   const uint8_t *query_codes, int l_query,
                   const uint8_t *iqual, double par_d, double par_e, int par_bw,
@@ -282,6 +287,361 @@ static int glocal(const uint8_t *ref_codes, int l_ref,
 #undef B
 }
 
+/* ---------------------------------------------------------------------
+ * 4-lane SIMD glocal: run FOUR reads of identical geometry
+ * (l_query, l_ref, band width) through the banded HMM at once, one read
+ * per vector lane.  Every recurrence — including the sequential in-row
+ * D chain, the scale sums and the normalizations — is elementwise across
+ * lanes, so each lane's operation ORDER is exactly the scalar glocal's
+ * and the per-read results are bit-identical (enforced by the x4-vs-
+ * scalar fuzz test and by the thread-count determinism tests, since the
+ * scalar path handles group remainders).
+ *
+ * Design notes (throughput, not latency, is the limit at band ~15):
+ *  - one fused loop per row carrying the M/D chain values in registers
+ *    (the scalar code's structure), no temp-row round trips;
+ *  - emissions come from an interleaved int64 code matrix (one 32B load
+ *    per cell) + constant-time vector selects, instead of per-lane table
+ *    gathers;
+ *  - cell layout is plane-major with the in-band offset
+ *    j = k - max(i-bw,0) + 1 (one v4df per (i,j)); out-of-band cells the
+ *    band walk reads (at most two on each side of an adjacent row's
+ *    band) are zeroed per row instead of memsetting whole matrices. */
+
+typedef double v4df __attribute__((vector_size(32)));
+typedef int64_t v4di __attribute__((vector_size(32)));
+
+static inline v4df splat4(double x)
+{
+    return (v4df){x, x, x, x};
+}
+
+static inline v4di splat4i(int64_t x)
+{
+    return (v4di){x, x, x, x};
+}
+
+/* bitwise select: m ? a : b, per lane (m is all-ones/all-zeros) */
+static inline v4df vsel4(v4di m, v4df a, v4df b)
+{
+    return (v4df)(((v4di)a & m) | ((v4di)b & ~m));
+}
+
+static inline void zero_edges4(v4df *row, int jbeg, int jend, int W)
+{
+    v4df z = splat4(0.);
+    int lo = jbeg - 2;
+    if (lo < 0) lo = 0;
+    for (int j = lo; j < jbeg; ++j)
+        row[j] = z;
+    int hi = jend + 2;
+    if (hi > W - 1) hi = W - 1;
+    for (int j = jend + 1; j <= hi; ++j)
+        row[j] = z;
+}
+
+/* per-row emission constants for the 4 lanes */
+typedef struct {
+    v4di qyi;    /* query base code per lane */
+    v4di qbig;   /* all-ones where qyi > 3 */
+    v4df ematch; /* 1 - q2p[qual] per lane */
+    v4df emis;   /* q2p[qual] * EM per lane */
+} erow_t;
+
+static inline erow_t emit_row(const uint8_t *const qcodes[4],
+                              const uint8_t *const iqual[4], int i)
+{
+    erow_t er;
+    for (int l = 0; l < 4; ++l) {
+        uint8_t qyi = qcodes[l][i - 1];
+        double qli = q2p_tab[iqual[l] ? iqual[l][i - 1] : 30];
+        er.qyi[l] = qyi;
+        er.qbig[l] = qyi > 3 ? -1 : 0;
+        er.ematch[l] = 1. - qli;
+        er.emis[l] = qli * EM;
+    }
+    return er;
+}
+
+/* emission at interleaved code cell rc: (rc>3 || qyi>3) ? 1 : rc==qyi ?
+ * ematch : emis — a pure per-lane bit-select of exact doubles */
+static inline v4df emit_e(v4di rc, const erow_t *er)
+{
+    v4di big = (rc > splat4i(3)) | er->qbig;
+    v4di eq = (rc == er->qyi);
+    return vsel4(big, splat4(1.), vsel4(eq, er->ematch, er->emis));
+}
+
+static int glocal_x4(const uint8_t *const rcodes[4], int l_ref,
+                     const uint8_t *const qcodes[4], int l_query,
+                     const uint8_t *const iqual[4],
+                     double par_d, double par_e, int par_bw,
+                     int *const state[4], uint8_t *const qout[4],
+                     double *const pd[4], int pd_stride,
+                     baq_scratch_t *sc)
+{
+    q2p_init();
+    if (l_ref <= 0 || l_query <= 0)
+        return 0;
+    int bw = l_ref > l_query ? l_ref : l_query;
+    if (bw > par_bw) bw = par_bw;
+    if (bw < abs(l_ref - l_query)) bw = abs(l_ref - l_query);
+    int bw2 = bw * 2 + 1;
+    int W = bw2 + 2;
+
+    size_t plane = (size_t)(l_query + 1) * W;   /* v4df cells per plane */
+    v4df *fM = sc_get(sc, 0, 3 * plane * sizeof(v4df));
+    v4df *fI = fM + plane, *fD = fM + 2 * plane;
+    v4df *gM = sc_get(sc, 1, 3 * plane * sizeof(v4df));
+    v4df *gI = gM + plane, *gD = gM + 2 * plane;
+    v4df *sv = sc_get(sc, 2, (l_query + 2) * sizeof(v4df));
+    v4di *rci = sc_get(sc, 12, (size_t)l_ref * sizeof(v4di));
+
+    /* interleaved ref codes: one aligned 32B load per band cell */
+    for (int t = 0; t < l_ref; ++t)
+        rci[t] = (v4di){rcodes[0][t], rcodes[1][t],
+                        rcodes[2][t], rcodes[3][t]};
+
+    double sM, sI, m[9];
+    sM = sI = 1. / (2 * l_query + 2);
+    m[0] = (1 - par_d - par_d) * (1 - sM); m[1] = m[2] = par_d * (1 - sM);
+    m[3] = (1 - par_e) * (1 - sI); m[4] = par_e * (1 - sI); m[5] = 0.;
+    m[6] = 1 - par_e; m[7] = 0.; m[8] = par_e;
+    const v4df m0v = splat4(m[0]), m1v = splat4(m[1]), m2v = splat4(m[2]);
+    const v4df m3v = splat4(m[3]), m4v = splat4(m[4]), m6v = splat4(m[6]);
+    const v4df m8v = splat4(m[8]);
+    const v4df eiv = splat4(EI);
+    /* backward EI*m folds: the scalar EI*m[x]*v evaluates as (EI*m[x])*v */
+    const v4df cm1v = splat4(EI * m[1]), cm4v = splat4(EI * m[4]);
+    const v4df bMcv = splat4((1 - par_d) / l_ref);
+    const v4df bIcv = splat4(EI * (par_d / l_ref));  /* fi[u+1] = EI * bI */
+    const v4df sMv = splat4(sM), sIv = splat4(sI);
+    const v4df zerov = splat4(0.), onev = splat4(1.);
+
+    /* forward: row 0 seed (j of k=0 is 1) */
+    for (int j = 0; j < W; ++j)
+        fM[j] = fI[j] = fD[j] = zerov;
+    fM[1] = onev;
+    sv[0] = onev;
+    /* forward: row 1 init (x_1 = 0, j = k + 1); D row stays zero and is
+     * divided by the scale like the scalar version's memset cells */
+    {
+        v4df *fMi = fM + W, *fIi = fI + W, *fDi = fD + W;
+        for (int j = 0; j < W; ++j)
+            fDi[j] = zerov;
+        int end = l_ref < bw + 1 ? l_ref : bw + 1;
+        int jbeg = 2, jend = end + 1;
+        zero_edges4(fMi, jbeg, jend, W);
+        zero_edges4(fIi, jbeg, jend, W);
+        erow_t er = emit_row(qcodes, iqual, 1);
+        v4df sum = zerov;
+        for (int j = jbeg; j <= jend; ++j) {
+            v4df e = emit_e(rci[j - 2], &er);   /* k = j - 1 */
+            v4df M = e * bMcv;
+            fMi[j] = M;
+            fIi[j] = bIcv;
+            sum += M + bIcv;
+        }
+        sv[1] = sum;
+        for (int j = jbeg; j <= jend; ++j) {
+            fMi[j] /= sum;
+            fIi[j] /= sum;
+            fDi[j] /= sum;
+        }
+    }
+    for (int i = 2; i <= l_query; ++i) {
+        v4df *fMi = fM + (size_t)i * W;
+        v4df *fIi = fI + (size_t)i * W;
+        v4df *fDi = fD + (size_t)i * W;
+        int x = i - bw < 0 ? 0 : i - bw;
+        int xp = i - 1 - bw < 0 ? 0 : i - 1 - bw;
+        int sft = x - xp;               /* 0 or 1 */
+        int beg = i - bw > 1 ? i - bw : 1;
+        int end = l_ref < i + bw ? l_ref : i + bw;
+        int jbeg = beg - x + 1, jend = end - x + 1;
+        zero_edges4(fMi, jbeg, jend, W);
+        zero_edges4(fIi, jbeg, jend, W);
+        zero_edges4(fDi, jbeg, jend, W);
+        erow_t er = emit_row(qcodes, iqual, i);
+        const v4di *rrow = rci + x - 2;             /* refb[k], k = j+x-1 */
+        const v4df *pM = fM + (size_t)(i - 1) * W + (sft - 1);
+        const v4df *pI = fI + (size_t)(i - 1) * W + (sft - 1);
+        const v4df *pD = fD + (size_t)(i - 1) * W + (sft - 1);
+        const v4df *pM1 = pM + 1, *pI1 = pI + 1;
+        v4df sum = zerov;
+        v4df Mprev = fMi[jbeg - 1];     /* zeroed edge */
+        v4df Dprev = fDi[jbeg - 1];
+        for (int j = jbeg; j <= jend; ++j) {
+            v4df e = emit_e(rrow[j], &er);
+            v4df M = e * (m0v * pM[j] + m3v * pI[j] + m6v * pD[j]);
+            v4df I = eiv * (m1v * pM1[j] + m4v * pI1[j]);
+            v4df D = m2v * Mprev + m8v * Dprev;
+            fMi[j] = M;
+            fIi[j] = I;
+            fDi[j] = D;
+            sum += M + I + D;
+            Mprev = M;
+            Dprev = D;
+        }
+        sv[i] = sum;
+        v4df r = onev / sum;
+        for (int j = jbeg; j <= jend; ++j) {
+            fMi[j] *= r;
+            fIi[j] *= r;
+            fDi[j] *= r;
+        }
+    }
+    {
+        v4df sum = zerov;
+        int x = l_query - bw < 0 ? 0 : l_query - bw;
+        const v4df *FMq = fM + (size_t)l_query * W;
+        const v4df *FIq = fI + (size_t)l_query * W;
+        for (int k = 1; k <= l_ref; ++k) {
+            int j = k - x + 1;
+            if (j < 1 || j > bw2)
+                continue;
+            sum += FMq[j] * sMv + FIq[j] * sIv;
+        }
+        sv[l_query + 1] = sum;
+    }
+
+    /* backward */
+    {
+        v4df *bMi = gM + (size_t)l_query * W;
+        v4df *bIi = gI + (size_t)l_query * W;
+        v4df *bDi = gD + (size_t)l_query * W;
+        for (int j = 0; j < W; ++j)
+            bMi[j] = bIi[j] = bDi[j] = zerov;
+        int x = l_query - bw < 0 ? 0 : l_query - bw;
+        v4df vM = sMv / sv[l_query] / sv[l_query + 1];
+        v4df vI = sIv / sv[l_query] / sv[l_query + 1];
+        for (int k = 1; k <= l_ref; ++k) {
+            int j = k - x + 1;
+            if (j < 1 || j > bw2)
+                continue;
+            bMi[j] = vM;
+            bIi[j] = vI;
+        }
+    }
+    for (int i = l_query - 1; i >= 1; --i) {
+        v4df *bMi = gM + (size_t)i * W;
+        v4df *bIi = gI + (size_t)i * W;
+        v4df *bDi = gD + (size_t)i * W;
+        const v4df yv = splat4((double)(i > 1));
+        int x = i - bw < 0 ? 0 : i - bw;
+        int xn = i + 1 - bw < 0 ? 0 : i + 1 - bw;
+        int sft = xn - x;               /* 0 or 1 */
+        int beg = i - bw > 1 ? i - bw : 1;
+        int end = l_ref < i + bw ? l_ref : i + bw;
+        int jbeg = beg - x + 1, jend = end - x + 1;
+        zero_edges4(bMi, jbeg, jend, W);
+        zero_edges4(bIi, jbeg, jend, W);
+        zero_edges4(bDi, jbeg, jend, W);
+        erow_t er = emit_row(qcodes, iqual, i + 1);
+        const v4di *rrow1 = rci + x - 1;            /* refb[k+1], k = j+x-1 */
+        const v4df *nM = gM + (size_t)(i + 1) * W + (1 - sft);
+        const v4df *nI = gI + (size_t)(i + 1) * W - sft;
+        /* k >= l_ref (emission forced to 0) only at j >= jcap, which is at
+         * most the last band cell; peel it so the main loop never loads
+         * rci[l_ref] (the scalar ternary short-circuited it) */
+        int jcap = l_ref - x + 1;
+        int jmid = jend < jcap - 1 ? jend : jcap - 1;
+        v4df Dnext = bDi[jend + 1];     /* zeroed edge */
+        int j = jend;
+        for (; j > jmid; --j) {
+            /* e = 0 * nM[j] = +0: the additions below then reproduce the
+             * scalar values exactly (+0 + v = v for v >= 0) */
+            v4df M = zerov * m0v + cm1v * nI[j] + m2v * Dnext;
+            v4df I = zerov * m3v + cm4v * nI[j];
+            v4df D = (zerov * m6v + m8v * Dnext) * yv;
+            bMi[j] = M;
+            bIi[j] = I;
+            bDi[j] = D;
+            Dnext = D;
+        }
+        for (; j >= jbeg; --j) {
+            v4df e = emit_e(rrow1[j], &er) * nM[j];
+            v4df M = e * m0v + cm1v * nI[j] + m2v * Dnext;
+            v4df I = e * m3v + cm4v * nI[j];
+            v4df D = (e * m6v + m8v * Dnext) * yv;
+            bMi[j] = M;
+            bIi[j] = I;
+            bDi[j] = D;
+            Dnext = D;
+        }
+        v4df r = onev / sv[i];
+        for (int t = jbeg; t <= jend; ++t) {
+            bMi[t] *= r;
+            bIi[t] *= r;
+            bDi[t] *= r;
+        }
+    }
+
+    /* MAP + posterior matrix: the per-k products and tail sums run
+     * vectorized across lanes; the (rare) argmax improvements and the
+     * (rare) posterior-matrix lanes take scalar sidecars */
+    {
+        double max_all[4], sum_all[4];
+        int max_k_all[4];
+        for (int i = 1; i <= l_query; ++i) {
+            const v4df *fMi = fM + (size_t)i * W;
+            const v4df *fIi = fI + (size_t)i * W;
+            const v4df *bMi = gM + (size_t)i * W;
+            const v4df *bIi = gI + (size_t)i * W;
+            int x = i - bw < 0 ? 0 : i - bw;
+            int beg = i - bw > 1 ? i - bw : 1;
+            int end = l_ref < i + bw ? l_ref : i + bw;
+            v4df sum = zerov, vmax = zerov;
+            v4di vmaxk = {-1, -1, -1, -1};
+            for (int k = beg; k <= end; ++k) {
+                int j = k - x + 1;
+                v4df zM = fMi[j] * bMi[j];
+                v4di gtM = (zM > vmax);
+                vmax = vsel4(gtM, zM, vmax);
+                vmaxk = (gtM & splat4i((int64_t)(k - 1) << 2))
+                        | (~gtM & vmaxk);
+                sum += zM;
+                v4df zI = fIi[j] * bIi[j];
+                v4di gtI = (zI > vmax);
+                vmax = vsel4(gtI, zI, vmax);
+                vmaxk = (gtI & splat4i(((int64_t)(k - 1) << 2) | 1))
+                        | (~gtI & vmaxk);
+                sum += zI;
+            }
+            for (int l = 0; l < 4; ++l) {
+                max_all[l] = vmax[l] / sum[l];
+                sum_all[l] = sum[l];
+                max_k_all[l] = (int)vmaxk[l];
+            }
+            for (int l = 0; l < 4; ++l) {
+                if (state[l]) state[l][i - 1] = max_k_all[l];
+                if (qout[l]) {
+                    int kk = (int)(-4.343 * log(1. - max_all[l]) + .499);
+                    qout[l][i - 1] = kk > 100 ? 99 : kk;
+                }
+                double *pd_l = pd ? pd[l] : NULL;
+                if (pd_l) {
+                    double *pdi = pd_l + (size_t)i * pd_stride;
+                    const v4df *fDi = fD + (size_t)i * W;
+                    const v4df *bDi = gD + (size_t)i * W;
+                    double s_i = sv[i][l];
+                    for (int k = beg; k <= end; ++k) {
+                        int j = k - x + 1;
+                        int u = band_u(bw, i, k);
+                        pdi[u + 0] = fMi[j][l] * bMi[j][l] * s_i;
+                        pdi[u + 1] = fIi[j][l] * bIi[j][l] * s_i;
+                        pdi[u + 2] = fDi[j][l] * bDi[j][l] * s_i;
+                    }
+                }
+            }
+            (void)sum_all;
+        }
+    }
+
+    return bw;
+}
+
+
 static inline uint8_t encode_q(int q)
 {
     return (uint8_t)(q < 33 ? '!' : (q > 126 ? '~' : q));
@@ -380,24 +740,21 @@ static void compute_idaq(
     *n_del_out = n_del;
 }
 
-/* Per-read realignment: computes BAQ chars (phred+33) into baq_out and
- * IDAQ strings into iaq_out/ad_out; flags_out bits: 1=baq 2=ai 4=ad.
- *
- * ref: ASCII reference (uppercased).  seq: ASCII read bases.
- * cigar packed as len<<4|op.  qual: raw phreds.
- */
-static void realn_one(
-    const char *ref, int64_t ref_len, int64_t read_pos,
-    const uint32_t *cigar, int n_cigar,
-    const char *seq, const uint8_t *qual, int l_qseq,
-    int want_baq, int ext_baq, int want_idaq,
-    double par_d, double par_e,
-    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out,
-    baq_scratch_t *sc)
+/* Alignment geometry for one read: ref window, band width, indel flags.
+ * Mirrors the window calculation at the top of the reference's driver
+ * (bam_md_ext.c:376-398). */
+typedef struct {
+    int64_t xb, xe;
+    int l_ref, bw;
+    int has_ins, has_del;
+    int ok;
+} realn_geom_t;
+
+static void realn_geom(const uint32_t *cigar, int n_cigar, int64_t read_pos,
+                       int l_qseq, int64_t ref_len, realn_geom_t *g)
 {
-    base_code_init();
-    *flags_out = 0;
-    int has_ins = 0, has_del = 0;
+    g->ok = 0;
+    g->has_ins = g->has_del = 0;
     int64_t x = read_pos, xb = -1, xe = -1;
     int y = 0, yb = -1, ye = -1;
     for (int k = 0; k < n_cigar; ++k) {
@@ -409,9 +766,9 @@ static void realn_one(
             x += l; y += l;
         } else if (op == OP_S || op == OP_I) {
             y += l;
-            if (op == OP_I) has_ins = 1;
+            if (op == OP_I) g->has_ins = 1;
         } else if (op == OP_D) {
-            has_del = 1;
+            g->has_del = 1;
             x += l;
         } else if (op == OP_N) {
             x += l;
@@ -439,6 +796,50 @@ static void realn_one(
     int l_ref = (int)(xe - xb);
     if (l_ref <= 0)
         return;
+    g->xb = xb;
+    g->xe = xe;
+    g->l_ref = l_ref;
+    g->bw = bw;
+    g->ok = 1;
+}
+
+/* Post-HMM per-read work: derive BAQ chars from the MAP posteriors
+ * (non-ext raw / ext min-max smoothed) and IDAQ strings from the
+ * posterior matrix; flags_out bits: 1=baq 2=ai 4=ad. */
+static void realn_finish(
+    const char *ref, int64_t ref_len, int64_t read_pos,
+    const uint32_t *cigar, int n_cigar,
+    const char *seq, const uint8_t *qual, int l_qseq,
+    int want_baq, int ext_baq,
+    const int *state, const uint8_t *q,
+    double *pd, int pd_stride, int eff_bw, int64_t xe, int64_t xb,
+    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out,
+    baq_scratch_t *sc);
+
+/* Per-read realignment: computes BAQ chars (phred+33) into baq_out and
+ * IDAQ strings into iaq_out/ad_out; flags_out bits: 1=baq 2=ai 4=ad.
+ *
+ * ref: ASCII reference (uppercased).  seq: ASCII read bases.
+ * cigar packed as len<<4|op.  qual: raw phreds.
+ */
+static void realn_one(
+    const char *ref, int64_t ref_len, int64_t read_pos,
+    const uint32_t *cigar, int n_cigar,
+    const char *seq, const uint8_t *qual, int l_qseq,
+    int want_baq, int ext_baq, int want_idaq,
+    double par_d, double par_e,
+    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out,
+    baq_scratch_t *sc)
+{
+    base_code_init();
+    *flags_out = 0;
+    realn_geom_t g;
+    realn_geom(cigar, n_cigar, read_pos, l_qseq, ref_len, &g);
+    if (!g.ok)
+        return;
+    int bw = g.bw, l_ref = g.l_ref;
+    int has_ins = g.has_ins, has_del = g.has_del;
+    int64_t xb = g.xb, xe = g.xe;
 
     uint8_t *qcodes = sc_get(sc, 4, l_qseq);
     for (int i = 0; i < l_qseq; i++)
@@ -464,7 +865,22 @@ static void realn_one(
     }
     int eff_bw = glocal(rcodes, l_ref, qcodes, l_qseq, qual, par_d, par_e,
                         bw, state, q, pd, pd_stride, sc);
+    realn_finish(ref, ref_len, read_pos, cigar, n_cigar, seq, qual, l_qseq,
+                 want_baq, ext_baq, state, q, pd, pd_stride, eff_bw, xe, xb,
+                 baq_out, iaq_out, daq_out, flags_out, sc);
+}
 
+static void realn_finish(
+    const char *ref, int64_t ref_len, int64_t read_pos,
+    const uint32_t *cigar, int n_cigar,
+    const char *seq, const uint8_t *qual, int l_qseq,
+    int want_baq, int ext_baq,
+    const int *state, const uint8_t *q,
+    double *pd, int pd_stride, int eff_bw, int64_t xe, int64_t xb,
+    uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out, uint8_t *flags_out,
+    baq_scratch_t *sc)
+{
+    *flags_out = 0;
     if (want_baq) {
         uint8_t *bq = sc_get(sc, 9, l_qseq + 1);
         memcpy(bq, qual, l_qseq);
@@ -546,27 +962,183 @@ typedef struct {
     int tid, nth;
 } baq_job_t;
 
+/* Grouping record for the 4-lane HMM: reads with identical
+ * (l_qseq, l_ref, bw) share band geometry and can run in SIMD lanes. */
+typedef struct {
+    int32_t lq, lref, bw;
+    int64_t idx;
+    int64_t xb, xe;
+    uint8_t has_ins, has_del;
+} gitem_t;
+
+static int gitem_cmp(const void *a, const void *b)
+{
+    const gitem_t *x = a, *y = b;
+    if (x->lq != y->lq) return x->lq < y->lq ? -1 : 1;
+    if (x->lref != y->lref) return x->lref < y->lref ? -1 : 1;
+    if (x->bw != y->bw) return x->bw < y->bw ? -1 : 1;
+    return x->idx < y->idx ? -1 : x->idx > y->idx ? 1 : 0;
+}
+
+/* One read's batch fields. */
+static void job_read(const baq_job_t *j, int64_t i, const char **seq,
+                     const uint8_t **qual, const uint32_t **cigar,
+                     int *n_cigar, int *l_qseq)
+{
+    *n_cigar = (int)(j->cigar_start[i + 1] - j->cigar_start[i]);
+    *l_qseq = (int)(j->seq_start[i + 1] - j->seq_start[i]);
+    *seq = j->seqs + j->seq_start[i];
+    *qual = j->quals + j->seq_start[i];
+    *cigar = j->cigars + j->cigar_start[i];
+}
+
+/* Run four same-geometry reads through glocal_x4 and finish each lane. */
+static void realn_group4(const baq_job_t *jb, const gitem_t it[4],
+                         baq_scratch_t *sc)
+{
+    int l_qseq = it[0].lq, l_ref = it[0].lref, bw = it[0].bw;
+    uint8_t *qb = sc_get(sc, 4, 4 * (size_t)l_qseq);
+    uint8_t *rb = sc_get(sc, 5, 4 * (size_t)l_ref);
+    int *stb = sc_get(sc, 6, 4 * (size_t)l_qseq * sizeof(int));
+    uint8_t *qq = sc_get(sc, 7, 4 * (size_t)l_qseq);
+    const uint8_t *qcodes[4], *rcodes[4], *iq[4];
+    int *state[4];
+    uint8_t *qv[4];
+    double *pdl[4];
+    int any_pd = 0;
+    /* pd band geometry is shared by the group (same inputs as realn_one) */
+    int bw_max = bw;
+    if (bw_max < abs(l_ref - l_qseq)) bw_max = abs(l_ref - l_qseq);
+    int maxdim = l_ref > l_qseq ? l_ref : l_qseq;
+    if (bw_max > maxdim) bw_max = maxdim;
+    int pd_stride = (bw_max * 2 + 1) * 3 + 6;
+    size_t pd_cells = (size_t)(l_qseq + 1) * pd_stride;
+    for (int l = 0; l < 4; ++l)
+        if (jb->want_idaq[it[l].idx] && (it[l].has_ins || it[l].has_del))
+            any_pd = 1;
+    double *pdbuf =
+        any_pd ? sc_get(sc, 8, 4 * pd_cells * sizeof(double)) : NULL;
+
+    for (int l = 0; l < 4; ++l) {
+        int64_t i = it[l].idx;
+        const char *seq;
+        const uint8_t *qual;
+        const uint32_t *cigar;
+        int n_cigar, lq;
+        job_read(jb, i, &seq, &qual, &cigar, &n_cigar, &lq);
+        uint8_t *qc = qb + (size_t)l * l_qseq;
+        for (int t = 0; t < l_qseq; ++t)
+            qc[t] = base_code[(uint8_t)seq[t]];
+        uint8_t *rc = rb + (size_t)l * l_ref;
+        for (int t = 0; t < l_ref; ++t)
+            rc[t] = base_code[(uint8_t)jb->ref[it[l].xb + t]];
+        qcodes[l] = qc;
+        rcodes[l] = rc;
+        iq[l] = qual;
+        state[l] = stb + (size_t)l * l_qseq;
+        qv[l] = qq + (size_t)l * l_qseq;
+        if (pdbuf && jb->want_idaq[i] && (it[l].has_ins || it[l].has_del)) {
+            pdl[l] = pdbuf + (size_t)l * pd_cells;
+            memset(pdl[l], 0, pd_cells * sizeof(double));
+        } else {
+            pdl[l] = NULL;
+        }
+    }
+
+    int eff_bw = glocal_x4(rcodes, l_ref, qcodes, l_qseq, iq,
+                           jb->par_d, jb->par_e, bw, state, qv,
+                           pdl, pd_stride, sc);
+
+    for (int l = 0; l < 4; ++l) {
+        int64_t i = it[l].idx;
+        const char *seq;
+        const uint8_t *qual;
+        const uint32_t *cigar;
+        int n_cigar, lq;
+        job_read(jb, i, &seq, &qual, &cigar, &n_cigar, &lq);
+        realn_finish(jb->ref, jb->ref_len, jb->read_pos[i], cigar, n_cigar,
+                     seq, qual, l_qseq, jb->want_baq[i], jb->ext_baq,
+                     state[l], qv[l], pdl[l], pd_stride, eff_bw,
+                     it[l].xe, it[l].xb,
+                     jb->baq_out + jb->seq_start[i] + i,
+                     jb->iaq_out + jb->seq_start[i] + i,
+                     jb->daq_out + jb->seq_start[i] + i,
+                     jb->flags_out + i, sc);
+    }
+}
+
+/* Scalar path for group remainders and malloc-failure fallback. */
+static void realn_idx(const baq_job_t *j, int64_t i, baq_scratch_t *sc)
+{
+    const char *seq;
+    const uint8_t *qual;
+    const uint32_t *cigar;
+    int n_cigar, l_qseq;
+    job_read(j, i, &seq, &qual, &cigar, &n_cigar, &l_qseq);
+    realn_one(j->ref, j->ref_len, j->read_pos[i], cigar, n_cigar,
+              seq, qual, l_qseq,
+              j->want_baq[i], j->ext_baq, j->want_idaq[i],
+              j->par_d, j->par_e,
+              j->baq_out + j->seq_start[i] + i, /* +i: per-read NUL room */
+              j->iaq_out + j->seq_start[i] + i,
+              j->daq_out + j->seq_start[i] + i,
+              j->flags_out + i, sc);
+}
+
 static void *baq_worker(void *arg)
 {
     baq_job_t *j = arg;
     baq_scratch_t sc;
     memset(&sc, 0, sizeof(sc));
+    base_code_init();
+    /* LOFREQ_BAQ_X4=0 disables the 4-lane grouping (debug/AB switch;
+     * output is bit-identical either way) */
+    const char *x4e = getenv("LOFREQ_BAQ_X4");
+    int use_x4 = !(x4e && *x4e == '0');
+    int64_t cap = j->n_reads / j->nth + 2;
+    gitem_t *items =
+        use_x4 ? malloc((size_t)cap * sizeof(gitem_t)) : NULL;
+    int64_t n_items = 0;
     for (int64_t i = j->tid; i < j->n_reads; i += j->nth) {
-        if (!j->want_baq[i] && !j->want_idaq[i]) {
-            j->flags_out[i] = 0;
+        j->flags_out[i] = 0;
+        if (!j->want_baq[i] && !j->want_idaq[i])
+            continue;
+        if (!items) {           /* malloc failed: plain scalar walk */
+            realn_idx(j, i, &sc);
             continue;
         }
-        int n_cigar = (int)(j->cigar_start[i + 1] - j->cigar_start[i]);
-        int l_qseq = (int)(j->seq_start[i + 1] - j->seq_start[i]);
-        realn_one(
-            j->ref, j->ref_len, j->read_pos[i],
-            j->cigars + j->cigar_start[i], n_cigar,
-            j->seqs + j->seq_start[i], j->quals + j->seq_start[i], l_qseq,
-            j->want_baq[i], j->ext_baq, j->want_idaq[i], j->par_d, j->par_e,
-            j->baq_out + j->seq_start[i] + i, /* +i: room for per-read NUL */
-            j->iaq_out + j->seq_start[i] + i,
-            j->daq_out + j->seq_start[i] + i,
-            j->flags_out + i, &sc);
+        const char *seq;
+        const uint8_t *qual;
+        const uint32_t *cigar;
+        int n_cigar, l_qseq;
+        job_read(j, i, &seq, &qual, &cigar, &n_cigar, &l_qseq);
+        realn_geom_t g;
+        realn_geom(cigar, n_cigar, j->read_pos[i], l_qseq, j->ref_len, &g);
+        if (!g.ok)
+            continue;
+        items[n_items++] = (gitem_t){l_qseq, g.l_ref, g.bw, i, g.xb, g.xe,
+                                     (uint8_t)g.has_ins, (uint8_t)g.has_del};
+    }
+    if (items) {
+        /* group same-shape reads; 4-lane SIMD for full quads, scalar for
+         * remainders (bit-identical either way, so the read->lane
+         * assignment never affects output) */
+        qsort(items, (size_t)n_items, sizeof(gitem_t), gitem_cmp);
+        int64_t p = 0;
+        while (p < n_items) {
+            int64_t r = p;
+            while (r < n_items && items[r].lq == items[p].lq &&
+                   items[r].lref == items[p].lref &&
+                   items[r].bw == items[p].bw)
+                r++;
+            while (r - p >= 4) {
+                realn_group4(j, items + p, &sc);
+                p += 4;
+            }
+            for (; p < r; ++p)
+                realn_idx(j, items[p].idx, &sc);
+        }
+        free(items);
     }
     sc_free(&sc);
     return NULL;
@@ -647,6 +1219,52 @@ int lfq_glocal_dbg(const uint8_t *ref_codes, int l_ref,
     memset(&sc, 0, sizeof(sc));
     int r = glocal(ref_codes, l_ref, query_codes, l_query, iqual,
                    par_d, par_e, par_bw, state, q, NULL, 0, &sc);
+    sc_free(&sc);
+    return r;
+}
+
+/* Scalar glocal with pd output, for the x4-vs-scalar fuzz test. */
+int lfq_glocal_dbg_pd(const uint8_t *ref_codes, int l_ref,
+                      const uint8_t *query_codes, int l_query,
+                      const uint8_t *iqual, double par_d, double par_e,
+                      int par_bw, int *state, uint8_t *q,
+                      double *pd, int pd_stride)
+{
+    baq_scratch_t sc;
+    memset(&sc, 0, sizeof(sc));
+    int r = glocal(ref_codes, l_ref, query_codes, l_query, iqual,
+                   par_d, par_e, par_bw, state, q, pd, pd_stride, &sc);
+    sc_free(&sc);
+    return r;
+}
+
+/* 4-lane SIMD glocal, exported for the x4-vs-scalar bit-identity fuzz
+ * test.  All four lanes must share (l_ref, l_query, par_bw); per-lane
+ * arrays are packed contiguously (lane l at offset l*l_ref / l*l_query /
+ * l*pd_cells). */
+int lfq_glocal_x4_dbg(const uint8_t *ref_codes4, int l_ref,
+                      const uint8_t *query_codes4, int l_query,
+                      const uint8_t *iqual4, double par_d, double par_e,
+                      int par_bw, int *state4, uint8_t *q4,
+                      double *pd4, int pd_stride)
+{
+    baq_scratch_t sc;
+    memset(&sc, 0, sizeof(sc));
+    const uint8_t *rc[4], *qc[4], *iq[4];
+    int *st[4];
+    uint8_t *qq[4];
+    double *pdl[4];
+    size_t pd_cells = (size_t)(l_query + 1) * pd_stride;
+    for (int l = 0; l < 4; ++l) {
+        rc[l] = ref_codes4 + (size_t)l * l_ref;
+        qc[l] = query_codes4 + (size_t)l * l_query;
+        iq[l] = iqual4 + (size_t)l * l_query;
+        st[l] = state4 + (size_t)l * l_query;
+        qq[l] = q4 + (size_t)l * l_query;
+        pdl[l] = pd4 ? pd4 + (size_t)l * pd_cells : NULL;
+    }
+    int r = glocal_x4(rc, l_ref, qc, l_query, iq, par_d, par_e, par_bw,
+                      st, qq, pd4 ? pdl : NULL, pd_stride, &sc);
     sc_free(&sc);
     return r;
 }
