@@ -288,359 +288,38 @@ static int glocal(const uint8_t *ref_codes, int l_ref,
 }
 
 /* ---------------------------------------------------------------------
- * 4-lane SIMD glocal: run FOUR reads of identical geometry
- * (l_query, l_ref, band width) through the banded HMM at once, one read
- * per vector lane.  Every recurrence — including the sequential in-row
- * D chain, the scale sums and the normalizations — is elementwise across
- * lanes, so each lane's operation ORDER is exactly the scalar glocal's
- * and the per-read results are bit-identical (enforced by the x4-vs-
- * scalar fuzz test and by the thread-count determinism tests, since the
- * scalar path handles group remainders).
- *
- * Design notes (throughput, not latency, is the limit at band ~15):
- *  - one fused loop per row carrying the M/D chain values in registers
- *    (the scalar code's structure), no temp-row round trips;
- *  - emissions come from an interleaved int64 code matrix (one 32B load
- *    per cell) + constant-time vector selects, instead of per-lane table
- *    gathers;
- *  - cell layout is plane-major with the in-band offset
- *    j = k - max(i-bw,0) + 1 (one v4df per (i,j)); out-of-band cells the
- *    band walk reads (at most two on each side of an adjacent row's
- *    band) are zeroed per row instead of memsetting whole matrices. */
+ * SIMD glocal kernels: glocal_x4 (AVX2 ymm) and glocal_x8 (AVX-512 zmm),
+ * instantiated from the width-parameterized baq_glocal_xw.inc.  See the
+ * header comment there for the design and the bit-identity argument. */
 
 typedef double v4df __attribute__((vector_size(32)));
 typedef int64_t v4di __attribute__((vector_size(32)));
+typedef double v8df __attribute__((vector_size(64)));
+typedef int64_t v8di __attribute__((vector_size(64)));
 
-static inline v4df splat4(double x)
-{
-    return (v4df){x, x, x, x};
-}
+#define LANES 4
+#define VD v4df
+#define VI v4di
+#define GLOCAL_FN glocal_x4
+#define NM(x) x##_w4
+#include "baq_glocal_xw.inc"
+#undef LANES
+#undef VD
+#undef VI
+#undef GLOCAL_FN
+#undef NM
 
-static inline v4di splat4i(int64_t x)
-{
-    return (v4di){x, x, x, x};
-}
-
-/* bitwise select: m ? a : b, per lane (m is all-ones/all-zeros) */
-static inline v4df vsel4(v4di m, v4df a, v4df b)
-{
-    return (v4df)(((v4di)a & m) | ((v4di)b & ~m));
-}
-
-static inline void zero_edges4(v4df *row, int jbeg, int jend, int W)
-{
-    v4df z = splat4(0.);
-    int lo = jbeg - 2;
-    if (lo < 0) lo = 0;
-    for (int j = lo; j < jbeg; ++j)
-        row[j] = z;
-    int hi = jend + 2;
-    if (hi > W - 1) hi = W - 1;
-    for (int j = jend + 1; j <= hi; ++j)
-        row[j] = z;
-}
-
-/* per-row emission constants for the 4 lanes */
-typedef struct {
-    v4di qyi;    /* query base code per lane */
-    v4di qbig;   /* all-ones where qyi > 3 */
-    v4df ematch; /* 1 - q2p[qual] per lane */
-    v4df emis;   /* q2p[qual] * EM per lane */
-} erow_t;
-
-static inline erow_t emit_row(const uint8_t *const qcodes[4],
-                              const uint8_t *const iqual[4], int i)
-{
-    erow_t er;
-    for (int l = 0; l < 4; ++l) {
-        uint8_t qyi = qcodes[l][i - 1];
-        double qli = q2p_tab[iqual[l] ? iqual[l][i - 1] : 30];
-        er.qyi[l] = qyi;
-        er.qbig[l] = qyi > 3 ? -1 : 0;
-        er.ematch[l] = 1. - qli;
-        er.emis[l] = qli * EM;
-    }
-    return er;
-}
-
-/* emission at interleaved code cell rc: (rc>3 || qyi>3) ? 1 : rc==qyi ?
- * ematch : emis — a pure per-lane bit-select of exact doubles */
-static inline v4df emit_e(v4di rc, const erow_t *er)
-{
-    v4di big = (rc > splat4i(3)) | er->qbig;
-    v4di eq = (rc == er->qyi);
-    return vsel4(big, splat4(1.), vsel4(eq, er->ematch, er->emis));
-}
-
-static int glocal_x4(const uint8_t *const rcodes[4], int l_ref,
-                     const uint8_t *const qcodes[4], int l_query,
-                     const uint8_t *const iqual[4],
-                     double par_d, double par_e, int par_bw,
-                     int *const state[4], uint8_t *const qout[4],
-                     double *const pd[4], int pd_stride,
-                     baq_scratch_t *sc)
-{
-    q2p_init();
-    if (l_ref <= 0 || l_query <= 0)
-        return 0;
-    int bw = l_ref > l_query ? l_ref : l_query;
-    if (bw > par_bw) bw = par_bw;
-    if (bw < abs(l_ref - l_query)) bw = abs(l_ref - l_query);
-    int bw2 = bw * 2 + 1;
-    int W = bw2 + 2;
-
-    size_t plane = (size_t)(l_query + 1) * W;   /* v4df cells per plane */
-    v4df *fM = sc_get(sc, 0, 3 * plane * sizeof(v4df));
-    v4df *fI = fM + plane, *fD = fM + 2 * plane;
-    v4df *gM = sc_get(sc, 1, 3 * plane * sizeof(v4df));
-    v4df *gI = gM + plane, *gD = gM + 2 * plane;
-    v4df *sv = sc_get(sc, 2, (l_query + 2) * sizeof(v4df));
-    v4di *rci = sc_get(sc, 12, (size_t)l_ref * sizeof(v4di));
-
-    /* interleaved ref codes: one aligned 32B load per band cell */
-    for (int t = 0; t < l_ref; ++t)
-        rci[t] = (v4di){rcodes[0][t], rcodes[1][t],
-                        rcodes[2][t], rcodes[3][t]};
-
-    double sM, sI, m[9];
-    sM = sI = 1. / (2 * l_query + 2);
-    m[0] = (1 - par_d - par_d) * (1 - sM); m[1] = m[2] = par_d * (1 - sM);
-    m[3] = (1 - par_e) * (1 - sI); m[4] = par_e * (1 - sI); m[5] = 0.;
-    m[6] = 1 - par_e; m[7] = 0.; m[8] = par_e;
-    const v4df m0v = splat4(m[0]), m1v = splat4(m[1]), m2v = splat4(m[2]);
-    const v4df m3v = splat4(m[3]), m4v = splat4(m[4]), m6v = splat4(m[6]);
-    const v4df m8v = splat4(m[8]);
-    const v4df eiv = splat4(EI);
-    /* backward EI*m folds: the scalar EI*m[x]*v evaluates as (EI*m[x])*v */
-    const v4df cm1v = splat4(EI * m[1]), cm4v = splat4(EI * m[4]);
-    const v4df bMcv = splat4((1 - par_d) / l_ref);
-    const v4df bIcv = splat4(EI * (par_d / l_ref));  /* fi[u+1] = EI * bI */
-    const v4df sMv = splat4(sM), sIv = splat4(sI);
-    const v4df zerov = splat4(0.), onev = splat4(1.);
-
-    /* forward: row 0 seed (j of k=0 is 1) */
-    for (int j = 0; j < W; ++j)
-        fM[j] = fI[j] = fD[j] = zerov;
-    fM[1] = onev;
-    sv[0] = onev;
-    /* forward: row 1 init (x_1 = 0, j = k + 1); D row stays zero and is
-     * divided by the scale like the scalar version's memset cells */
-    {
-        v4df *fMi = fM + W, *fIi = fI + W, *fDi = fD + W;
-        for (int j = 0; j < W; ++j)
-            fDi[j] = zerov;
-        int end = l_ref < bw + 1 ? l_ref : bw + 1;
-        int jbeg = 2, jend = end + 1;
-        zero_edges4(fMi, jbeg, jend, W);
-        zero_edges4(fIi, jbeg, jend, W);
-        erow_t er = emit_row(qcodes, iqual, 1);
-        v4df sum = zerov;
-        for (int j = jbeg; j <= jend; ++j) {
-            v4df e = emit_e(rci[j - 2], &er);   /* k = j - 1 */
-            v4df M = e * bMcv;
-            fMi[j] = M;
-            fIi[j] = bIcv;
-            sum += M + bIcv;
-        }
-        sv[1] = sum;
-        for (int j = jbeg; j <= jend; ++j) {
-            fMi[j] /= sum;
-            fIi[j] /= sum;
-            fDi[j] /= sum;
-        }
-    }
-    for (int i = 2; i <= l_query; ++i) {
-        v4df *fMi = fM + (size_t)i * W;
-        v4df *fIi = fI + (size_t)i * W;
-        v4df *fDi = fD + (size_t)i * W;
-        int x = i - bw < 0 ? 0 : i - bw;
-        int xp = i - 1 - bw < 0 ? 0 : i - 1 - bw;
-        int sft = x - xp;               /* 0 or 1 */
-        int beg = i - bw > 1 ? i - bw : 1;
-        int end = l_ref < i + bw ? l_ref : i + bw;
-        int jbeg = beg - x + 1, jend = end - x + 1;
-        zero_edges4(fMi, jbeg, jend, W);
-        zero_edges4(fIi, jbeg, jend, W);
-        zero_edges4(fDi, jbeg, jend, W);
-        erow_t er = emit_row(qcodes, iqual, i);
-        const v4di *rrow = rci + x - 2;             /* refb[k], k = j+x-1 */
-        const v4df *pM = fM + (size_t)(i - 1) * W + (sft - 1);
-        const v4df *pI = fI + (size_t)(i - 1) * W + (sft - 1);
-        const v4df *pD = fD + (size_t)(i - 1) * W + (sft - 1);
-        const v4df *pM1 = pM + 1, *pI1 = pI + 1;
-        v4df sum = zerov;
-        v4df Mprev = fMi[jbeg - 1];     /* zeroed edge */
-        v4df Dprev = fDi[jbeg - 1];
-        for (int j = jbeg; j <= jend; ++j) {
-            v4df e = emit_e(rrow[j], &er);
-            v4df M = e * (m0v * pM[j] + m3v * pI[j] + m6v * pD[j]);
-            v4df I = eiv * (m1v * pM1[j] + m4v * pI1[j]);
-            v4df D = m2v * Mprev + m8v * Dprev;
-            fMi[j] = M;
-            fIi[j] = I;
-            fDi[j] = D;
-            sum += M + I + D;
-            Mprev = M;
-            Dprev = D;
-        }
-        sv[i] = sum;
-        v4df r = onev / sum;
-        for (int j = jbeg; j <= jend; ++j) {
-            fMi[j] *= r;
-            fIi[j] *= r;
-            fDi[j] *= r;
-        }
-    }
-    {
-        v4df sum = zerov;
-        int x = l_query - bw < 0 ? 0 : l_query - bw;
-        const v4df *FMq = fM + (size_t)l_query * W;
-        const v4df *FIq = fI + (size_t)l_query * W;
-        for (int k = 1; k <= l_ref; ++k) {
-            int j = k - x + 1;
-            if (j < 1 || j > bw2)
-                continue;
-            sum += FMq[j] * sMv + FIq[j] * sIv;
-        }
-        sv[l_query + 1] = sum;
-    }
-
-    /* backward */
-    {
-        v4df *bMi = gM + (size_t)l_query * W;
-        v4df *bIi = gI + (size_t)l_query * W;
-        v4df *bDi = gD + (size_t)l_query * W;
-        for (int j = 0; j < W; ++j)
-            bMi[j] = bIi[j] = bDi[j] = zerov;
-        int x = l_query - bw < 0 ? 0 : l_query - bw;
-        v4df vM = sMv / sv[l_query] / sv[l_query + 1];
-        v4df vI = sIv / sv[l_query] / sv[l_query + 1];
-        for (int k = 1; k <= l_ref; ++k) {
-            int j = k - x + 1;
-            if (j < 1 || j > bw2)
-                continue;
-            bMi[j] = vM;
-            bIi[j] = vI;
-        }
-    }
-    for (int i = l_query - 1; i >= 1; --i) {
-        v4df *bMi = gM + (size_t)i * W;
-        v4df *bIi = gI + (size_t)i * W;
-        v4df *bDi = gD + (size_t)i * W;
-        const v4df yv = splat4((double)(i > 1));
-        int x = i - bw < 0 ? 0 : i - bw;
-        int xn = i + 1 - bw < 0 ? 0 : i + 1 - bw;
-        int sft = xn - x;               /* 0 or 1 */
-        int beg = i - bw > 1 ? i - bw : 1;
-        int end = l_ref < i + bw ? l_ref : i + bw;
-        int jbeg = beg - x + 1, jend = end - x + 1;
-        zero_edges4(bMi, jbeg, jend, W);
-        zero_edges4(bIi, jbeg, jend, W);
-        zero_edges4(bDi, jbeg, jend, W);
-        erow_t er = emit_row(qcodes, iqual, i + 1);
-        const v4di *rrow1 = rci + x - 1;            /* refb[k+1], k = j+x-1 */
-        const v4df *nM = gM + (size_t)(i + 1) * W + (1 - sft);
-        const v4df *nI = gI + (size_t)(i + 1) * W - sft;
-        /* k >= l_ref (emission forced to 0) only at j >= jcap, which is at
-         * most the last band cell; peel it so the main loop never loads
-         * rci[l_ref] (the scalar ternary short-circuited it) */
-        int jcap = l_ref - x + 1;
-        int jmid = jend < jcap - 1 ? jend : jcap - 1;
-        v4df Dnext = bDi[jend + 1];     /* zeroed edge */
-        int j = jend;
-        for (; j > jmid; --j) {
-            /* e = 0 * nM[j] = +0: the additions below then reproduce the
-             * scalar values exactly (+0 + v = v for v >= 0) */
-            v4df M = zerov * m0v + cm1v * nI[j] + m2v * Dnext;
-            v4df I = zerov * m3v + cm4v * nI[j];
-            v4df D = (zerov * m6v + m8v * Dnext) * yv;
-            bMi[j] = M;
-            bIi[j] = I;
-            bDi[j] = D;
-            Dnext = D;
-        }
-        for (; j >= jbeg; --j) {
-            v4df e = emit_e(rrow1[j], &er) * nM[j];
-            v4df M = e * m0v + cm1v * nI[j] + m2v * Dnext;
-            v4df I = e * m3v + cm4v * nI[j];
-            v4df D = (e * m6v + m8v * Dnext) * yv;
-            bMi[j] = M;
-            bIi[j] = I;
-            bDi[j] = D;
-            Dnext = D;
-        }
-        v4df r = onev / sv[i];
-        for (int t = jbeg; t <= jend; ++t) {
-            bMi[t] *= r;
-            bIi[t] *= r;
-            bDi[t] *= r;
-        }
-    }
-
-    /* MAP + posterior matrix: the per-k products and tail sums run
-     * vectorized across lanes; the (rare) argmax improvements and the
-     * (rare) posterior-matrix lanes take scalar sidecars */
-    {
-        double max_all[4], sum_all[4];
-        int max_k_all[4];
-        for (int i = 1; i <= l_query; ++i) {
-            const v4df *fMi = fM + (size_t)i * W;
-            const v4df *fIi = fI + (size_t)i * W;
-            const v4df *bMi = gM + (size_t)i * W;
-            const v4df *bIi = gI + (size_t)i * W;
-            int x = i - bw < 0 ? 0 : i - bw;
-            int beg = i - bw > 1 ? i - bw : 1;
-            int end = l_ref < i + bw ? l_ref : i + bw;
-            v4df sum = zerov, vmax = zerov;
-            v4di vmaxk = {-1, -1, -1, -1};
-            for (int k = beg; k <= end; ++k) {
-                int j = k - x + 1;
-                v4df zM = fMi[j] * bMi[j];
-                v4di gtM = (zM > vmax);
-                vmax = vsel4(gtM, zM, vmax);
-                vmaxk = (gtM & splat4i((int64_t)(k - 1) << 2))
-                        | (~gtM & vmaxk);
-                sum += zM;
-                v4df zI = fIi[j] * bIi[j];
-                v4di gtI = (zI > vmax);
-                vmax = vsel4(gtI, zI, vmax);
-                vmaxk = (gtI & splat4i(((int64_t)(k - 1) << 2) | 1))
-                        | (~gtI & vmaxk);
-                sum += zI;
-            }
-            for (int l = 0; l < 4; ++l) {
-                max_all[l] = vmax[l] / sum[l];
-                sum_all[l] = sum[l];
-                max_k_all[l] = (int)vmaxk[l];
-            }
-            for (int l = 0; l < 4; ++l) {
-                if (state[l]) state[l][i - 1] = max_k_all[l];
-                if (qout[l]) {
-                    int kk = (int)(-4.343 * log(1. - max_all[l]) + .499);
-                    qout[l][i - 1] = kk > 100 ? 99 : kk;
-                }
-                double *pd_l = pd ? pd[l] : NULL;
-                if (pd_l) {
-                    double *pdi = pd_l + (size_t)i * pd_stride;
-                    const v4df *fDi = fD + (size_t)i * W;
-                    const v4df *bDi = gD + (size_t)i * W;
-                    double s_i = sv[i][l];
-                    for (int k = beg; k <= end; ++k) {
-                        int j = k - x + 1;
-                        int u = band_u(bw, i, k);
-                        pdi[u + 0] = fMi[j][l] * bMi[j][l] * s_i;
-                        pdi[u + 1] = fIi[j][l] * bIi[j][l] * s_i;
-                        pdi[u + 2] = fDi[j][l] * bDi[j][l] * s_i;
-                    }
-                }
-            }
-            (void)sum_all;
-        }
-    }
-
-    return bw;
-}
-
+#define LANES 8
+#define VD v8df
+#define VI v8di
+#define GLOCAL_FN glocal_x8
+#define NM(x) x##_w8
+#include "baq_glocal_xw.inc"
+#undef LANES
+#undef VD
+#undef VI
+#undef GLOCAL_FN
+#undef NM
 
 static inline uint8_t encode_q(int q)
 {
@@ -993,18 +672,20 @@ static void job_read(const baq_job_t *j, int64_t i, const char **seq,
 }
 
 /* Run four same-geometry reads through glocal_x4 and finish each lane. */
-static void realn_group4(const baq_job_t *jb, const gitem_t it[4],
-                         baq_scratch_t *sc)
+/* Run nl (4 or 8) same-geometry reads through glocal_x4/x8 and finish
+ * each lane. */
+static void realn_group(const baq_job_t *jb, const gitem_t *it, int nl,
+                        baq_scratch_t *sc)
 {
     int l_qseq = it[0].lq, l_ref = it[0].lref, bw = it[0].bw;
-    uint8_t *qb = sc_get(sc, 4, 4 * (size_t)l_qseq);
-    uint8_t *rb = sc_get(sc, 5, 4 * (size_t)l_ref);
-    int *stb = sc_get(sc, 6, 4 * (size_t)l_qseq * sizeof(int));
-    uint8_t *qq = sc_get(sc, 7, 4 * (size_t)l_qseq);
-    const uint8_t *qcodes[4], *rcodes[4], *iq[4];
-    int *state[4];
-    uint8_t *qv[4];
-    double *pdl[4];
+    uint8_t *qb = sc_get(sc, 4, (size_t)nl * l_qseq);
+    uint8_t *rb = sc_get(sc, 5, (size_t)nl * l_ref);
+    int *stb = sc_get(sc, 6, (size_t)nl * l_qseq * sizeof(int));
+    uint8_t *qq = sc_get(sc, 7, (size_t)nl * l_qseq);
+    const uint8_t *qcodes[8], *rcodes[8], *iq[8];
+    int *state[8];
+    uint8_t *qv[8];
+    double *pdl[8];
     int any_pd = 0;
     /* pd band geometry is shared by the group (same inputs as realn_one) */
     int bw_max = bw;
@@ -1013,13 +694,14 @@ static void realn_group4(const baq_job_t *jb, const gitem_t it[4],
     if (bw_max > maxdim) bw_max = maxdim;
     int pd_stride = (bw_max * 2 + 1) * 3 + 6;
     size_t pd_cells = (size_t)(l_qseq + 1) * pd_stride;
-    for (int l = 0; l < 4; ++l)
+    for (int l = 0; l < nl; ++l)
         if (jb->want_idaq[it[l].idx] && (it[l].has_ins || it[l].has_del))
             any_pd = 1;
     double *pdbuf =
-        any_pd ? sc_get(sc, 8, 4 * pd_cells * sizeof(double)) : NULL;
+        any_pd ? sc_get(sc, 8, (size_t)nl * pd_cells * sizeof(double))
+               : NULL;
 
-    for (int l = 0; l < 4; ++l) {
+    for (int l = 0; l < nl; ++l) {
         int64_t i = it[l].idx;
         const char *seq;
         const uint8_t *qual;
@@ -1045,11 +727,15 @@ static void realn_group4(const baq_job_t *jb, const gitem_t it[4],
         }
     }
 
-    int eff_bw = glocal_x4(rcodes, l_ref, qcodes, l_qseq, iq,
-                           jb->par_d, jb->par_e, bw, state, qv,
-                           pdl, pd_stride, sc);
+    int eff_bw =
+        nl == 8 ? glocal_x8(rcodes, l_ref, qcodes, l_qseq, iq,
+                            jb->par_d, jb->par_e, bw, state, qv,
+                            pdl, pd_stride, sc)
+                : glocal_x4(rcodes, l_ref, qcodes, l_qseq, iq,
+                            jb->par_d, jb->par_e, bw, state, qv,
+                            pdl, pd_stride, sc);
 
-    for (int l = 0; l < 4; ++l) {
+    for (int l = 0; l < nl; ++l) {
         int64_t i = it[l].idx;
         const char *seq;
         const uint8_t *qual;
@@ -1131,8 +817,12 @@ static void *baq_worker(void *arg)
                    items[r].lref == items[p].lref &&
                    items[r].bw == items[p].bw)
                 r++;
-            while (r - p >= 4) {
-                realn_group4(j, items + p, &sc);
+            while (r - p >= 8) {
+                realn_group(j, items + p, 8, &sc);
+                p += 8;
+            }
+            if (r - p >= 4) {
+                realn_group(j, items + p, 4, &sc);
                 p += 4;
             }
             for (; p < r; ++p)
@@ -1264,6 +954,33 @@ int lfq_glocal_x4_dbg(const uint8_t *ref_codes4, int l_ref,
         pdl[l] = pd4 ? pd4 + (size_t)l * pd_cells : NULL;
     }
     int r = glocal_x4(rc, l_ref, qc, l_query, iq, par_d, par_e, par_bw,
+                      st, qq, pd4 ? pdl : NULL, pd_stride, &sc);
+    sc_free(&sc);
+    return r;
+}
+
+int lfq_glocal_x8_dbg(const uint8_t *ref_codes4, int l_ref,
+                      const uint8_t *query_codes4, int l_query,
+                      const uint8_t *iqual4, double par_d, double par_e,
+                      int par_bw, int *state4, uint8_t *q4,
+                      double *pd4, int pd_stride)
+{
+    baq_scratch_t sc;
+    memset(&sc, 0, sizeof(sc));
+    const uint8_t *rc[8], *qc[8], *iq[8];
+    int *st[8];
+    uint8_t *qq[8];
+    double *pdl[8];
+    size_t pd_cells = (size_t)(l_query + 1) * pd_stride;
+    for (int l = 0; l < 8; ++l) {
+        rc[l] = ref_codes4 + (size_t)l * l_ref;
+        qc[l] = query_codes4 + (size_t)l * l_query;
+        iq[l] = iqual4 + (size_t)l * l_query;
+        st[l] = state4 + (size_t)l * l_query;
+        qq[l] = q4 + (size_t)l * l_query;
+        pdl[l] = pd4 ? pd4 + (size_t)l * pd_cells : NULL;
+    }
+    int r = glocal_x8(rc, l_ref, qc, l_query, iq, par_d, par_e, par_bw,
                       st, qq, pd4 ? pdl : NULL, pd_stride, &sc);
     sc_free(&sc);
     return r;

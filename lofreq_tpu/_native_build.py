@@ -11,6 +11,8 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CSRC = os.path.join(_ROOT, "csrc")
 _BUILD = os.path.join(_CSRC, "build")
 SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c", "columns.c"]
+# non-compiled inputs that must still invalidate the build cache
+DEPS = ["baq_glocal_xw.inc"]
 
 _lock = threading.Lock()
 _lib = None
@@ -24,7 +26,8 @@ def get_native_lib() -> ctypes.CDLL:
             srcs = [os.path.join(_CSRC, s) for s in SRCS]
             out = os.path.join(_BUILD, "liblofreq_native.so")
             os.makedirs(_BUILD, exist_ok=True)
-            newest = max(os.path.getmtime(s) for s in srcs)
+            deps = [os.path.join(_CSRC, d) for d in DEPS]
+            newest = max(os.path.getmtime(s) for s in srcs + deps)
             if not (os.path.exists(out)
                     and os.path.getmtime(out) >= newest):
                 tmp = out + f".tmp{os.getpid()}"

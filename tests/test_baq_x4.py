@@ -26,16 +26,13 @@ _f64 = ctypes.POINTER(ctypes.c_double)
 
 def _lib():
     lib = get_native_lib()
-    lib.lfq_glocal_dbg_pd.argtypes = [
-        _u8, ctypes.c_int, _u8, ctypes.c_int, _u8,
-        ctypes.c_double, ctypes.c_double, ctypes.c_int,
-        _i32, _u8, _f64, ctypes.c_int,
-    ]
-    lib.lfq_glocal_x4_dbg.argtypes = [
-        _u8, ctypes.c_int, _u8, ctypes.c_int, _u8,
-        ctypes.c_double, ctypes.c_double, ctypes.c_int,
-        _i32, _u8, _f64, ctypes.c_int,
-    ]
+    for name in ("lfq_glocal_dbg_pd", "lfq_glocal_x4_dbg",
+                 "lfq_glocal_x8_dbg"):
+        getattr(lib, name).argtypes = [
+            _u8, ctypes.c_int, _u8, ctypes.c_int, _u8,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            _i32, _u8, _f64, ctypes.c_int,
+        ]
     return lib
 
 
@@ -55,10 +52,12 @@ def _run_scalar(lib, rc, qc, iq, lq, lref, bw, pd_stride):
     return r, state, q, pd
 
 
+@pytest.mark.parametrize("lanes", [4, 8])
 @pytest.mark.parametrize("seed", range(8))
-def test_glocal_x4_bit_identical_fuzz(seed):
+def test_glocal_xw_bit_identical_fuzz(seed, lanes):
     lib = _lib()
-    rng = np.random.default_rng(seed)
+    fn = (lib.lfq_glocal_x4_dbg if lanes == 4 else lib.lfq_glocal_x8_dbg)
+    rng = np.random.default_rng(seed * 2 + lanes)
     for case in range(40):
         # geometry shared by the 4 lanes, incl. degenerate shapes
         lq = int(rng.integers(1, 180))
@@ -69,28 +68,28 @@ def test_glocal_x4_bit_identical_fuzz(seed):
         bw_eff = max(bw_eff, abs(lref - lq))
         pd_stride = (bw_eff * 2 + 1) * 3 + 6
 
-        rc4 = rng.integers(0, 5, (4, lref)).astype(np.uint8)  # incl. N=4
-        qc4 = rng.integers(0, 5, (4, lq)).astype(np.uint8)
+        rc4 = rng.integers(0, 5, (lanes, lref)).astype(np.uint8)  # incl. N
+        qc4 = rng.integers(0, 5, (lanes, lq)).astype(np.uint8)
         iq4 = rng.choice(
             np.array([0, 2, 3, 17, 30, 41, 93], dtype=np.uint8),
-            (4, lq),
+            (lanes, lq),
         )
         # make half the lanes realistic (query ~= ref diagonal)
-        for lane in (0, 2):
+        for lane in range(0, lanes, 2):
             n = min(lq, lref)
             qc4[lane, :n] = rc4[lane, :n]
 
-        st4 = np.full(4 * lq, -7, dtype=np.int32)
-        q4 = np.zeros(4 * lq, dtype=np.uint8)
-        pd4 = np.zeros(4 * (lq + 1) * pd_stride)
-        r4 = lib.lfq_glocal_x4_dbg(
+        st4 = np.full(lanes * lq, -7, dtype=np.int32)
+        q4 = np.zeros(lanes * lq, dtype=np.uint8)
+        pd4 = np.zeros(lanes * (lq + 1) * pd_stride)
+        r4 = fn(
             _ptr(np.ascontiguousarray(rc4), _u8), lref,
             _ptr(np.ascontiguousarray(qc4), _u8), lq,
             _ptr(np.ascontiguousarray(iq4), _u8),
             1e-5, 0.4, bw, _ptr(st4, _i32), _ptr(q4, _u8),
             _ptr(pd4, _f64), pd_stride,
         )
-        for lane in range(4):
+        for lane in range(lanes):
             rs, st, q, pd = _run_scalar(
                 lib, np.ascontiguousarray(rc4[lane]),
                 np.ascontiguousarray(qc4[lane]),
@@ -112,7 +111,11 @@ def test_glocal_x4_bit_identical_fuzz(seed):
                 hi = (end - x[i - 1] + 1) * 3 + 3
                 row_a = got[i * pd_stride + lo:i * pd_stride + hi]
                 row_b = pd[i * pd_stride + lo:i * pd_stride + hi]
-                assert (row_a == row_b).all(), ctx + f" pd row {i}"
+                # bitwise equality: degenerate inputs (q=0 walls with a
+                # zero row sum, as in the reference) legitimately produce
+                # NaNs, which must still match bit-for-bit
+                assert (row_a.view(np.int64) == row_b.view(np.int64)).all(), \
+                    ctx + f" pd row {i}"
 
 
 def test_batch_x4_switch_identical(tmp_path):
