@@ -115,18 +115,42 @@ def compile_deadline() -> float:
 
 
 def device_screen_default() -> bool:
-    """True when an accelerator backend is present (the TPU is the engine
-    by default; CPU-only hosts run the exact path unless --device-screen
-    forces the XLA scan screen)."""
+    """True when an accelerator backend is present AND the host<->device
+    link can carry the screen's traffic (the TPU is the engine by default
+    on PCIe/ICI-attached chips; CPU-only hosts and thin tunneled links run
+    the exact path unless --device-screen forces it).
+
+    The screen ships ~512 B per tested column (top-S f32 err probs) and
+    saves ~8 us/column of host pack+qsort CPU, so below a couple hundred
+    MB/s (plus per-RPC overhead) it costs more wall-clock than it saves —
+    measured on the 37 MB/s axon tunnel: 22.0k cols/s host vs 14.8k with
+    the screen on, identical VCF either way."""
     override = os.environ.get("LOFREQ_TPU_DEVICE_SCREEN")
     if override is not None:
         return override not in ("0", "false", "no", "off", "")
     try:
         import jax
 
-        return jax.default_backend() != "cpu"
+        if jax.default_backend() == "cpu":
+            return False
     except Exception:
         return False
+    from .device_baq import link_bandwidth_mbs
+
+    bw = link_bandwidth_mbs()
+    if bw < MIN_SCREEN_LINK_MBS:
+        log.info(
+            "device screen auto-off: host<->device link measured "
+            "%.0f MB/s (< %.0f MB/s); the host path is faster on this "
+            "link (--device-screen forces it on)", bw,
+            MIN_SCREEN_LINK_MBS)
+        return False
+    return True
+
+
+# below this the screen's per-column transfer + RPC overhead exceeds the
+# host pack+qsort CPU it replaces (see device_screen_default)
+MIN_SCREEN_LINK_MBS = 200.0
 
 
 class _ScreenManager:
