@@ -14,6 +14,31 @@ import os
 import struct
 import zlib
 
+_POOL = None
+_POOL_PID = None
+
+
+def _inflate_pool():
+    """Shared thread pool for bulk block inflation (zlib releases the
+    GIL, so plain threads scale it).  Keyed on PID: a fork-based worker
+    (call-parallel) would inherit a dead executor whose queue lock can be
+    held mid-map — each process gets a fresh pool instead."""
+    global _POOL, _POOL_PID
+    pid = os.getpid()
+    if _POOL is None or _POOL_PID != pid:
+        n = int(os.environ.get("LOFREQ_BGZF_THREADS",
+                               min(4, os.cpu_count() or 1)))
+        if n <= 1:
+            _POOL = False       # caller falls back to serial inflation
+            _POOL_PID = pid
+            return _POOL
+        from concurrent.futures import ThreadPoolExecutor
+
+        _POOL = ThreadPoolExecutor(max_workers=n,
+                                   thread_name_prefix="bgzf-inflate")
+        _POOL_PID = pid
+    return _POOL
+
 BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000"
 )
@@ -134,7 +159,96 @@ class BgzfReader(io.RawIOBase):
 
     def read_until_voffset(self, vend: int) -> bytes:
         """Read raw bytes from the current position up to virtual offset
-        vend (exclusive).  vend must lie at or after the current position."""
+        vend (exclusive).  vend must lie at or after the current position.
+
+        Bulk path: the compressed range up to the final block is read with
+        one file read and its blocks are inflated on a thread pool; any
+        parse anomaly falls back to the block-at-a-time loop."""
+        cend = vend >> 16
+        uend = vend & 0xFFFF
+        out = []
+        # drain / finish within the current block first
+        if not self._fill():
+            return b""
+        if self._block_coffset >= cend:
+            take = uend - self._within
+            if take > 0:
+                out.append(self._block[self._within : self._within + take])
+                self._within += take
+            return b"".join(out)
+        out.append(self._block[self._within :])
+        self._within = len(self._block)
+
+        start = self._fh.tell()
+        if cend > start:
+            raw = self._fh.read(cend - start)
+            spans = self._parse_spans(raw)
+            if spans is None or (spans and spans[-1][3] != len(raw)) or \
+                    len(raw) != cend - start:
+                # malformed / short mid-stream: retry block-at-a-time
+                self._fh.seek(start)
+                return b"".join(out) + self._read_until_voffset_slow(vend)
+            pool = _inflate_pool() if len(spans) >= 4 else None
+            if pool:
+                payloads = list(pool.map(
+                    lambda s: zlib.decompress(raw[s[0]:s[1]], wbits=-15),
+                    spans))
+            else:
+                payloads = [zlib.decompress(raw[a:b], wbits=-15)
+                            for a, b, _, _ in spans]
+            for p, (_, _, isize, _) in zip(payloads, spans):
+                if len(p) != isize:
+                    raise BgzfError("BGZF ISIZE mismatch")
+            out.extend(payloads)
+
+        # load the final block (at cend) and take up to uend
+        self._block_coffset = self._fh.tell()
+        payload, _ = _read_block(self._fh)
+        if payload is None:
+            self._block = b""
+            self._within = 0
+            self._eof = True
+            return b"".join(out)
+        self._block = payload
+        self._within = 0
+        if uend > 0:
+            out.append(self._block[:uend])
+            self._within = uend
+        return b"".join(out)
+
+    @staticmethod
+    def _parse_spans(raw: bytes):
+        """Parse consecutive BGZF block headers in raw; returns a list of
+        (cdata_start, cdata_end, isize, block_end) or None on anomaly."""
+        spans = []
+        off = 0
+        n = len(raw)
+        while off < n:
+            if off + 12 > n:
+                return None
+            if raw[off] != 0x1F or raw[off + 1] != 0x8B or \
+                    raw[off + 2] != 8 or not (raw[off + 3] & 4):
+                return None
+            xlen = struct.unpack_from("<H", raw, off + 10)[0]
+            if off + 12 + xlen > n:
+                return None
+            bsize = None
+            eo = off + 12
+            eend = eo + xlen
+            while eo + 4 <= eend:
+                si1, si2, slen = struct.unpack_from("<BBH", raw, eo)
+                if si1 == 66 and si2 == 67 and slen == 2:
+                    bsize = struct.unpack_from("<H", raw, eo + 4)[0] + 1
+                eo += 4 + slen
+            if bsize is None or off + bsize > n or bsize < 12 + xlen + 8:
+                return None
+            isize = struct.unpack_from("<I", raw, off + bsize - 4)[0]
+            spans.append((off + 12 + xlen, off + bsize - 8, isize,
+                          off + bsize))
+            off += bsize
+        return spans
+
+    def _read_until_voffset_slow(self, vend: int) -> bytes:
         cend = vend >> 16
         uend = vend & 0xFFFF
         out = []
@@ -142,7 +256,6 @@ class BgzfReader(io.RawIOBase):
             if not self._fill():
                 break
             if self._block_coffset >= cend:
-                # final block: take up to uend
                 take = uend - self._within
                 if take > 0:
                     out.append(self._block[self._within : self._within + take])

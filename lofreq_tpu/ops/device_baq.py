@@ -65,20 +65,32 @@ def link_bandwidth_mbs() -> float:
     if override:
         _LINK_BW = float(override)
         return _LINK_BW
-    try:
-        import jax
-        import jax.numpy as jnp
 
-        buf = np.zeros(8 << 20, np.uint8)  # 8 MB probe
-        d = jax.device_put(buf)
-        np.asarray(d[:1])  # warm the path
-        t0 = time.perf_counter()
-        d = jax.device_put(buf)
-        np.asarray(d[:1])
-        dt = time.perf_counter() - t0
-        _LINK_BW = (buf.nbytes / (1 << 20)) / max(dt, 1e-6)
-    except Exception:
-        _LINK_BW = 0.0
+    def probe(out):
+        try:
+            import jax
+
+            buf = np.zeros(8 << 20, np.uint8)  # 8 MB probe
+            d = jax.device_put(buf)
+            np.asarray(d[:1])  # warm the path
+            t0 = time.perf_counter()
+            d = jax.device_put(buf)
+            np.asarray(d[:1])
+            dt = time.perf_counter() - t0
+            out.append((buf.nbytes / (1 << 20)) / max(dt, 1e-6))
+        except Exception:
+            out.append(0.0)
+
+    # a sick/wedged device service must never hang `call`: probe on a
+    # daemon thread under a deadline, and treat a timeout as no usable
+    # link (the host engine is always correct)
+    import threading
+
+    out: list = []
+    th = threading.Thread(target=probe, args=(out,), daemon=True)
+    th.start()
+    th.join(float(os.environ.get("LOFREQ_TPU_LINK_PROBE_S", "20")))
+    _LINK_BW = out[0] if out else 0.0
     return _LINK_BW
 
 

@@ -128,24 +128,42 @@ def device_screen_default() -> bool:
     override = os.environ.get("LOFREQ_TPU_DEVICE_SCREEN")
     if override is not None:
         return override not in ("0", "false", "no", "off", "")
-    try:
-        import jax
 
-        if jax.default_backend() == "cpu":
-            return False
-    except Exception:
+    def decide(out):
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                out.append((False, None))
+                return
+        except Exception:
+            out.append((False, None))
+            return
+        from .device_baq import link_bandwidth_mbs
+
+        out.append((link_bandwidth_mbs() >= MIN_SCREEN_LINK_MBS,
+                    link_bandwidth_mbs()))
+
+    # backend discovery itself can block on a sick device service, so the
+    # whole decision runs on a daemon thread under a deadline; timing out
+    # means no usable device (the host engine is always correct)
+    import threading
+
+    out: list = []
+    th = threading.Thread(target=decide, args=(out,), daemon=True)
+    th.start()
+    th.join(float(os.environ.get("LOFREQ_TPU_LINK_PROBE_S", "20")) + 10)
+    if not out:
+        log.info("device screen auto-off: device backend unresponsive")
         return False
-    from .device_baq import link_bandwidth_mbs
-
-    bw = link_bandwidth_mbs()
-    if bw < MIN_SCREEN_LINK_MBS:
+    on, bw = out[0]
+    if not on and bw is not None:
         log.info(
             "device screen auto-off: host<->device link measured "
             "%.0f MB/s (< %.0f MB/s); the host path is faster on this "
             "link (--device-screen forces it on)", bw,
             MIN_SCREEN_LINK_MBS)
-        return False
-    return True
+    return on
 
 
 # below this the screen's per-column transfer + RPC overhead exceeds the
