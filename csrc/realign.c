@@ -7,6 +7,12 @@
  * gamma=1/(2L); Q2 base qualities are replaced by a caller-provided default
  * (median of non-Q2 quals); traceback is left-aligned.
  *
+ * DP matrices are flat [i][k] (query-major) so the inner k loop is
+ * contiguous, and live in thread-local grow-only scratch instead of
+ * 6*rlen callocs per read — a pure layout change, every floating-point
+ * operation and comparison stays in the original order (the viterbi
+ * goldens in tests/golden/ pin this bit-for-bit).
+ *
  * Build: gcc -O2 -shared -fPIC -o liblofreq_realign.so realign.c -lm
  */
 
@@ -72,6 +78,52 @@ static void left_align(char *ref, char *query, int slen, char *state_out)
     state_out[slen] = '\0';
 }
 
+/* thread-local grow-only scratch (read sizes are bounded; freed at thread
+ * exit by the OS) */
+typedef struct {
+    double *vs;
+    double *vm, *vi, *vd;       /* flat [i][k], qlen*rlen doubles */
+    char *pm, *pi, *pd;
+    char *tb;                    /* traceback strings, 3*(qlen+rlen) */
+    size_t cap_q, cap_cells, cap_tb;
+} vit_scratch_t;
+
+static __thread vit_scratch_t g_vsc;
+
+static int vit_scratch(int qlen, int rlen)
+{
+    vit_scratch_t *s = &g_vsc;
+    size_t cells = (size_t)qlen * rlen;
+    if ((size_t)qlen > s->cap_q) {
+        free(s->vs);
+        s->vs = malloc((size_t)qlen * 2 * sizeof(double));
+        if (!s->vs) return -1;
+        s->cap_q = qlen * 2;
+    }
+    if (cells > s->cap_cells) {
+        free(s->vm); free(s->vi); free(s->vd);
+        free(s->pm); free(s->pi); free(s->pd);
+        size_t cap = cells + cells / 2;
+        s->vm = malloc(cap * sizeof(double));
+        s->vi = malloc(cap * sizeof(double));
+        s->vd = malloc(cap * sizeof(double));
+        s->pm = malloc(cap);
+        s->pi = malloc(cap);
+        s->pd = malloc(cap);
+        if (!s->vm || !s->vi || !s->vd || !s->pm || !s->pi || !s->pd)
+            return -1;
+        s->cap_cells = cap;
+    }
+    size_t tb = 3 * ((size_t)qlen + rlen + 2);
+    if (tb > s->cap_tb) {
+        free(s->tb);
+        s->tb = malloc(tb * 2);
+        if (!s->tb) return -1;
+        s->cap_tb = tb * 2;
+    }
+    return 0;
+}
+
 /* One read: returns the traceback start offset k within ref (the reference
  * shift), writes the left-aligned M/I/D state string into aln (caller
  * allocates >= qlen+rlen+2).  bqual is sanger-encoded (phred+33).
@@ -99,27 +151,20 @@ int lfq_viterbi_one(const char *ref_win, const char *query,
     tp[3][0] = log10((1 - alpha) / L);
     tp[3][1] = log10(alpha / L);
 
-    double *vs = malloc(qlen * sizeof(double));
-    double **vm = malloc(rlen * sizeof(double *));
-    double **vi = malloc(rlen * sizeof(double *));
-    double **vd = malloc(rlen * sizeof(double *));
-    char **pm = malloc(rlen * sizeof(char *));
-    char **pi = malloc(rlen * sizeof(char *));
-    char **pdl = malloc(rlen * sizeof(char *));
-    for (int k = 0; k < rlen; k++) {
-        vm[k] = calloc(qlen, sizeof(double));
-        vi[k] = calloc(qlen, sizeof(double));
-        vd[k] = calloc(qlen, sizeof(double));
-        pm[k] = calloc(qlen, 1);
-        pi[k] = calloc(qlen, 1);
-        pdl[k] = calloc(qlen, 1);
-    }
+    if (vit_scratch(qlen, rlen) != 0)
+        return INT_MIN;
+    vit_scratch_t *s = &g_vsc;
+    double *vs = s->vs;
+    double *vm = s->vm, *vi = s->vi, *vd = s->vd;
+    char *pm = s->pm, *pi = s->pi, *pdl = s->pd;
+#define AT(mat, k, i) (mat)[(size_t)(i) * rlen + (k)]
+
     for (int i = 0; i < qlen; i++)
         vs[i] = INT_MIN;
     for (int k = 0; k < rlen; k++)
-        vm[k][0] = vi[k][0] = vd[k][0] = INT_MIN;
+        AT(vm, k, 0) = AT(vi, k, 0) = AT(vd, k, 0) = INT_MIN;
     for (int i = 0; i < qlen; i++)
-        vm[0][i] = vi[0][i] = vd[0][i] = INT_MIN;
+        AT(vm, 0, i) = AT(vi, 0, i) = AT(vd, 0, i) = INT_MIN;
     vs[0] = 0;
 
     for (int i = 1; i < qlen; i++) {
@@ -130,66 +175,74 @@ int lfq_viterbi_one(const char *ref_win, const char *query,
             bp = q2p_sanger((int)bqual[i - 1]);
         double ep_match = log10(1 - bp);
         double ep_match_not = log10(bp / 3.);
+        const double *vm0 = vm + (size_t)(i - 1) * rlen;  /* row i-1 */
+        const double *vi0 = vi + (size_t)(i - 1) * rlen;
+        const double *vd0 = vd + (size_t)(i - 1) * rlen;
+        double *vm1 = vm + (size_t)i * rlen;              /* row i */
+        double *vi1 = vi + (size_t)i * rlen;
+        double *vd1 = vd + (size_t)i * rlen;
+        char *pm1 = pm + (size_t)i * rlen;
+        char *pi1 = pi + (size_t)i * rlen;
+        char *pd1 = pdl + (size_t)i * rlen;
+        double vs0 = vs[i - 1];
         for (int k = 1; k < rlen; k++) {
             double mterms[4] = {
-                vs[i - 1] + tp[3][0],
-                vm[k - 1][i - 1] + tp[0][0],
-                vi[k - 1][i - 1] + tp[1][0],
-                vd[k - 1][i - 1] + tp[2][0],
+                vs0 + tp[3][0],
+                vm0[k - 1] + tp[0][0],
+                vi0[k - 1] + tp[1][0],
+                vd0[k - 1] + tp[2][0],
             };
             int idx = argmax_first(mterms, 4);
-            pm[k][i] = "SMID"[idx];
+            pm1[k] = "SMID"[idx];
             if (query[i - 1] == ref_win[k - 1])
-                vm[k][i] = ep_match + mterms[idx];
+                vm1[k] = ep_match + mterms[idx];
             else
-                vm[k][i] = ep_match_not + mterms[idx];
+                vm1[k] = ep_match_not + mterms[idx];
 
             double iterms[3] = {
-                vs[i - 1] + tp[3][1],
-                vm[k][i - 1] + tp[0][1],
-                vi[k][i - 1] + tp[1][1],
+                vs0 + tp[3][1],
+                vm0[k] + tp[0][1],
+                vi0[k] + tp[1][1],
             };
             idx = argmax_first(iterms, 3);
-            pi[k][i] = "SMI"[idx];
-            vi[k][i] = ep_ins + iterms[idx];
+            pi1[k] = "SMI"[idx];
+            vi1[k] = ep_ins + iterms[idx];
 
             double dterms[2] = {
-                vm[k - 1][i] + tp[0][2],
-                vd[k - 1][i] + tp[2][2],
+                vm1[k - 1] + tp[0][2],
+                vd1[k - 1] + tp[2][2],
             };
             idx = argmax_first(dterms, 2);
-            pdl[k][i] = "MD"[idx];
-            vd[k][i] = dterms[idx];
+            pd1[k] = "MD"[idx];
+            vd1[k] = dterms[idx];
         }
     }
 
     char end_state = '!';
     double best_score = INT_MIN;
     int best_index = 0;
+    const double *vmq = vm + (size_t)(qlen - 1) * rlen;
+    const double *viq = vi + (size_t)(qlen - 1) * rlen;
     for (int k = 0; k < rlen; k++) {
-        if (vm[k][qlen - 1] > best_score) {
+        if (vmq[k] > best_score) {
             end_state = 'M';
-            best_score = vm[k][qlen - 1];
+            best_score = vmq[k];
             best_index = k;
         }
-        if (vi[k][qlen - 1] > best_score) {
+        if (viq[k] > best_score) {
             end_state = 'I';
-            best_score = vi[k][qlen - 1];
+            best_score = viq[k];
             best_index = k;
         }
     }
-    for (int k = 0; k < rlen; k++) {
-        free(vm[k]); free(vi[k]); free(vd[k]);
-    }
-    free(vm); free(vi); free(vd); free(vs);
 
     int i = qlen - 1;
     int k = best_index;
     int maxslen = qlen + rlen;
     char current = end_state;
-    char *t_state = malloc(maxslen);
-    char *t_ref = malloc(maxslen);
-    char *t_query = malloc(maxslen);
+    char *t_state = s->tb;
+    char *t_ref = s->tb + maxslen + 1;
+    char *t_query = s->tb + 2 * (maxslen + 1);
     t_state[maxslen - 1] = t_ref[maxslen - 1] = t_query[maxslen - 1] = '\0';
     int si = maxslen - 2;
     int err = 0;
@@ -200,18 +253,18 @@ int lfq_viterbi_one(const char *ref_win, const char *query,
         } else if (current == 'M') {
             t_ref[si] = ref_win[k - 1];
             t_query[si] = query[i - 1];
-            current = pm[k][i];
+            current = AT(pm, k, i);
             i -= 1;
             k -= 1;
         } else if (current == 'I') {
             t_ref[si] = '*';
             t_query[si] = query[i - 1];
-            current = pi[k][i];
+            current = AT(pi, k, i);
             i -= 1;
         } else if (current == 'D') {
             t_ref[si] = ref_win[k - 1];
             t_query[si] = '*';
-            current = pdl[k][i];
+            current = AT(pdl, k, i);
             k -= 1;
         } else {
             err = 1;
@@ -219,16 +272,10 @@ int lfq_viterbi_one(const char *ref_win, const char *query,
         }
         si--;
     }
-    for (int kk = 0; kk < rlen; kk++) {
-        free(pm[kk]); free(pi[kk]); free(pdl[kk]);
-    }
-    free(pm); free(pi); free(pdl);
-    if (err) {
-        free(t_state); free(t_ref); free(t_query);
+    if (err)
         return INT_MIN;
-    }
     int slen = maxslen - 2 - si;
     left_align(t_ref + si + 1, t_query + si + 1, slen, aln);
-    free(t_state); free(t_ref); free(t_query);
     return k;
+#undef AT
 }
