@@ -283,6 +283,131 @@ def decode_record(buf: bytes) -> BamRead:
     return r
 
 
+# ---------------------------------------------------------------------------
+# Raw-record helpers: operate on an undecoded BAM record block (the bytes
+# after the 4-byte block_size).  The read-level tools (viterbi / alnqual /
+# indelqual) stream most reads through unchanged or with an aux-tag splice;
+# a full decode + re-encode per read costs ~50x more than these.
+# ---------------------------------------------------------------------------
+
+_RAW_HEAD = struct.Struct("<iiBBHHHiiii")
+
+
+def raw_fields(buf: bytes):
+    """(tid, pos, l_read_name, mapq, bin, n_cigar, flag, l_seq, mtid,
+    mpos, tlen) of a raw record block."""
+    return _RAW_HEAD.unpack_from(buf, 0)
+
+
+def raw_layout(buf: bytes):
+    """(cigar_off, n_cigar, seq_off, qual_off, aux_off, l_seq)."""
+    f = _RAW_HEAD.unpack_from(buf, 0)
+    l_read_name, n_cigar, l_seq = f[2], f[5], f[7]
+    cigar_off = 32 + l_read_name
+    seq_off = cigar_off + 4 * n_cigar
+    qual_off = seq_off + (l_seq + 1) // 2
+    aux_off = qual_off + l_seq
+    return cigar_off, n_cigar, seq_off, qual_off, aux_off, l_seq
+
+
+def raw_cigar(buf: bytes) -> np.ndarray:
+    cigar_off, n_cigar, _, _, _, _ = raw_layout(buf)
+    return np.frombuffer(buf, dtype="<u4", count=n_cigar, offset=cigar_off)
+
+
+def raw_qual(buf: bytes) -> np.ndarray:
+    _, _, _, qual_off, aux_off, l_seq = raw_layout(buf)
+    return np.frombuffer(buf, dtype=np.uint8, count=l_seq, offset=qual_off)
+
+
+def raw_seq(buf: bytes) -> bytes:
+    _, _, seq_off, qual_off, _, l_seq = raw_layout(buf)
+    return _decode_seq(buf[seq_off:qual_off], l_seq)
+
+
+# nibble-pair -> two ASCII bases, for vectorized seq decode
+_SEQ_LUT16 = np.zeros(256, dtype="<u2")
+for _b in range(256):
+    _SEQ_LUT16[_b] = (ord(SEQ_NT16_STR[_b >> 4])
+                      | (ord(SEQ_NT16_STR[_b & 0xF]) << 8))
+
+
+def raw_seq_ascii(buf: bytes) -> bytes:
+    """Read bases as ASCII, one numpy table lookup for the whole read."""
+    _, _, seq_off, qual_off, _, l_seq = raw_layout(buf)
+    arr = np.frombuffer(buf, np.uint8, qual_off - seq_off, seq_off)
+    return _SEQ_LUT16[arr].tobytes()[:l_seq]
+
+
+def raw_find_tags(buf: bytes, tags) -> dict:
+    """{tag_bytes: (start, end)} for the aux entries present in tags."""
+    aux_off = raw_layout(buf)[4]
+    found = {}
+    for t, s, e in _aux_spans(buf, aux_off):
+        if t in tags:
+            found[t] = (s, e)
+    return found
+
+
+def encode_z_tag(tag: bytes, val: bytes) -> bytes:
+    return tag + b"Z" + val + b"\x00"
+
+
+def _aux_spans(buf: bytes, off: int):
+    """Yield (tag_bytes, start, end) for each aux entry from off."""
+    n = len(buf)
+    while off + 3 <= n:
+        start = off
+        tag = buf[off : off + 2]
+        typecode = buf[off + 2]
+        off += 3
+        c = chr(typecode)
+        if c in _TAG_SIZE:
+            off += _TAG_SIZE[c]
+        elif c in ("Z", "H"):
+            off = buf.index(b"\x00", off) + 1
+        elif c == "B":
+            sub = chr(buf[off])
+            count = struct.unpack_from("<i", buf, off + 1)[0]
+            off += 5 + _TAG_SIZE[sub] * count
+        else:
+            raise BamError(f"unknown tag type {c!r}")
+        yield tag, start, off
+
+
+def raw_get_tag_span(buf: bytes, tag: bytes):
+    """(start, end) of an aux entry, or None."""
+    aux_off = raw_layout(buf)[4]
+    for t, s, e in _aux_spans(buf, aux_off):
+        if t == tag:
+            return s, e
+    return None
+
+
+def raw_strip_tags(buf: bytes, tags) -> bytes:
+    """Remove the given aux tags (set of 2-byte tag names); returns buf
+    itself when none are present."""
+    aux_off = raw_layout(buf)[4]
+    drop = []
+    for t, s, e in _aux_spans(buf, aux_off):
+        if t in tags:
+            drop.append((s, e))
+    if not drop:
+        return buf
+    out = bytearray()
+    pos = 0
+    for s, e in drop:
+        out += buf[pos:s]
+        pos = e
+    out += buf[pos:]
+    return bytes(out)
+
+
+def raw_append_tags(buf: bytes, encoded: bytes) -> bytes:
+    """Append pre-encoded aux bytes (caller strips duplicates first)."""
+    return buf + encoded
+
+
 def reg2bin(beg: int, end: int) -> int:
     """BAI bin number for a [beg, end) interval (SAM spec)."""
     end -= 1
@@ -345,6 +470,11 @@ class BamReader:
         return self
 
     def __next__(self) -> BamRead:
+        return decode_record(self.next_raw())
+
+    def next_raw(self) -> bytes:
+        """The next record's raw block (after block_size); StopIteration
+        at EOF."""
         raw = self._bgzf.read(4)
         if len(raw) < 4:
             raise StopIteration
@@ -352,7 +482,14 @@ class BamReader:
         buf = self._bgzf.read(block_size)
         if len(buf) < block_size:
             raise BamError("truncated BAM record")
-        return decode_record(buf)
+        return buf
+
+    def iter_raw(self):
+        while True:
+            try:
+                yield self.next_raw()
+            except StopIteration:
+                return
 
     def rewind(self):
         self._bgzf.seek_virtual(self._first_rec_voffset)
@@ -436,6 +573,9 @@ class BamWriter:
 
     def write(self, r: BamRead):
         self._bgzf.write(encode_record(r))
+
+    def write_raw(self, buf: bytes):
+        self._bgzf.write(struct.pack("<i", len(buf)) + buf)
 
     def tell_virtual(self):
         return self._bgzf.tell_virtual()

@@ -39,6 +39,67 @@ def _get_lib():
     return _lib
 
 
+def realn_batch_raw(raws, want_baq, want_idaq, ref: bytes, ext_baq=True):
+    """Run the banded HMM for a batch of RAW record blocks.
+
+    Returns (flags u8[n], baq_out, iaq_out, daq_out, out_start i64[n+1]):
+    read i's tag bytes live at out_start[i]:out_start[i]+l_seq of the
+    respective buffer when the matching flag bit (1=lb 2=ai 4=ad) is set.
+    """
+    from ..io import bam as bamio
+
+    lib = _get_lib()
+    n = len(raws)
+    if n == 0:
+        z = np.zeros(0, np.uint8)
+        return z, z, z, z, np.zeros(1, np.int64)
+    pos = np.empty(n, dtype=np.int64)
+    cigar_start = np.zeros(n + 1, dtype=np.int64)
+    seq_start = np.zeros(n + 1, dtype=np.int64)
+    cig_parts = []
+    seq_parts = []
+    qual_parts = []
+    for i, buf in enumerate(raws):
+        f = bamio.raw_fields(buf)
+        pos[i] = f[1]
+        cigar_off, n_cigar, seq_off, qual_off, aux_off, l_seq = \
+            bamio.raw_layout(buf)
+        cigar_start[i + 1] = cigar_start[i] + n_cigar
+        seq_start[i + 1] = seq_start[i] + l_seq
+        cig_parts.append(buf[cigar_off:seq_off])
+        seq_parts.append(bamio.raw_seq_ascii(buf))
+        qual_parts.append(buf[qual_off:aux_off])
+    cigars = np.frombuffer(b"".join(cig_parts), dtype=np.uint32)
+    seqs = b"".join(seq_parts)
+    quals = np.frombuffer(b"".join(qual_parts), dtype=np.uint8)
+    want_baq = np.ascontiguousarray(want_baq, dtype=np.uint8)
+    want_idaq = np.ascontiguousarray(want_idaq, dtype=np.uint8)
+
+    total = int(seq_start[-1]) + n  # +1 NUL per read
+    baq_out = np.zeros(total, dtype=np.uint8)
+    iaq_out = np.zeros(total, dtype=np.uint8)
+    daq_out = np.zeros(total, dtype=np.uint8)
+    flags = np.zeros(n, dtype=np.uint8)
+    lib.lfq_baq_batch(
+        ref, len(ref), n,
+        pos.ctypes.data_as(_i64),
+        cigars.ctypes.data_as(_u32),
+        cigar_start.ctypes.data_as(_i64),
+        seqs,
+        quals.ctypes.data_as(_u8),
+        seq_start.ctypes.data_as(_i64),
+        want_baq.ctypes.data_as(_u8),
+        want_idaq.ctypes.data_as(_u8),
+        1 if ext_baq else 0, PAR_D, PAR_E,
+        baq_out.ctypes.data_as(_u8),
+        iaq_out.ctypes.data_as(_u8),
+        daq_out.ctypes.data_as(_u8),
+        flags.ctypes.data_as(_u8),
+    )
+    out_start = seq_start + np.arange(n + 1, dtype=np.int64)
+    return flags, baq_out, iaq_out, daq_out, out_start
+
+
 def realn_batch(reads, ref: bytes, baq=True, ext_baq=True, idaq=True):
     """Run the banded HMM for a batch of reads; attach lb/ai/ad tags."""
     lib = _get_lib()

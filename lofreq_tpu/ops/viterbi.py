@@ -147,26 +147,48 @@ def realign_read(r, ref: bytes, q2default: int = -1):
 def run_viterbi(bam_in, bam_out, ref_path, q2default: int = -1,
                 del_flags: bool = True):
     """`lofreq viterbi` over a whole BAM (output order = input order,
-    likely unsorted afterwards, as in the reference)."""
-    from ..io.bam import BamReader, BamWriter
+    likely unsorted afterwards, as in the reference).
+
+    Raw fast path: only reads with indels are decoded and realigned
+    (lofreq_viterbi.c:188-219 skips the rest anyway); everything else is
+    streamed through as raw record bytes with at most an aux-tag splice
+    for the NM/MC/MD/AS removal — no per-read decode/re-encode."""
+    from ..io import bam as bamio
+    from ..io.bam import BamReader, BamWriter, decode_record
     from ..io.fasta import Fasta
 
+    strip = {b"NM", b"MC", b"MD", b"AS"} if del_flags else None
     fa = Fasta(ref_path)
     rdr = BamReader(bam_in)
     wtr = BamWriter(bam_out, rdr.header)
     ref_cache = {}
     n_realigned = 0
-    for r in rdr:
-        if del_flags:
-            for tag in ("NM", "MC", "MD", "AS"):
-                r.del_tag(tag)
-        if not (r.flag & FUNMAP) and r.tid >= 0:
-            chrom = rdr.header.name(r.tid)
-            if chrom not in ref_cache:
-                ref_cache[chrom] = fa.fetch(chrom)
-            if realign_read(r, ref_cache[chrom], q2default):
-                n_realigned += 1
-        wtr.write(r)
+    for raw in rdr.iter_raw():
+        if strip:
+            raw = bamio.raw_strip_tags(raw, strip)
+        f = bamio.raw_fields(raw)
+        tid, flag, n_cigar = f[0], f[6], f[5]
+        if not (flag & FUNMAP) and tid >= 0 and n_cigar:
+            # cigar op = low nibble of each u32's first byte; n_cigar is
+            # tiny, so a bytes walk beats a numpy round-trip
+            cig_off = 32 + f[2]
+            has_indel = False
+            for j in range(n_cigar):
+                op = raw[cig_off + 4 * j] & 0xF
+                if op == CINS or op == CDEL:
+                    has_indel = True
+                    break
+            if has_indel:
+                # indel read: full decode -> realign -> re-encode
+                r = decode_record(raw)
+                chrom = rdr.header.name(r.tid)
+                if chrom not in ref_cache:
+                    ref_cache[chrom] = fa.fetch(chrom)
+                if realign_read(r, ref_cache[chrom], q2default):
+                    n_realigned += 1
+                wtr.write(r)
+                continue
+        wtr.write_raw(raw)
     wtr.close()
     rdr.close()
     return n_realigned

@@ -53,30 +53,49 @@ def find_homopolymers(ref: bytes) -> np.ndarray:
 
 def dindel_quals(read, hpcount: np.ndarray, rlen: int) -> str:
     """Per-base indel-quality string for one read."""
-    out = []
-    x = read.pos
-    for op, l in read.cigar_ops():
+    return dindel_quals_ops(read.pos, read.cigar_ops(), hpcount, rlen,
+                            read.qname).decode("latin-1")
+
+
+_DINDELQ_ARR = np.frombuffer(DINDELQ.encode(), dtype=np.uint8)
+_DINDELQ0 = DINDELQ[0].encode()
+
+
+def dindel_quals_ops(pos, cigar_ops, hpcount: np.ndarray, rlen: int,
+                     qname="?") -> bytes:
+    """Per-base indel-quality bytes from (pos, cigar); vectorized per
+    cigar span (dindel_fetch_func, lofreq_indelqual.c:136-215 semantics:
+    quality from the homopolymer run length at x+1, '!' past the contig
+    end or for runs > 18, and for ins/softclip bases)."""
+    parts = []
+    x = pos
+    for op, l in cigar_ops:
         if op in (CMATCH, CEQUAL, CDIFF):
-            for _ in range(l):
-                if x > rlen - 2:
-                    out.append(DINDELQ[0])
-                else:
-                    hp = hpcount[x + 1]
-                    out.append(DINDELQ[0] if hp > 18 else DINDELQ[hp])
-                x += 1
+            xs = np.arange(x, x + l)
+            valid = xs <= rlen - 2
+            hp = hpcount[np.minimum(xs + 1, rlen - 1)] if rlen else xs * 0
+            qidx = np.where(valid & (hp <= 18), hp, 0)
+            parts.append(_DINDELQ_ARR[qidx].tobytes())
+            x += l
         elif op == CHARD_CLIP:
             pass
         elif op == CDEL:
             x += l
         elif op in (CINS, CSOFT_CLIP):
-            out.extend(DINDELQ[0] * l)
+            parts.append(_DINDELQ0 * l)
         else:
-            raise ValueError(f"unknown cigar op {op} in read {read.qname}")
-    return "".join(out)
+            raise ValueError(f"unknown cigar op {op} in read {qname}")
+    return b"".join(parts)
 
 
 def run_indelqual(bam_in, bam_out, uniform=None, dindel=False, ref_path=None):
-    """uniform: (iq, dq) ints, or dindel=True with ref_path."""
+    """uniform: (iq, dq) ints, or dindel=True with ref_path.
+
+    Streams raw record blocks: BI/BD need only pos/cigar/l_seq, so reads
+    are never decoded — existing BI/BD aux entries are spliced out and the
+    new ones appended (the reference's bam_aux_del + bam_aux_append)."""
+    from ..io import bam as bamio
+
     rdr = BamReader(bam_in)
     wtr = BamWriter(bam_out, rdr.header)
     hp_cache = {}
@@ -86,31 +105,31 @@ def run_indelqual(bam_in, bam_out, uniform=None, dindel=False, ref_path=None):
 
         fa = Fasta(ref_path)
     count = 0
-    for r in rdr:
+    BI, BD = D.BI_TAG.encode(), D.BD_TAG.encode()
+    bibd = {BI, BD}
+    for raw in rdr.iter_raw():
         count += 1
+        f = bamio.raw_fields(raw)
+        l_seq = f[7]
         if uniform is not None:
             iq, dq = uniform
-            iq_s = encode_q(iq + 33) * r.l_qseq
-            dq_s = encode_q(dq + 33) * r.l_qseq
-            r.del_tag(D.BI_TAG)
-            r.set_tag(D.BI_TAG, "Z", iq_s)
-            r.del_tag(D.BD_TAG)
-            r.set_tag(D.BD_TAG, "Z", dq_s)
+            iq_s = (encode_q(iq + 33) * l_seq).encode("latin-1")
+            dq_s = (encode_q(dq + 33) * l_seq).encode("latin-1")
         else:
-            if r.flag & (FUNMAP | FSECONDARY | FQCFAIL | FDUP):
-                wtr.write(r)
+            if f[6] & (FUNMAP | FSECONDARY | FQCFAIL | FDUP):
+                wtr.write_raw(raw)
                 continue
-            chrom = rdr.header.name(r.tid)
+            chrom = rdr.header.name(f[0])
             if chrom not in hp_cache:
                 ref = fa.fetch(chrom)
                 hp_cache[chrom] = (find_homopolymers(ref), len(ref))
             hp, rlen = hp_cache[chrom]
-            q = dindel_quals(r, hp, rlen)
-            r.del_tag(D.BI_TAG)
-            r.set_tag(D.BI_TAG, "Z", q)
-            r.del_tag(D.BD_TAG)
-            r.set_tag(D.BD_TAG, "Z", q)
-        wtr.write(r)
+            cig = bamio.raw_cigar(raw)
+            ops = [(int(c) & 0xF, int(c) >> 4) for c in cig]
+            iq_s = dq_s = dindel_quals_ops(f[1], ops, hp, rlen)
+        raw2 = bamio.raw_strip_tags(raw, bibd)
+        wtr.write_raw(raw2 + bamio.encode_z_tag(BI, iq_s)
+                      + bamio.encode_z_tag(BD, dq_s))
     wtr.close()
     rdr.close()
     return count
@@ -118,36 +137,101 @@ def run_indelqual(bam_in, bam_out, uniform=None, dindel=False, ref_path=None):
 
 def run_alnqual(bam_in, bam_out, ref_path, baq=True, ext_baq=True, idaq=True,
                 redo_baq=False, redo_idaq=False):
-    """`alnqual`: attach lb/ai/ad tags (lofreq_alnqual.c)."""
+    """`alnqual`: attach lb/ai/ad tags (lofreq_alnqual.c).
+
+    Streams raw record blocks: skip decisions (tag presence, indel ops)
+    come from the raw aux/cigar bytes, the batched HMM consumes packed
+    arrays built straight from the raw buffers, and the output is the raw
+    record with the new tags spliced in — reads are never decoded to
+    BamRead objects.  Skip logic follows bam_md_ext.c:296-366."""
+    from .. import defaults as D
+    from ..io import bam as bamio
     from ..io.fasta import Fasta
-    from ..ops.baq import add_alnqual_tags
+    from ..ops.baq_hmm import realn_batch_raw
 
     fa = Fasta(ref_path)
     rdr = BamReader(bam_in)
     wtr = BamWriter(bam_out, rdr.header)
-    chunk = []
-    chunk_tid = None
+    LB, AI, AD = D.BAQ_TAG.encode(), D.AI_TAG.encode(), D.AD_TAG.encode()
+    tagset = (LB, AI, AD)
+
+    pending = []                 # (raw, is_dp) in input order
+    dp_raws, dp_wb, dp_wi = [], [], []
+    cur_tid = None
 
     def flush():
-        if not chunk:
-            return
-        ref = fa.fetch(rdr.header.name(chunk_tid))
-        add_alnqual_tags(chunk, ref, baq=baq, ext_baq=ext_baq, idaq=idaq,
-                         redo_baq=redo_baq, redo_idaq=redo_idaq)
-        for r in chunk:
-            wtr.write(r)
-        chunk.clear()
+        nonlocal pending, dp_raws, dp_wb, dp_wi
+        if dp_raws:
+            ref = fa.fetch(rdr.header.name(cur_tid))
+            flags, bq, ia, da, ost = realn_batch_raw(
+                dp_raws, dp_wb, dp_wi, ref, ext_baq)
+        di = 0
+        for raw, is_dp in pending:
+            if is_dp:
+                fl = int(flags[di])
+                lo = int(ost[di])
+                l_seq = int(ost[di + 1]) - lo - 1
+                strip = set()
+                add = b""
+                if fl & 1:
+                    strip.add(LB)
+                    add += bamio.encode_z_tag(LB, bq[lo:lo + l_seq]
+                                              .tobytes())
+                if fl & 2:
+                    strip.add(AI)
+                    add += bamio.encode_z_tag(AI, ia[lo:lo + l_seq]
+                                              .tobytes())
+                if fl & 4:
+                    strip.add(AD)
+                    add += bamio.encode_z_tag(AD, da[lo:lo + l_seq]
+                                              .tobytes())
+                if strip:
+                    raw = bamio.raw_strip_tags(raw, strip)
+                raw += add
+                di += 1
+            wtr.write_raw(raw)
+        pending = []
+        dp_raws, dp_wb, dp_wi = [], [], []
 
-    for r in rdr:
-        if r.is_unmapped or r.tid < 0:
-            flush()
-            wtr.write(r)
+    for raw in rdr.iter_raw():
+        f = bamio.raw_fields(raw)
+        tid, n_cigar, flag, l_seq = f[0], f[5], f[6], f[7]
+        if (flag & FUNMAP) or tid < 0 or l_seq == 0:
+            pending.append((raw, False))
             continue
-        if chunk_tid is not None and r.tid != chunk_tid:
+        if cur_tid is not None and tid != cur_tid:
             flush()
-        chunk_tid = r.tid
-        chunk.append(r)
-        if len(chunk) >= 2000:
+        cur_tid = tid
+        present = bamio.raw_find_tags(raw, tagset)
+        if redo_baq and LB in present:
+            raw = bamio.raw_strip_tags(raw, {LB})
+            present.pop(LB)
+        if redo_idaq and (AI in present or AD in present):
+            raw = bamio.raw_strip_tags(raw, {AI, AD})
+            present.pop(AI, None)
+            present.pop(AD, None)
+        has_ins = has_del = False
+        cig_off = 32 + f[2]
+        for j in range(n_cigar):
+            op = raw[cig_off + 4 * j] & 0xF
+            if op == CINS:
+                has_ins = True
+            elif op == CDEL:
+                has_del = True
+        if (not baq) or LB in present:
+            skip = True
+            if idaq and has_del and AD not in present:
+                skip = False
+            if idaq and has_ins and AI not in present:
+                skip = False
+            if skip:
+                pending.append((raw, False))
+                continue
+        pending.append((raw, True))
+        dp_raws.append(raw)
+        dp_wb.append(1 if baq and LB not in present else 0)
+        dp_wi.append(1 if idaq else 0)
+        if len(dp_raws) >= 2000:
             flush()
     flush()
     wtr.close()
