@@ -285,7 +285,34 @@ class BgzfReader(io.RawIOBase):
         super().close()
 
 
+def _deflate_block(payload: bytes, level: int) -> bytes:
+    """One BGZF block (or several, when incompressible) as bytes —
+    deterministic, so parallel compression writes the same file as
+    serial."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    cdata = co.compress(payload) + co.flush()
+    bsize = len(cdata) + 12 + 6 + 8
+    if bsize > 65536:
+        # incompressible payload: store shorter blocks
+        half = len(payload) // 2
+        return (_deflate_block(payload[:half], level)
+                + _deflate_block(payload[half:], level))
+    header = struct.pack(
+        "<BBBBIBBHBBHH",
+        0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6, 66, 67, 2, bsize - 1,
+    )
+    tail = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                       len(payload))
+    return header + cdata + tail
+
+
 class BgzfWriter(io.RawIOBase):
+    """BGZF writer with ordered parallel block compression (zlib releases
+    the GIL; blocks are independent and written strictly in order, so the
+    output bytes are identical to serial compression)."""
+
+    _MAX_PENDING = 32
+
     def __init__(self, path_or_fh, level=6):
         if isinstance(path_or_fh, (str, os.PathLike)):
             self._fh = open(path_or_fh, "wb")
@@ -295,38 +322,42 @@ class BgzfWriter(io.RawIOBase):
             self._own = False
         self._level = level
         self._buf = bytearray()
+        from collections import deque
+
+        self._jobs = deque()
 
     def tell_virtual(self) -> int:
+        # exact compressed offsets require pending blocks on disk
+        self._drain(all_jobs=True)
         return (self._fh.tell() << 16) | len(self._buf)
 
     def write(self, data) -> int:
         self._buf += data
         while len(self._buf) >= _MAX_BLOCK_PAYLOAD:
-            self._write_block(bytes(self._buf[:_MAX_BLOCK_PAYLOAD]))
+            self._submit(bytes(self._buf[:_MAX_BLOCK_PAYLOAD]))
             del self._buf[:_MAX_BLOCK_PAYLOAD]
         return len(data)
 
-    def _write_block(self, payload: bytes):
-        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
-        cdata = co.compress(payload) + co.flush()
-        bsize = len(cdata) + 12 + 6 + 8
-        if bsize > 65536:
-            # incompressible payload: store shorter block
-            half = len(payload) // 2
-            self._write_block(payload[:half])
-            self._write_block(payload[half:])
+    def _submit(self, payload: bytes):
+        pool = _inflate_pool()
+        if not pool:
+            self._fh.write(_deflate_block(payload, self._level))
             return
-        header = struct.pack(
-            "<BBBBIBBHBBHH",
-            0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6, 66, 67, 2, bsize - 1,
-        )
-        tail = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload))
-        self._fh.write(header + cdata + tail)
+        self._jobs.append(pool.submit(_deflate_block, payload,
+                                      self._level))
+        self._drain(all_jobs=False)
+
+    def _drain(self, all_jobs: bool):
+        jobs = self._jobs
+        while jobs and (all_jobs or jobs[0].done()
+                        or len(jobs) > self._MAX_PENDING):
+            self._fh.write(jobs.popleft().result())
 
     def flush_block(self):
         if self._buf:
-            self._write_block(bytes(self._buf))
+            self._submit(bytes(self._buf))
             self._buf.clear()
+        self._drain(all_jobs=True)
 
     def writable(self):
         return True

@@ -53,7 +53,8 @@ def find_homopolymers(ref: bytes) -> np.ndarray:
 
 def dindel_quals(read, hpcount: np.ndarray, rlen: int) -> str:
     """Per-base indel-quality string for one read."""
-    return dindel_quals_ops(read.pos, read.cigar_ops(), hpcount, rlen,
+    qmap = dindel_qual_map(hpcount, rlen)
+    return dindel_quals_ops(read.pos, read.cigar_ops(), qmap,
                             read.qname).decode("latin-1")
 
 
@@ -61,21 +62,32 @@ _DINDELQ_ARR = np.frombuffer(DINDELQ.encode(), dtype=np.uint8)
 _DINDELQ0 = DINDELQ[0].encode()
 
 
-def dindel_quals_ops(pos, cigar_ops, hpcount: np.ndarray, rlen: int,
-                     qname="?") -> bytes:
-    """Per-base indel-quality bytes from (pos, cigar); vectorized per
-    cigar span (dindel_fetch_func, lofreq_indelqual.c:136-215 semantics:
-    quality from the homopolymer run length at x+1, '!' past the contig
-    end or for runs > 18, and for ins/softclip bases)."""
+def dindel_qual_map(hpcount: np.ndarray, rlen: int) -> bytes:
+    """qmap[x] = the dindel quality of a match base at reference position
+    x (dindel_fetch_func semantics: DINDELQ at the homopolymer run length
+    of x+1; '!' past the contig end or for runs > 18).  Computed once per
+    chromosome so each read reduces to byte slices."""
+    if rlen == 0:
+        return b""
+    qidx = np.zeros(rlen, dtype=np.int64)
+    hp_next = hpcount[1:rlen]
+    qidx[: rlen - 1] = np.where(hp_next <= 18, hp_next, 0)
+    # x = rlen-1 (> rlen-2) stays 0 -> '!'
+    return _DINDELQ_ARR[qidx].tobytes()
+
+
+def dindel_quals_ops(pos, cigar_ops, qmap: bytes, qname="?") -> bytes:
+    """Per-base indel-quality bytes from (pos, cigar) and the chromosome
+    quality map (lofreq_indelqual.c:136-215)."""
+    rlen = len(qmap)
     parts = []
     x = pos
     for op, l in cigar_ops:
         if op in (CMATCH, CEQUAL, CDIFF):
-            xs = np.arange(x, x + l)
-            valid = xs <= rlen - 2
-            hp = hpcount[np.minimum(xs + 1, rlen - 1)] if rlen else xs * 0
-            qidx = np.where(valid & (hp <= 18), hp, 0)
-            parts.append(_DINDELQ_ARR[qidx].tobytes())
+            seg = qmap[x : x + l]
+            if len(seg) < l:        # read past contig end -> '!'
+                seg += _DINDELQ0 * (l - len(seg))
+            parts.append(seg)
             x += l
         elif op == CHARD_CLIP:
             pass
@@ -122,11 +134,15 @@ def run_indelqual(bam_in, bam_out, uniform=None, dindel=False, ref_path=None):
             chrom = rdr.header.name(f[0])
             if chrom not in hp_cache:
                 ref = fa.fetch(chrom)
-                hp_cache[chrom] = (find_homopolymers(ref), len(ref))
-            hp, rlen = hp_cache[chrom]
-            cig = bamio.raw_cigar(raw)
-            ops = [(int(c) & 0xF, int(c) >> 4) for c in cig]
-            iq_s = dq_s = dindel_quals_ops(f[1], ops, hp, rlen)
+                hp_cache[chrom] = dindel_qual_map(
+                    find_homopolymers(ref), len(ref))
+            qmap = hp_cache[chrom]
+            cig_off, n_cigar = 32 + f[2], f[5]
+            ops = [(raw[cig_off + 4 * j] & 0xF,
+                    int.from_bytes(raw[cig_off + 4 * j:
+                                       cig_off + 4 * j + 4], "little") >> 4)
+                   for j in range(n_cigar)]
+            iq_s = dq_s = dindel_quals_ops(f[1], ops, qmap)
         raw2 = bamio.raw_strip_tags(raw, bibd)
         wtr.write_raw(raw2 + bamio.encode_z_tag(BI, iq_s)
                       + bamio.encode_z_tag(BD, dq_s))
