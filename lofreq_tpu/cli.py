@@ -312,13 +312,18 @@ def cmd_index(args) -> int:
 
 def cmd_sort(args) -> int:
     """Coordinate-sort a BAM (the reference delegates this to samtools;
-    provided natively here since the preprocessing chain needs it)."""
-    from .io.bam import BamReader, BamWriter
+    provided natively here since the preprocessing chain needs it).
+    Sorts raw record blocks on (tid, pos) read straight from the fixed
+    fields — records are never decoded."""
+    from .io.bam import BamReader, BamWriter, raw_fields
 
     rdr = BamReader(args.bam)
-    reads = sorted(
-        rdr, key=lambda r: (r.tid if r.tid >= 0 else 1 << 30, r.pos),
-    )
+
+    def key(buf):
+        f = raw_fields(buf)
+        return (f[0] if f[0] >= 0 else 1 << 30, f[1])
+
+    reads = sorted(rdr.iter_raw(), key=key)
     rdr.close()
     hdr = rdr.header
     if "SO:" in hdr.text:
@@ -332,7 +337,7 @@ def cmd_sort(args) -> int:
         hdr.text = "@HD\tVN:1.6\tSO:coordinate\n" + hdr.text
     with BamWriter(args.out, hdr) as w:
         for r in reads:
-            w.write(r)
+            w.write_raw(r)
     return 0
 
 
