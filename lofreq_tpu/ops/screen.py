@@ -128,6 +128,12 @@ def device_screen_default() -> bool:
     override = os.environ.get("LOFREQ_TPU_DEVICE_SCREEN")
     if override is not None:
         return override not in ("0", "false", "no", "off", "")
+    # cache the probed decision: this is consulted per column batch, and
+    # re-probing a sick device service would stall every batch for the
+    # full decide deadline
+    global _SCREEN_DEFAULT
+    if _SCREEN_DEFAULT is not None:
+        return _SCREEN_DEFAULT
 
     def decide(out):
         try:
@@ -155,6 +161,7 @@ def device_screen_default() -> bool:
     th.join(float(os.environ.get("LOFREQ_TPU_LINK_PROBE_S", "20")) + 10)
     if not out:
         log.info("device screen auto-off: device backend unresponsive")
+        _SCREEN_DEFAULT = False
         return False
     on, bw = out[0]
     if not on and bw is not None:
@@ -163,7 +170,11 @@ def device_screen_default() -> bool:
             "%.0f MB/s (< %.0f MB/s); the host path is faster on this "
             "link (--device-screen forces it on)", bw,
             MIN_SCREEN_LINK_MBS)
+    _SCREEN_DEFAULT = on
     return on
+
+
+_SCREEN_DEFAULT = None
 
 
 # below this the screen's per-column transfer + RPC overhead exceeds the
