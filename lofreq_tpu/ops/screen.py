@@ -114,7 +114,7 @@ def compile_deadline() -> float:
     return float(os.environ.get("LOFREQ_TPU_COMPILE_DEADLINE", "300"))
 
 
-def device_screen_default() -> bool:
+def device_screen_default(wait: bool = False) -> bool:
     """True when an accelerator backend is present AND the host<->device
     link can carry the screen's traffic (the TPU is the engine by default
     on PCIe/ICI-attached chips; CPU-only hosts and thin tunneled links run
@@ -128,41 +128,70 @@ def device_screen_default() -> bool:
     override = os.environ.get("LOFREQ_TPU_DEVICE_SCREEN")
     if override is not None:
         return override not in ("0", "false", "no", "off", "")
-    # cache the probed decision: this is consulted per column batch, and
-    # re-probing a sick device service would stall every batch for the
-    # full decide deadline
-    global _SCREEN_DEFAULT
+    # The probe (jax import + backend discovery + an 8 MB transfer) can
+    # take tens of seconds on a tunneled chip and can block outright on a
+    # sick device service, so it runs ONCE on a daemon thread and the
+    # answer is cached.  While undecided the engine runs the host path,
+    # which is always correct — column batches are independent, so later
+    # batches switching to the screen changes nothing in the output.
+    # wait=True (used by the parallel driver before forking) blocks up to
+    # the probe deadline so workers inherit a settled decision.
+    global _SCREEN_DEFAULT, _PROBE
     if _SCREEN_DEFAULT is not None:
         return _SCREEN_DEFAULT
-
-    def decide(out):
-        try:
-            import jax
-
-            if jax.default_backend() == "cpu":
-                out.append((False, None))
-                return
-        except Exception:
-            out.append((False, None))
-            return
-        from .device_baq import link_bandwidth_mbs
-
-        out.append((link_bandwidth_mbs() >= MIN_SCREEN_LINK_MBS,
-                    link_bandwidth_mbs()))
-
-    # backend discovery itself can block on a sick device service, so the
-    # whole decision runs on a daemon thread under a deadline; timing out
-    # means no usable device (the host engine is always correct)
+    cached = _gate_cache_read()
+    if cached is not None:
+        _SCREEN_DEFAULT = cached
+        return cached
     import threading
 
-    out: list = []
-    th = threading.Thread(target=decide, args=(out,), daemon=True)
-    th.start()
-    th.join(float(os.environ.get("LOFREQ_TPU_LINK_PROBE_S", "20")) + 10)
-    if not out:
-        log.info("device screen auto-off: device backend unresponsive")
+    pid = os.getpid()
+    if _PROBE is not None and _PROBE[0] != pid:
+        # forked worker inherited a probe thread that doesn't exist in
+        # this process: stay on the host path
         _SCREEN_DEFAULT = False
         return False
+    if _PROBE is None:
+
+        def decide(out):
+            try:
+                import jax
+
+                if jax.default_backend() == "cpu":
+                    out.append((False, None))
+                    return
+            except Exception:
+                out.append((False, None))
+                return
+            from .device_baq import link_bandwidth_mbs
+
+            bw = link_bandwidth_mbs()
+            on = bw >= MIN_SCREEN_LINK_MBS
+            # persist for sibling CLI processes (somatic/call-parallel
+            # spawn many): the probe costs tens of seconds per process on
+            # a tunneled chip.  Only accelerator-backed processes write,
+            # so CPU-pinned test runs never poison the cache.
+            _gate_cache_write(on)
+            out.append((on, bw))
+
+        out: list = []
+        th = threading.Thread(target=decide, args=(out,), daemon=True)
+        th.start()
+        _PROBE = (pid, th, out)
+    _, th, out = _PROBE
+    # wait=True callers (the parallel driver, before forking) bound their
+    # wait separately: a probe that needs longer than this is itself the
+    # signal of a thin/sick link, where the host engine is the right call
+    deadline = float(os.environ.get("LOFREQ_TPU_GATE_WAIT_S", "10")) \
+        if wait else 0.25
+    th.join(deadline)
+    if not out:
+        if wait:
+            log.info("device screen auto-off for this run: device probe "
+                     "still pending after %.0fs", deadline)
+            _SCREEN_DEFAULT = False
+            return False
+        return False            # undecided: host path for now
     on, bw = out[0]
     if not on and bw is not None:
         log.info(
@@ -175,6 +204,50 @@ def device_screen_default() -> bool:
 
 
 _SCREEN_DEFAULT = None
+_PROBE = None
+_GATE_TTL_S = 3600.0
+
+
+def _gate_cache_path():
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(
+        (os.environ.get("JAX_PLATFORMS", "") + ":"
+         + str(os.getuid())).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"lofreq_tpu_gate_{key}.json")
+
+
+def _gate_cache_read():
+    if os.environ.get("LOFREQ_TPU_GATE_CACHE", "1") == "0":
+        return None
+    try:
+        import json
+        import time
+
+        p = _gate_cache_path()
+        st = os.stat(p)
+        if time.time() - st.st_mtime > _GATE_TTL_S:
+            return None
+        with open(p) as fh:
+            return bool(json.load(fh)["screen_on"])
+    except Exception:
+        return None
+
+
+def _gate_cache_write(on: bool):
+    if os.environ.get("LOFREQ_TPU_GATE_CACHE", "1") == "0":
+        return
+    try:
+        import json
+
+        p = _gate_cache_path()
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"screen_on": bool(on)}, fh)
+        os.replace(tmp, p)
+    except Exception:
+        pass
 
 
 # below this the screen's per-column transfer + RPC overhead exceeds the

@@ -106,6 +106,15 @@ def run_parallel_regions(bam_path, ref_path, vconf_kw, pconf_kw, threads,
     if threads > 1:
         import os
 
+        # resolve the device-stage gates ONCE before forking: the cached
+        # decision (and measured link bandwidth) is inherited by fork, so
+        # workers skip the jax import + link probe entirely when the
+        # engine is host-side
+        if not vconf_kw.get("use_device_screen"):
+            from ..ops.screen import device_screen_default
+
+            device_screen_default(wait=True)
+
         ctx = mp.get_context("fork")
         # process-parallel workers each get a single native BAQ thread —
         # region parallelism already saturates the cores
