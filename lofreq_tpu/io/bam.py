@@ -485,11 +485,34 @@ class BamReader:
         return buf
 
     def iter_raw(self):
+        """Yield raw record blocks with chunked reads (~1MB at a time) —
+        much faster than per-record next_raw() calls.  Takes ownership of
+        the underlying stream position: do not interleave with
+        next_raw/seek/tell on the same reader."""
+        CHUNK = 1 << 20
+        buf = b""
+        pos = 0
+        read = self._bgzf.read
         while True:
-            try:
-                yield self.next_raw()
-            except StopIteration:
-                return
+            if len(buf) - pos < 4:
+                more = read(CHUNK)
+                if not more and len(buf) - pos == 0:
+                    return
+                buf = buf[pos:] + more
+                pos = 0
+                if len(buf) < 4:
+                    raise BamError("truncated BAM record")
+            bs = int.from_bytes(buf[pos : pos + 4], "little")
+            end = pos + 4 + bs
+            while len(buf) < end:
+                more = read(max(CHUNK, end - len(buf)))
+                if not more:
+                    raise BamError("truncated BAM record")
+                buf = buf[pos:] + more
+                end = 4 + bs
+                pos = 0
+            yield buf[pos + 4 : end]
+            pos = end
 
     def rewind(self):
         self._bgzf.seek_virtual(self._first_rec_voffset)
