@@ -831,7 +831,7 @@ static int prep_build(const uint8_t *buf, int64_t buflen,
             want_idaq[i] = need_ai || need_ad;
         }
         /* run the HMM only for reads needing something */
-        uint8_t *flags = calloc(nreads, 1);
+        uint8_t *flags = calloc((size_t)nreads, 1);
         lfq_baq_batch(ref, ref_len, nreads, read_pos, cigars, cigar_start,
                       seqs, quals, seq_start, want_baq, want_idaq,
                       conf->ext_baq, 0.00001, 0.4,
