@@ -239,13 +239,18 @@ def _batch_from_out(out, C, cons_indel, target) -> ColumnBatch:
 
 def build_snv_batch_fused(rdr, ref: bytes, target: str, tid: int, beg, end,
                           pconf: PileupConf, vconf, raw=None, ign_pos=None,
-                          device_baq=None, pool=None, keep_raw=False):
-    """Fused ingest->columns (csrc/ingest.c:lfq_ingest_columns) for the
-    SNV-only default path: raw records straight to a ColumnBatch with no
-    row materialization.  Returns (batch_or_None, ok); ok=False means a
-    consensus-indel recheck needs per-event rows — the caller falls back
-    to the two-pass row path for this window (rare: indel-dominant
-    columns)."""
+                          device_baq=None, pool=None, keep_raw=False,
+                          skip_consindel_gate=False):
+    """Fused ingest->columns (csrc/ingest.c:lfq_ingest_columns): raw
+    records straight to a ColumnBatch with no row materialization.
+    Returns (batch_or_None, ok); ok=False means a consensus-indel recheck
+    needs per-event rows — the caller falls back to the two-pass row path
+    for this window (rare: indel-dominant columns).
+
+    skip_consindel_gate: indel-mode callers attach exact per-event data
+    (incl. the exact consensus-indel decision) to every event column
+    afterwards (_attach_indels), which supersedes the conservative ev>ne
+    gate — the fused batch is returned regardless."""
     from .native_ingest import ingest_columns
 
     cf = colconf_struct(pconf, vconf)
@@ -254,10 +259,11 @@ def build_snv_batch_fused(rdr, ref: bytes, target: str, tid: int, beg, end,
                                  device_baq=device_baq, pool=pool)
     if out is None:
         return None, True
-    flag = (out["ins_ev"][:C] > out["ins_ne"][:C]) | \
-           (out["del_ev"][:C] > out["del_ne"][:C])
-    if flag.any():
-        return None, False
+    if not skip_consindel_gate:
+        flag = (out["ins_ev"][:C] > out["ins_ne"][:C]) | \
+               (out["del_ev"][:C] > out["del_ne"][:C])
+        if flag.any():
+            return None, False
     batch = _batch_from_out(out, C, [None] * C, target)
     if keep_raw:
         batch.raw = raw

@@ -128,14 +128,37 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     if ign_pos:
         ign_arr = _np.asarray(sorted(ign_pos), dtype=_np.int64)
 
-    from ..pileup.fast_columns import build_snv_batch_fused
+    from ..pileup.fast_columns import _attach_indels, build_snv_batch_fused
     from ..pileup.native_ingest import SlabPool
 
     row_pool = SlabPool(2)   # one generation consumed, one prefetched
     col_pool = SlabPool(2)
-    # fully-fused ingest->columns path (no row materialization) covers the
-    # SNV-only default; indel mode needs the per-event rows
-    fused_snv = fused and vconf is not None and vconf.no_indels
+    # fully-fused ingest->columns path (no row materialization).  Indel
+    # mode runs it too: the per-event rows are re-ingested SPARSELY from
+    # the window's raw bytes at event columns only (interval-list filter),
+    # and the exact per-event attach supersedes the fused sweep's
+    # conservative consensus-indel gate.
+    fused_snv = fused and vconf is not None
+    want_indels = (fused_snv and not vconf.no_indels
+                   and pconf.collect_indels)
+
+    def _attach_sparse(batch, b, e):
+        ev_cols = _np.nonzero((batch.num_ins > 0) | (batch.num_dels > 0))[0]
+        if not len(ev_cols):
+            return
+        from ..pileup.native_ingest import ingest_region
+
+        ev_pos = batch.positions[ev_cols]
+        brk = _np.nonzero(_np.diff(ev_pos) > 1)[0]
+        starts = ev_pos[_np.concatenate([[0], brk + 1])]
+        ends = ev_pos[_np.concatenate([brk, [len(ev_pos) - 1]])] + 1
+        reg = _np.empty(2 * len(starts), dtype=_np.int64)
+        reg[0::2] = starts
+        reg[1::2] = ends
+        rows = ingest_region(rdr, pconf, ref, tid, beg=b, end=e,
+                             raw=batch.raw, ign_pos=ign_arr, reg_list=reg,
+                             pool=row_pool)
+        _attach_indels(batch, rows, pconf, ref)
 
     def _fused_window(w):
         from ..core import stagetimer
@@ -145,7 +168,13 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
             batch, ok = build_snv_batch_fused(
                 rdr, ref, chrom, tid, b, e, pconf, vconf,
                 ign_pos=ign_arr, device_baq=device_baq, pool=col_pool,
-                keep_raw=device_baq is not None)
+                keep_raw=device_baq is not None or want_indels,
+                skip_consindel_gate=want_indels)
+        if ok and batch is not None and want_indels:
+            with stagetimer.stage("indel_attach"):
+                _attach_sparse(batch, b, e)
+            if device_baq is None:
+                batch.raw = None    # only kept for the sparse re-ingest
         if not ok:
             # rare: a consensus-indel recheck needs per-event rows
             rows = ingest_region(rdr, pconf, ref, tid, beg=b, end=e,
