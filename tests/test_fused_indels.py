@@ -4,6 +4,7 @@ engine's indel calls exactly (plp.c:1017-1272 + lofreq_call.c:618-726),
 and the batched indel DP must match the per-event reference order."""
 
 import numpy as np
+import pytest
 
 from simulate import simulate
 
@@ -98,3 +99,45 @@ def test_hrun_sparse_matches_vectorized():
                           [0, 1, 4998, 4999]])
     sparse = hrun_at_positions(ref, pos)
     assert np.array_equal(sparse, full[pos])
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41, 59])
+def test_fused_indel_sparse_attach_random_sweep(tmp_path, monkeypatch, seed):
+    """Randomized fused-vs-python-engine identity for the sparse-attach
+    indel path: varied depths, indel mixes (incl. homopolymer-adjacent
+    poly-AT candidates), only-indels mode, and source-qual off/on-ish
+    configs.  The fused path must match the row engine on variants, test
+    counters and INFO strings."""
+    import copy
+
+    rng = np.random.default_rng(seed)
+    depth = int(rng.choice([60, 150, 400]))
+    glen = int(rng.choice([8000, 15000]))
+    n_ins = int(rng.integers(1, 4))
+    n_del = int(rng.integers(1, 4))
+    indels = tuple(
+        [(float(rng.uniform(0.08, 0.6)), 3, int(rng.integers(1, 5)), "ins")
+         for _ in range(n_ins)]
+        + [(float(rng.uniform(0.08, 0.6)), 3, int(rng.integers(1, 5)), "del")
+           for _ in range(n_del)])
+    art = simulate(str(tmp_path), genome_len=glen, depth=depth,
+                   seed=seed + 100, indels=indels)
+    art = _with_indelqual(art, tmp_path)
+    only_indels = bool(seed % 2)
+    vc = VarcallConf(use_device_screen=False, use_device_baq=False,
+                     no_indels=False, only_indels=only_indels)
+    pc = PileupConf(collect_indels=True)
+    fused = run_call(art["bam"], art["fa"], vconf=copy.copy(vc),
+                     pconf=copy.copy(pc))
+    from lofreq_tpu.pileup import fast_columns
+    import lofreq_tpu.pipelines.call_pipeline as cp
+
+    monkeypatch.setattr(fast_columns, "supports_fused", lambda v: False)
+    monkeypatch.setattr(cp, "supports_fused", lambda v: False,
+                        raising=False)
+    ref = run_call(art["bam"], art["fa"], vconf=copy.copy(vc),
+                   pconf=copy.copy(pc))
+    assert ref.stats.num_indel_tests > 0
+    assert _vars_key(ref.vars) == _vars_key(fused.vars)
+    assert ref.stats.num_indel_tests == fused.stats.num_indel_tests
+    assert ref.stats.num_snv_tests == fused.stats.num_snv_tests
