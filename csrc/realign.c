@@ -79,49 +79,73 @@ static void left_align(char *ref, char *query, int slen, char *state_out)
 }
 
 /* thread-local grow-only scratch (read sizes are bounded; freed at thread
- * exit by the OS) */
+ * exit by the OS).  The lane kernels size everything by a width factor w
+ * (1 = scalar): vm/vi/vd hold qlen*rlen*w doubles, pm/pi/pd qlen*rlen*w
+ * bytes (the lane kernels pack all three pointers into pm), tb holds the
+ * interleaved ref codes (rlen*w int64), tb2 the traceback strings. */
 typedef struct {
     double *vs;
-    double *vm, *vi, *vd;       /* flat [i][k], qlen*rlen doubles */
+    double *vm, *vi, *vd;       /* flat [i][k](xw) */
     char *pm, *pi, *pd;
-    char *tb;                    /* traceback strings, 3*(qlen+rlen) */
-    size_t cap_q, cap_cells, cap_tb;
+    char *tb;
+    char *tb2;
+    size_t cap_q, cap_cells, cap_tb, cap_tb2;
 } vit_scratch_t;
 
 static __thread vit_scratch_t g_vsc;
 
-static int vit_scratch(int qlen, int rlen)
+static void *aalloc(size_t n)
+{
+    return aligned_alloc(64, (n + 127) & ~(size_t)63);
+}
+
+static int vit_scratch_w(int qlen, int rlen, int w)
 {
     vit_scratch_t *s = &g_vsc;
-    size_t cells = (size_t)qlen * rlen;
-    if ((size_t)qlen > s->cap_q) {
+    size_t cells = (size_t)qlen * rlen * w;
+    if ((size_t)qlen * w > s->cap_q) {
         free(s->vs);
-        s->vs = malloc((size_t)qlen * 2 * sizeof(double));
+        s->vs = aalloc((size_t)qlen * w * 2 * sizeof(double));
         if (!s->vs) return -1;
-        s->cap_q = qlen * 2;
+        s->cap_q = (size_t)qlen * w * 2;
     }
     if (cells > s->cap_cells) {
         free(s->vm); free(s->vi); free(s->vd);
         free(s->pm); free(s->pi); free(s->pd);
         size_t cap = cells + cells / 2;
-        s->vm = malloc(cap * sizeof(double));
-        s->vi = malloc(cap * sizeof(double));
-        s->vd = malloc(cap * sizeof(double));
-        s->pm = malloc(cap);
-        s->pi = malloc(cap);
-        s->pd = malloc(cap);
+        s->vm = aalloc(cap * sizeof(double));
+        s->vi = aalloc(cap * sizeof(double));
+        s->vd = aalloc(cap * sizeof(double));
+        s->pm = aalloc(cap);
+        s->pi = aalloc(cap);
+        s->pd = aalloc(cap);
         if (!s->vm || !s->vi || !s->vd || !s->pm || !s->pi || !s->pd)
             return -1;
         s->cap_cells = cap;
     }
-    size_t tb = 3 * ((size_t)qlen + rlen + 2);
+    size_t tb = (size_t)(rlen + 2) * w * sizeof(int64_t);
+    size_t tb_min = 3 * ((size_t)qlen + rlen + 2);
+    if (tb < tb_min)
+        tb = tb_min;
     if (tb > s->cap_tb) {
         free(s->tb);
-        s->tb = malloc(tb * 2);
+        s->tb = aalloc(tb * 2);
         if (!s->tb) return -1;
         s->cap_tb = tb * 2;
     }
+    size_t tb2 = 3 * ((size_t)qlen + rlen + 2);
+    if (tb2 > s->cap_tb2) {
+        free(s->tb2);
+        s->tb2 = aalloc(tb2 * 2);
+        if (!s->tb2) return -1;
+        s->cap_tb2 = tb2 * 2;
+    }
     return 0;
+}
+
+static int vit_scratch(int qlen, int rlen)
+{
+    return vit_scratch_w(qlen, rlen, 1);
 }
 
 /* One read: returns the traceback start offset k within ref (the reference
@@ -274,8 +298,64 @@ int lfq_viterbi_one(const char *ref_win, const char *query,
     }
     if (err)
         return INT_MIN;
+    /* Sentinel before the string start: left_align's shift walk can step
+     * to index -1 (viterbi.c:48-96 does the same against the byte before
+     * its freshly malloc'd buffer, which is never '*' in practice); with
+     * reused scratch a stale '*' there would change the left-alignment,
+     * so pin it. */
+    t_ref[si] = t_query[si] = '\0';
     int slen = maxslen - 2 - si;
     left_align(t_ref + si + 1, t_query + si + 1, slen, aln);
     return k;
 #undef AT
+}
+
+/* ---------------------------------------------------------------------
+ * SIMD lane kernels: viterbi_x4 (AVX2) / viterbi_x8 (AVX-512),
+ * instantiated from realign_xw.inc; bit-identical per lane to
+ * lfq_viterbi_one (see the include header).  The python driver groups
+ * same-(qlen, rlen) reads and calls the exported batch entries below. */
+
+typedef double rv4df __attribute__((vector_size(32)));
+typedef int64_t rv4di __attribute__((vector_size(32)));
+typedef double rv8df __attribute__((vector_size(64)));
+typedef int64_t rv8di __attribute__((vector_size(64)));
+
+#define LANES 4
+#define VD rv4df
+#define VI rv4di
+#define VIT_FN viterbi_x4
+#define NM(x) x##_r4
+#include "realign_xw.inc"
+#undef LANES
+#undef VD
+#undef VI
+#undef VIT_FN
+#undef NM
+
+#define LANES 8
+#define VD rv8df
+#define VI rv8di
+#define VIT_FN viterbi_x8
+#define NM(x) x##_r8
+#include "realign_xw.inc"
+#undef LANES
+#undef VD
+#undef VI
+#undef VIT_FN
+#undef NM
+
+/* ctypes entry: nl = 4 or 8 same-(qlen,rlen) reads; arrays of pointers.
+ * qlen/rlen are strlen+1 like lfq_viterbi_one computes internally. */
+int lfq_viterbi_xn(const char **ref_wins, const char **queries,
+                   const char **bquals, const int *q2default,
+                   int qlen, int rlen, char **alns, int *shifts, int nl)
+{
+    if (nl == 8)
+        return viterbi_x8(ref_wins, queries, bquals, q2default,
+                          qlen, rlen, alns, shifts);
+    if (nl == 4)
+        return viterbi_x4(ref_wins, queries, bquals, q2default,
+                          qlen, rlen, alns, shifts);
+    return -1;
 }

@@ -42,6 +42,13 @@ def _get_lib():
                 ctypes.c_int, ctypes.c_char_p,
             ]
             lib.lfq_viterbi_one.restype = ctypes.c_int
+            _pp = ctypes.POINTER(ctypes.c_char_p)
+            lib.lfq_viterbi_xn.argtypes = [
+                _pp, _pp, _pp, ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int, _pp,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ]
+            lib.lfq_viterbi_xn.restype = ctypes.c_int
             _lib = lib
     return _lib
 
@@ -56,14 +63,37 @@ def viterbi_align(ref_win: bytes, query: bytes, bqual_sanger: bytes,
     return shift, buf.value.decode()
 
 
+def viterbi_align_group(preps, nl):
+    """Run nl (4 or 8) same-(qlen, rlen) preps through the SIMD lanes.
+    preps: [(query, bqual_sanger, q2default, ref_win), ...]; returns
+    [(shift, aln), ...] bit-identical to per-read viterbi_align."""
+    lib = _get_lib()
+    refs = (ctypes.c_char_p * nl)(*[p[3] for p in preps])
+    qrys = (ctypes.c_char_p * nl)(*[p[0] for p in preps])
+    bqs = (ctypes.c_char_p * nl)(*[p[1] for p in preps])
+    q2d = (ctypes.c_int * nl)(*[int(p[2]) for p in preps])
+    bufs = [ctypes.create_string_buffer(len(p[0]) + len(p[3]) + 4)
+            for p in preps]
+    alns = (ctypes.c_char_p * nl)(
+        *[ctypes.cast(b, ctypes.c_char_p) for b in bufs])
+    shifts = (ctypes.c_int * nl)()
+    rc = lib.lfq_viterbi_xn(refs, qrys, bqs, q2d,
+                            len(preps[0][0]) + 1, len(preps[0][3]) + 1,
+                            alns, shifts, nl)
+    if rc != 0:
+        return [viterbi_align(p[3], p[0], p[1], p[2]) for p in preps]
+    return [(shifts[i], bufs[i].value.decode()) for i in range(nl)]
+
+
 _OPMAP = {"M": CMATCH, "I": CINS, "D": CDEL}
 
 
-def realign_read(r, ref: bytes, q2default: int = -1):
-    """Realign one read in place.  Returns True if the read was modified
-    (or examined); False if passed through untouched (no indels/hardclip)."""
+def realign_prep(r, ref: bytes, q2default: int = -1):
+    """Per-read prep for the realigner.  Returns
+    (query, bqual_sanger, q2d, ref_win, lower) or None when the read is
+    passed through untouched (no indels / hardclipped / all-Q2)."""
     if r.flag & FUNMAP:
-        return False
+        return None
     query = []
     bqual = []
     x = r.pos
@@ -72,7 +102,7 @@ def realign_read(r, ref: bytes, q2default: int = -1):
         if op in (CMATCH, CEQUAL, CDIFF):
             pass
         elif op == CHARD_CLIP:
-            return False
+            return None
         elif op == CDEL:
             indels += 1
         elif op == CINS:
@@ -80,9 +110,9 @@ def realign_read(r, ref: bytes, q2default: int = -1):
         elif op == CSOFT_CLIP:
             pass
         else:
-            return False
+            return None
     if indels == 0:
-        return False
+        return None
     y = 0
     for op, l in r.cigar_ops():
         if op in (CMATCH, CEQUAL, CDIFF, CINS):
@@ -102,7 +132,7 @@ def realign_read(r, ref: bytes, q2default: int = -1):
     phreds = np.frombuffer(bqual, dtype=np.uint8).astype(np.int64) - 33
     non_q2 = phreds[phreds != 2]
     if len(non_q2) == 0:
-        return False  # all Q2: write as-is (lofreq_viterbi.c:220-242)
+        return None  # all Q2: write as-is (lofreq_viterbi.c:220-242)
     q2d = q2default
     if q2d < 0:
         vals = np.sort(non_q2)
@@ -114,9 +144,22 @@ def realign_read(r, ref: bytes, q2default: int = -1):
 
     lower = max(r.pos - RWIN, 0)
     upper = min(x + RWIN, len(ref))
-    ref_win = ref[lower:upper]
+    return query, bqual, q2d, ref[lower:upper], lower
 
+
+def realign_read(r, ref: bytes, q2default: int = -1):
+    """Realign one read in place.  Returns True if the read was modified
+    (or examined); False if passed through untouched (no indels/hardclip)."""
+    prep = realign_prep(r, ref, q2default)
+    if prep is None:
+        return False
+    query, bqual, q2d, ref_win, lower = prep
     shift, aln = viterbi_align(ref_win, query, bqual, q2d)
+    return realign_apply(r, shift, aln, lower)
+
+
+def realign_apply(r, shift, aln, lower):
+    """Apply a realignment result (cigar rebuild + position shift)."""
     if not aln:
         return False
 
@@ -163,6 +206,53 @@ def run_viterbi(bam_in, bam_out, ref_path, q2default: int = -1,
     wtr = BamWriter(bam_out, rdr.header)
     ref_cache = {}
     n_realigned = 0
+
+    # indel reads are buffered, grouped by (qlen, ref-window len) and run
+    # through the SIMD lane kernels (8, then 4, scalar remainder — all
+    # bit-identical), then written back in input order
+    pending = []                # ("raw", bytes) | ("dp", read, prep|None)
+    n_dp = 0
+
+    def flush():
+        nonlocal pending, n_dp, n_realigned
+        groups = {}
+        for j, ent in enumerate(pending):
+            if ent[0] == "dp" and ent[2] is not None:
+                p = ent[2]
+                groups.setdefault((len(p[0]), len(p[3])), []).append(j)
+        results = {}
+        for idxs in groups.values():
+            pos = 0
+            while len(idxs) - pos >= 8:
+                grp = idxs[pos:pos + 8]
+                out = viterbi_align_group(
+                    [pending[j][2] for j in grp], 8)
+                for j, res in zip(grp, out):
+                    results[j] = res
+                pos += 8
+            if len(idxs) - pos >= 4:
+                grp = idxs[pos:pos + 4]
+                out = viterbi_align_group(
+                    [pending[j][2] for j in grp], 4)
+                for j, res in zip(grp, out):
+                    results[j] = res
+                pos += 4
+            for j in idxs[pos:]:
+                p = pending[j][2]
+                results[j] = viterbi_align(p[3], p[0], p[1], p[2])
+        for j, ent in enumerate(pending):
+            if ent[0] == "raw":
+                wtr.write_raw(ent[1])
+                continue
+            _, r, prep = ent
+            if prep is not None:
+                shift, aln = results[j]
+                if realign_apply(r, shift, aln, prep[4]):
+                    n_realigned += 1
+            wtr.write(r)
+        pending = []
+        n_dp = 0
+
     for raw in rdr.iter_raw():
         if strip:
             raw = bamio.raw_strip_tags(raw, strip)
@@ -179,16 +269,20 @@ def run_viterbi(bam_in, bam_out, ref_path, q2default: int = -1,
                     has_indel = True
                     break
             if has_indel:
-                # indel read: full decode -> realign -> re-encode
                 r = decode_record(raw)
                 chrom = rdr.header.name(r.tid)
                 if chrom not in ref_cache:
                     ref_cache[chrom] = fa.fetch(chrom)
-                if realign_read(r, ref_cache[chrom], q2default):
-                    n_realigned += 1
-                wtr.write(r)
+                prep = realign_prep(r, ref_cache[chrom], q2default)
+                pending.append(("dp", r, prep))
+                n_dp += 1
+                if n_dp >= 1024:
+                    flush()
                 continue
-        wtr.write_raw(raw)
+        pending.append(("raw", raw))
+        if len(pending) >= 65536:
+            flush()
+    flush()
     wtr.close()
     rdr.close()
     return n_realigned
