@@ -339,6 +339,11 @@ def raw_seq_ascii(buf: bytes) -> bytes:
     return _SEQ_LUT16[arr].tobytes()[:l_seq]
 
 
+def seq_lut16() -> np.ndarray:
+    """The nibble-pair -> two-ASCII-bases table (batch decoders)."""
+    return _SEQ_LUT16
+
+
 def raw_find_tags(buf: bytes, tags) -> dict:
     """{tag_bytes: (start, end)} for the aux entries present in tags."""
     aux_off = raw_layout(buf)[4]

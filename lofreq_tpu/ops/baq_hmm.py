@@ -57,7 +57,9 @@ def realn_batch_raw(raws, want_baq, want_idaq, ref: bytes, ext_baq=True):
     cigar_start = np.zeros(n + 1, dtype=np.int64)
     seq_start = np.zeros(n + 1, dtype=np.int64)
     cig_parts = []
-    seq_parts = []
+    nib_parts = []
+    nib_off = np.empty(n + 1, dtype=np.int64)
+    nib_off[0] = 0
     qual_parts = []
     for i, buf in enumerate(raws):
         f = bamio.raw_fields(buf)
@@ -67,10 +69,18 @@ def realn_batch_raw(raws, want_baq, want_idaq, ref: bytes, ext_baq=True):
         cigar_start[i + 1] = cigar_start[i] + n_cigar
         seq_start[i + 1] = seq_start[i] + l_seq
         cig_parts.append(buf[cigar_off:seq_off])
-        seq_parts.append(bamio.raw_seq_ascii(buf))
+        nib_parts.append(buf[seq_off:qual_off])
+        nib_off[i + 1] = nib_off[i] + (qual_off - seq_off)
         qual_parts.append(buf[qual_off:aux_off])
     cigars = np.frombuffer(b"".join(cig_parts), dtype=np.uint32)
-    seqs = b"".join(seq_parts)
+    # one table lookup decodes every read's bases; per-read slices then
+    # drop the odd trailing nibble
+    expanded = bamio.seq_lut16()[
+        np.frombuffer(b"".join(nib_parts), dtype=np.uint8)].tobytes()
+    seqs = b"".join(
+        expanded[2 * int(nib_off[i]):
+                 2 * int(nib_off[i]) + int(seq_start[i + 1] - seq_start[i])]
+        for i in range(n))
     quals = np.frombuffer(b"".join(qual_parts), dtype=np.uint8)
     want_baq = np.ascontiguousarray(want_baq, dtype=np.uint8)
     want_idaq = np.ascontiguousarray(want_idaq, dtype=np.uint8)
