@@ -42,10 +42,20 @@ def _get_jax():
 def _build_screen_fn(use_pallas=False):
     jax, jnp = _get_jax()
 
+    # u8 log-quantized err-prob decode table: code c decodes to
+    # 2^(-c/8) (255 = 0.0, the DP identity).  The host encodes with
+    # ceil(), so decode <= p: smaller probs shrink the tail lower bound,
+    # which only ADDS candidates — conservative (ulp-level f32 rounding
+    # of the table is absorbed by MARGIN).  Shipping u8 instead of f32
+    # cuts the per-column link traffic 4x.
+    dec = np.zeros(256, dtype=np.float32)
+    dec[:255] = np.exp2(-np.arange(255, dtype=np.float64) / 8.0
+                        ).astype(np.float32)
+
     @partial(jax.jit, static_argnames=("s", "kmax"))
-    def screen(probs, depths, ks, log_thresh, s=SCREEN_S, kmax=KMAX):
-        """probs [B, s] f32 ascending (2.0 = padding); depths [B]; ks [B]
-        (>=1); log_thresh [B] = log(sig * MARGIN / bonf).
+    def screen(codes, depths, ks, log_thresh, s=SCREEN_S, kmax=KMAX):
+        """codes [B, s] u8 log-quantized err probs (255 = padding/zero);
+        depths [B]; ks [B] (>=1); log_thresh [B] = log(sig*MARGIN/bonf).
         Returns candidate mask [B] (True = needs exact confirmation).
 
         Linear f32 space: each step is pure multiply-add; a p=0 read
@@ -53,7 +63,7 @@ def _build_screen_fn(use_pallas=False):
         column's depth map to an exact identity (masked to 0 up front).
         Underflow only shrinks the partial tail, which only adds
         candidates — the safe, conservative direction."""
-        B = probs.shape[0]
+        B = codes.shape[0]
         kc = jnp.minimum(ks, kmax)
         cell = jnp.arange(kmax + 1)[None, :]
         is_tail = (cell == kc[:, None]).astype(jnp.float32)
@@ -61,8 +71,8 @@ def _build_screen_fn(use_pallas=False):
         state0 = jnp.where(cell == 0, 1.0, 0.0).astype(jnp.float32)
         state0 = jnp.broadcast_to(state0, (B, kmax + 1))
         in_depth = jnp.arange(s)[None, :] < depths[:, None]
-        p_all = jnp.clip(
-            jnp.where(in_depth & (probs <= 1.5), probs, 0.0), 0.0, 1.0)
+        probs = jnp.asarray(dec)[codes.astype(jnp.int32)]
+        p_all = jnp.where(in_depth, probs, 0.0)
 
         if use_pallas:
             from .pallas_poissbin import tail_device
@@ -120,11 +130,11 @@ def device_screen_default(wait: bool = False) -> bool:
     on PCIe/ICI-attached chips; CPU-only hosts and thin tunneled links run
     the exact path unless --device-screen forces it).
 
-    The screen ships ~512 B per tested column (top-S f32 err probs) and
-    saves ~8 us/column of host pack+qsort CPU, so below a couple hundred
-    MB/s (plus per-RPC overhead) it costs more wall-clock than it saves —
-    measured on the 37 MB/s axon tunnel: 22.0k cols/s host vs 14.8k with
-    the screen on, identical VCF either way."""
+    The screen ships ~128 B per tested column (top-S u8 log-quantized
+    err probs) and saves ~8 us/column of host pack+qsort CPU, so below
+    ~80 MB/s (plus per-RPC overhead) it costs more wall-clock than it
+    saves — measured on the 37 MB/s axon tunnel (with its ~29 ms/RPC
+    fixed cost): the host engine wins there, identical VCF either way."""
     override = os.environ.get("LOFREQ_TPU_DEVICE_SCREEN")
     if override is not None:
         return override not in ("0", "false", "no", "off", "")
@@ -251,8 +261,9 @@ def _gate_cache_write(on: bool):
 
 
 # below this the screen's per-column transfer + RPC overhead exceeds the
-# host pack+qsort CPU it replaces (see device_screen_default)
-MIN_SCREEN_LINK_MBS = 200.0
+# host pack+qsort CPU it replaces (see device_screen_default; u8
+# quantization cut the per-column bytes 4x, lowering the bar from 200)
+MIN_SCREEN_LINK_MBS = 80.0
 
 
 class _ScreenManager:
@@ -329,9 +340,10 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
     lower bound of the full tail, so a subset bound that already exceeds
     the threshold proves insignificance — and the largest probs carry
     virtually all of the tail mass, so the bound stays sharp.  This keeps
-    the host->device transfer at S=%d floats per column regardless of
+    the host->device transfer at S u8 codes per column regardless of
     depth (full-depth [B, 2048] f32 tiles were the dominant cost on thin
-    links).  B and S are padded to buckets so jit compiles are bounded;
+    links; the codes are log-quantized with conservative rounding, see
+    _build_screen_fn).  B and S are padded to buckets so jit compiles are bounded;
     if compilation blows the deadline the screen degrades and every
     column is marked candidate."""
     _jax, jnp = _get_jax()
@@ -346,7 +358,7 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
     fn = _manager.get(Bp, s)
     if fn is None:
         return np.ones(B, dtype=bool)
-    prefix = np.full((Bp, s), 2.0, dtype=np.float32)
+    prefix = np.full((Bp, s), 2.0, dtype=np.float64)
     depths_p = np.zeros(Bp, dtype=np.int32)
     if D > s:
         # top-S per row; padding/invalid (>1.0) mapped to 0.0 first (an
@@ -360,13 +372,20 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
     else:
         prefix[:B, :D] = probs
         depths_p[:B] = depths
+    # u8 log-quantization (see _build_screen_fn): ceil rounds the code up
+    # so its decode is <= p — the conservative direction; p<=0 and the
+    # 2.0 padding map to the identity code 255
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lg = np.ceil(-np.log2(np.maximum(prefix, 1e-300)) * 8.0)
+    codes = np.where((prefix <= 0.0) | (prefix > 1.0), 255,
+                     np.clip(lg, 0, 254)).astype(np.uint8)
     ks_p = np.ones(Bp, dtype=np.int32)
     ks_p[:B] = np.maximum(np.asarray(ks, dtype=np.int32), 1)
     bonf = np.broadcast_to(np.asarray(bonf, dtype=np.float64), (B,))
     log_thresh = np.full(Bp, np.float32(np.log(sig * MARGIN)))
     log_thresh[:B] = np.log(sig * MARGIN / bonf).astype(np.float32)
     mask = fn(
-        jnp.asarray(prefix), jnp.asarray(depths_p), jnp.asarray(ks_p),
+        jnp.asarray(codes), jnp.asarray(depths_p), jnp.asarray(ks_p),
         jnp.asarray(log_thresh), s=s,
     )
     return np.asarray(mask)[:B]
