@@ -296,11 +296,13 @@ class _ScreenManager:
             fn = _build_screen_fn(use_pallas=(mode == "pallas"))
 
             def _warm():
-                probs = jnp.full((B, s), 2.0, jnp.float32)
+                # dtypes MUST match screen_candidates' real call exactly:
+                # a signature mismatch would retrace outside this deadline
+                codes = jnp.full((B, s), 255, jnp.uint8)
                 depths = jnp.zeros(B, jnp.int32)
                 ks = jnp.ones(B, jnp.int32)
                 lt = jnp.zeros(B, jnp.float32)
-                np.asarray(fn(probs, depths, ks, lt, s=s))
+                np.asarray(fn(codes, depths, ks, lt, s=s))
                 return fn
 
             from concurrent.futures import ThreadPoolExecutor
