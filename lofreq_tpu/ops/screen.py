@@ -375,11 +375,13 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
         prefix[:B, :D] = probs
         depths_p[:B] = depths
     # u8 log-quantization (see _build_screen_fn): ceil rounds the code up
-    # so its decode is <= p — the conservative direction; p<=0 and the
-    # 2.0 padding map to the identity code 255
+    # so its decode is <= p — the conservative direction; p<=0, the 2.0
+    # padding AND probs below the smallest representable code (clipping
+    # them up to code 254 would OVERstate them) all map to the identity
+    # code 255 (= 0.0, which only understates)
     with np.errstate(divide="ignore", invalid="ignore"):
         lg = np.ceil(-np.log2(np.maximum(prefix, 1e-300)) * 8.0)
-    codes = np.where((prefix <= 0.0) | (prefix > 1.0), 255,
+    codes = np.where((prefix <= 0.0) | (prefix > 1.0) | (lg > 254), 255,
                      np.clip(lg, 0, 254)).astype(np.uint8)
     ks_p = np.ones(Bp, dtype=np.int32)
     ks_p[:B] = np.maximum(np.asarray(ks, dtype=np.int32), 1)

@@ -170,3 +170,29 @@ def test_device_screen_conservative_vs_exact():
     assert n_missed == 0, f"screen dropped {n_missed} significant columns"
     # and it must still rule out a decent share of non-variant columns
     assert cand.sum() < B * 0.6
+
+
+def test_screen_u8_quantization_conservative():
+    """decode(encode(p)) <= p for the u8 log-quantized screen transfers:
+    quantization may only shrink err probs (shrinking the tail lower
+    bound only ADDS candidates).  Dense sweep incl. code boundaries,
+    phred edges and subnormal-ish values."""
+    dec = np.zeros(256)
+    dec[:255] = np.exp2(-np.arange(255) / 8.0)
+    ps = np.concatenate([
+        np.exp2(-np.arange(255) / 8.0),              # exact boundaries
+        np.exp2(-(np.arange(254) + 0.5) / 8.0),      # midpoints
+        10.0 ** (-np.arange(1, 13, dtype=np.float64)),  # phred decades
+        np.random.default_rng(0).uniform(1e-12, 1.0, 4096),
+        np.array([1.0, 0.999999999, 1e-300, 5e-324]),
+    ])
+    with np.errstate(divide="ignore"):
+        lg = np.ceil(-np.log2(np.maximum(ps, 1e-300)) * 8.0)
+    codes = np.where((ps <= 0.0) | (lg > 254), 255,
+                     np.clip(lg, 0, 254)).astype(np.uint8)
+    decoded = dec[codes]
+    # f64 table here; the device f32 table adds <=1ulp absorbed by MARGIN
+    assert (decoded <= ps + 1e-16).all()
+    # and the decode is within one quantization step (sharp enough)
+    real = ps > 2 ** (-254 / 8.0)
+    assert (decoded[real] >= ps[real] * 2 ** (-1 / 8.0) * (1 - 1e-12)).all()
