@@ -127,6 +127,57 @@ def make_cases():
         qual = "".join(chr(int(x) + 33) for x in q)
         cases.append(dict(pos=pos, cigar=cig, seq=seq, qual=qual,
                           ext=int(rng.random() < 0.7)))
+    # fuzz sweep (round 3): the band-geometry extremes — contig-start
+    # window clips (xb -> 0), contig-end overhangs (xe -> ref_len), wide
+    # bands from 6-20bp indels (incl. the >16 idaq-skip wall), reads over
+    # the N patch, adjacent ins+del, and q93 quality caps
+    genome = genome[:2600] + "N" * 30 + genome[2630:]
+    for _ in range(50):
+        r = rng.random()
+        if r < 0.2:
+            pos = int(rng.integers(0, 6))           # window clips at 0
+        elif r < 0.4:
+            pos = int(rng.integers(2550, 2640))     # spans the N patch
+        elif r < 0.6:
+            pos = int(rng.integers(2900, 2985))     # hangs off the end
+        else:
+            pos = int(rng.integers(0, 2500))
+        ops = [("M", int(rng.integers(10, 70)))]
+        kind = rng.random()
+        if kind < 0.35:
+            ops += [("I" if rng.random() < 0.5 else "D",
+                     int(rng.integers(6, 21))),
+                    ("M", int(rng.integers(10, 40)))]
+        elif kind < 0.6:                            # adjacent ins + del
+            ops += [("I", int(rng.integers(1, 6))),
+                    ("D", int(rng.integers(1, 6))),
+                    ("M", int(rng.integers(10, 40)))]
+        # clamp the ops to the contig (a valid alignment never extends
+        # past the reference end; the window clip xe->ref_len is still
+        # exercised by reads ENDING within bw/2 of the contig end)
+        span = sum(l for op, l in ops if op in "MD")
+        if pos + span > 2999:
+            over = pos + span - 2999
+            op_l, l_l = ops[-1]
+            if op_l != "M" or l_l - over < 5:
+                continue
+            ops[-1] = ("M", l_l - over)
+        seq, cig, _ = read_from(pos, ops)
+        qlen = len(seq)
+        if qlen < 5:
+            continue
+        nmut = int(rng.integers(0, 4))
+        seq = list(seq)
+        for _m in range(nmut):
+            seq[int(rng.integers(0, qlen))] = str(rng.choice(list("ACGTN")))
+        seq = "".join(seq)
+        if rng.random() < 0.4:                      # q93 walls
+            q = rng.choice([2, 30, 93], qlen, p=[0.25, 0.4, 0.35])
+        else:
+            q = rng.integers(2, 94, qlen)
+        qual = "".join(chr(int(x) + 33) for x in q)
+        cases.append(dict(pos=pos, cigar=cig, seq=seq, qual=qual,
+                          ext=int(rng.random() < 0.7)))
     return genome, cases
 
 
