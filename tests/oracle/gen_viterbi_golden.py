@@ -88,6 +88,49 @@ def make_cases():
         quals = rng.choice([2, 2, 17, 30, 40], len(q)).astype(int)
         add(ref, "".join(q), quals=list(quals),
             q2def=int(rng.choice([20, 25, 2])))
+    # fuzz sweep (round 3): the traceback/left-align extremes the lane
+    # kernels made observable — shifts reaching alignment position 0
+    # (the left_align sentinel path), tiny reads, heavy repeat tracts
+    # with large indels, all-q2 bodies, degenerate query~ref lengths
+    for _ in range(40):
+        r = rng.random()
+        if r < 0.3:
+            # indel at/near the first aligned base: shift walk hits col 0
+            unit = "".join(rng.choice(list("ACGT"), 2))
+            tract = unit * int(rng.integers(4, 9))
+            tail = "".join(rng.choice(list("ACGT"), int(rng.integers(20, 50))))
+            ref = tract + tail
+            if rng.random() < 0.5:
+                q = ref[len(unit):]              # deletion at the very start
+            else:
+                q = unit + ref                   # insertion at the very start
+            q = q[: int(rng.integers(15, min(len(q), 60)))]
+        elif r < 0.5:
+            # tiny reads
+            L = int(rng.integers(6, 15))
+            ref = "".join(rng.choice(list("ACGT"), L + 12))
+            q = ref[5 : 5 + L]
+            if rng.random() < 0.6 and L > 8:
+                at = int(rng.integers(2, L - 4))
+                q = q[:at] + q[at + 1:]
+        else:
+            # long homopolymer with a large misplaced indel
+            base = str(rng.choice(list("ACGT")))
+            hp = base * int(rng.integers(8, 16))
+            left = "".join(rng.choice(list("ACGT"), 15))
+            right = "".join(rng.choice(list("ACGT"), 25))
+            ref = left + hp + right
+            dl = int(rng.integers(2, 6))
+            cut = len(left) + int(rng.integers(0, len(hp) - dl))
+            q = (ref[8:cut] + ref[cut + dl:])[:90]
+        if len(q) < 5:
+            continue
+        if rng.random() < 0.3:
+            quals = [2] * len(q)                 # all-q2 body
+        else:
+            quals = list(rng.choice([2, 20, 40, 60], len(q)).astype(int))
+        add(ref, "".join(q) if not isinstance(q, str) else q,
+            quals=quals, q2def=int(rng.choice([2, 18, 30])))
     return cases
 
 
