@@ -142,6 +142,42 @@ def make_cases():
         )
         add(ref, conf, rand_quads(rng, n, sq_mode="present",
                                   baq_mode="mixed"))
+
+    # fuzz (round 3): very deep columns (the screening + bonf regimes the
+    # end-to-end bench runs at), MQ0-dominated pools (the 0.5 errprob
+    # special), borderline-significance bonf ladders, and columns where
+    # every alt survives/dies on the min_alt_bq knife edge
+    for _ in range(40):
+        ref = int(rng.integers(0, 4))
+        kind = rng.random()
+        if kind < 0.35:
+            n = [0, 0, 0, 0]
+            n[ref] = int(rng.integers(800, 3000))
+            for b in range(4):
+                if b != ref and rng.random() < 0.7:
+                    n[b] = int(rng.integers(1, 25))
+        elif kind < 0.6:
+            n = [int(rng.integers(0, 30)) for _ in range(4)]
+            n[ref] += int(rng.integers(50, 400))
+        else:
+            n = [int(rng.integers(1, 8)) for _ in range(4)]
+        conf = dict(
+            min_bq=int(rng.choice([0, 6, 6, 13])),
+            min_alt_bq=int(rng.choice([0, 6, 18, 30])),
+            def_alt_bq=int(rng.choice([-1, 0, 0, 40])),
+            min_jq=int(rng.choice([0, 0, 12])),
+            min_alt_jq=int(rng.choice([0, 0, 16])),
+            def_alt_jq=int(rng.choice([0, 0, 30])),
+            flag=int(rng.integers(0, 8)),
+            bonf=int(rng.choice([1, 3, 3333, 10**6, 6 * 10**6, 10**10])),
+            sig=float(rng.choice([0.0001, 0.01, 0.05])),
+        )
+        mq_dom = rng.random() < 0.3
+        g = rand_quads(rng, n, sq_mode="present", baq_mode="mixed")
+        if mq_dom:                      # MQ0 floors err prob at 0.5
+            g = [[(bq, baq, 0 if rng.random() < 0.8 else mq, sq)
+                  for (bq, baq, mq, sq) in grp] for grp in g]
+        add(ref, conf, g)
     return cases
 
 
