@@ -341,7 +341,8 @@ def run_call(
                 vconf.baq_screen_bias = BAQ_SCREEN_DELTA
                 screen_ctx = []
             for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
-                                                rstart, rend, vconf=vconf,
+                                                rstart, rend, window=WINDOW,
+                                                vconf=vconf,
                                                 ign_pos=chrom_ign,
                                                 device_baq=device_baq):
                 vs = call_vars_batch(batch, vconf, res.stats,
@@ -400,7 +401,7 @@ def run_call(
                 yield from _prepare_chunk(chunk, ref, pconf, chrom_ign_py)
 
         for batch in _window_batches(prepared_reads(), chrom, ref, pconf,
-                                     rstart, rend):
+                                     rstart, rend, window=WINDOW):
             vs = call_vars_batch(batch, vconf, res.stats)
             res.vars.extend(vs)
             if progress:

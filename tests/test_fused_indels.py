@@ -141,3 +141,32 @@ def test_fused_indel_sparse_attach_random_sweep(tmp_path, monkeypatch, seed):
     assert _vars_key(ref.vars) == _vars_key(fused.vars)
     assert ref.stats.num_indel_tests == fused.stats.num_indel_tests
     assert ref.stats.num_snv_tests == fused.stats.num_snv_tests
+
+
+def test_fused_indel_mode_window_boundaries(tmp_path, monkeypatch):
+    """Indel events at/near window boundaries: the sparse event re-ingest
+    is per window, so a small forced window sweeps events across
+    boundaries.  Fused small-window == fused default-window == python
+    engine."""
+    import copy
+
+    import lofreq_tpu.pipelines.call_pipeline as cp
+
+    art = simulate(
+        str(tmp_path), genome_len=24000, depth=100, seed=33,
+        indels=((0.5, 10, 3, "ins"), (0.4, 10, 2, "del")),
+    )
+    art = _with_indelqual(art, tmp_path)
+    vc = VarcallConf(use_device_screen=False, use_device_baq=False,
+                     no_indels=False)
+    pc = PileupConf(collect_indels=True)
+    big = run_call(art["bam"], art["fa"], vconf=copy.copy(vc),
+                   pconf=copy.copy(pc))
+    monkeypatch.setattr(cp, "WINDOW", 7000)
+    small = run_call(art["bam"], art["fa"], vconf=copy.copy(vc),
+                     pconf=copy.copy(pc))
+    monkeypatch.undo()
+    assert big.stats.num_indel_tests > 0
+    assert _vars_key(big.vars) == _vars_key(small.vars)
+    assert big.stats.num_indel_tests == small.stats.num_indel_tests
+    assert big.stats.num_snv_tests == small.stats.num_snv_tests
