@@ -80,6 +80,47 @@ def gen_cases():
             events.append((ekey, rows))
         cases.append(dict(mode=mode, flags=flags, key=key,
                           neq=neq, events=events))
+    # fuzz sweep (round 3): event-pool extremes matching the fused sparse
+    # attach — very deep single-event pools (max-depth-ranked columns),
+    # empty non-event pools with many events, all-q0 and all-q93 walls,
+    # maximal 16bp keys, MQ255-only pools
+    for _ in range(40):
+        mode = rng.randint(0, 1)
+        flags = rng.choice([0, 1, 3, 5, 7])
+        kind = rng.random()
+        key = rand_key(rng, 12, 16) if kind < 0.3 else rand_key(rng, 1, 6)
+        if kind < 0.5:
+            neq = []
+        else:
+            neq = [(rng.choice([0, 93]), rng.choice([255, 60]))
+                   for _ in range(rng.randint(0, 20))]
+        nev = rng.randint(1, 6)
+        events = []
+        keys = {key}
+        for _e in range(nev):
+            if rng.random() < 0.7:
+                ekey = key
+            else:
+                ekey = rand_key(rng, 1, 16)
+                while ekey in keys:
+                    ekey = rand_key(rng, 1, 16)
+                keys.add(ekey)
+            nq = rng.randint(30, 120) if rng.random() < 0.4 \
+                else rng.randint(1, 10)
+            wall = rng.random()
+            if wall < 0.25:
+                rows = [(0, 0, 255, -1) for _ in range(nq)]
+            elif wall < 0.5:
+                rows = [(93, 93, 60, 93) for _ in range(nq)]
+            else:
+                rows = [(rng.choice([0, 2, 20, 45, 93]),
+                         rng.choice([-1, 0, 2, 45, 93]),
+                         rng.choice([0, 13, 37, 60, 255]),
+                         rng.choice([-1, 0, 20, 50, 300, 2147483647]))
+                        for _ in range(nq)]
+            events.append((ekey, rows))
+        cases.append(dict(mode=mode, flags=flags, key=key,
+                          neq=neq, events=events))
     return cases
 
 

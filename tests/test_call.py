@@ -161,7 +161,7 @@ def test_indel_errprobs_bit_exact_vs_reference():
                         "indel_errprobs.json")
     with open(path) as fh:
         golden = json.load(fh)
-    assert len(golden) == 80
+    assert len(golden) == 120
     for entry in golden:
         c = entry["case"]
         conf = VarcallConf(
