@@ -57,6 +57,30 @@ def make_cases():
         bonf = float(rng.choice([1.0, 3.0, 999.0, 30000.0, 2.7e6]))
         sig = float(rng.choice([0.01, 0.05, 1.0]))
         add(probs, k, bonf, sig)
+    # fuzz sweep (round 3): the deep-coverage regimes of the end-to-end
+    # bench (N to 8000), K at the KMAX screening clip boundary (16/17),
+    # identical-prob pools (maximal eps-comparator ties), and LDBL-range
+    # underflow pressure from long runs of q93-like probs
+    for _ in range(36):
+        kind = rng.random()
+        if kind < 0.35:
+            n = int(rng.integers(3000, 8001))
+            probs = 10 ** (-rng.uniform(0.5, 9.3, n))
+            k = int(rng.choice([1, 2, 16, 17, 30]))
+        elif kind < 0.6:
+            n = int(rng.integers(50, 800))
+            probs = np.full(n, float(10 ** (-rng.uniform(0.5, 6.0))))
+            k = int(rng.integers(1, 12))
+        else:
+            n = int(rng.integers(500, 4000))
+            probs = np.full(n, 10 ** (-9.3))
+            hot = int(rng.integers(0, 8))
+            probs[:hot] = 10 ** (-rng.uniform(0.3, 2.0, hot))
+            k = int(rng.integers(1, 20))
+        k = min(k, n)
+        bonf = float(rng.choice([1.0, 3.0, 1.8e6, 1e10]))
+        sig = float(rng.choice([0.0001, 0.01, 0.05]))
+        add(probs, k, bonf, sig)
     return cases
 
 
