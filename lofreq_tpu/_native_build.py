@@ -33,9 +33,17 @@ def _tune_malloc():
     keep frees process-local: steady-state windows run ~2x faster wall and
     the kernel time collapses.  Peak RSS stays bounded by the largest
     window working set, which the grow-only arenas impose anyway.
-    LOFREQ_MALLOC_TUNE=0 restores glibc defaults."""
+
+    Caveats: the settings are process-global — an application embedding
+    this library keeps its peak heap for the process lifetime (set
+    LOFREQ_MALLOC_TUNE=0 to restore glibc defaults; documented in
+    README).  And they fully apply only to main-arena allocations: glibc
+    non-main (per-thread) arenas still mmap/munmap blocks larger than
+    the arena heap can grow, so the GB-scale window buffers are
+    deliberately allocated from the pipeline's single ingest thread."""
     global _malloc_tuned
-    if _malloc_tuned or os.environ.get("LOFREQ_MALLOC_TUNE", "1") in (
+    if _malloc_tuned or os.environ.get(
+            "LOFREQ_MALLOC_TUNE", "1").strip().lower() in (
             "0", "false", "no", "off"):
         _malloc_tuned = True
         return

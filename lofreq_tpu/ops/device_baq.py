@@ -45,53 +45,22 @@ def _tile_b() -> int:
     return TILE_B_CPU if jax.default_backend() == "cpu" else TILE_B
 
 
-_LINK_BW = None
-
-
 def link_bandwidth_mbs() -> float:
-    """Measured host->device bandwidth (MB/s), cached per process.
+    """Measured host->device bandwidth (MB/s), from the shared subprocess
+    probe (ops/probe.py — never parks a thread of THIS process inside the
+    device client; see the rationale there).
 
     Device BAQ ships ~200 B/read and returns ~100 B/read; on a thin
     tunneled link (tens of MB/s) that transfer costs more than the
     threaded C kernel computes in, so the auto-on default checks the link
     first.  A PCIe/ICI-attached chip measures GB/s and passes easily."""
-    global _LINK_BW
-    if _LINK_BW is not None:
-        return _LINK_BW
     import os
-    import time
 
-    override = os.environ.get("LOFREQ_TPU_LINK_MBS")
-    if override:
-        _LINK_BW = float(override)
-        return _LINK_BW
+    from .probe import probe_device
 
-    def probe(out):
-        try:
-            import jax
-
-            buf = np.zeros(8 << 20, np.uint8)  # 8 MB probe
-            d = jax.device_put(buf)
-            np.asarray(d[:1])  # warm the path
-            t0 = time.perf_counter()
-            d = jax.device_put(buf)
-            np.asarray(d[:1])
-            dt = time.perf_counter() - t0
-            out.append((buf.nbytes / (1 << 20)) / max(dt, 1e-6))
-        except Exception:
-            out.append(0.0)
-
-    # a sick/wedged device service must never hang `call`: probe on a
-    # daemon thread under a deadline, and treat a timeout as no usable
-    # link (the host engine is always correct)
-    import threading
-
-    out: list = []
-    th = threading.Thread(target=probe, args=(out,), daemon=True)
-    th.start()
-    th.join(float(os.environ.get("LOFREQ_TPU_LINK_PROBE_S", "20")))
-    _LINK_BW = out[0] if out else 0.0
-    return _LINK_BW
+    res = probe_device(
+        wait_s=float(os.environ.get("LOFREQ_TPU_LINK_PROBE_S", "20")))
+    return 0.0 if res is None else float(res["bw_mbs"])
 
 
 # below this, the C BAQ kernel on host threads beats shipping reads over

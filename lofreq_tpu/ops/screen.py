@@ -131,133 +131,48 @@ def device_screen_default(wait: bool = False) -> bool:
     the exact path unless --device-screen forces it).
 
     The screen ships ~128 B per tested column (top-S u8 log-quantized
-    err probs) and saves ~8 us/column of host pack+qsort CPU, so below
-    ~80 MB/s (plus per-RPC overhead) it costs more wall-clock than it
-    saves — measured on the 37 MB/s axon tunnel (with its ~29 ms/RPC
-    fixed cost): the host engine wins there, identical VCF either way."""
+    err probs); the gate threshold is calibrated for the *overlapped*
+    pipeline (screen RPCs run while the host ingests the next window, see
+    pipelines/call_pipeline.py), so only the per-window issue/fetch
+    latency that can't hide behind ingest counts against it.
+
+    The probe (jax import + backend discovery + an 8 MB transfer) runs in
+    a SUBPROCESS (ops/probe.py) so a sick device service can never hang
+    `call` and no thread of this process is ever parked inside the device
+    client (a daemon thread there aborts the interpreter at shutdown —
+    the round-2 rc=134).  While undecided the engine runs the host path,
+    which is always correct — column batches are independent, so later
+    batches switching to the screen changes nothing in the output.
+    wait=True (the parallel driver, before forking) blocks up to the
+    probe deadline so workers inherit a settled decision."""
     override = os.environ.get("LOFREQ_TPU_DEVICE_SCREEN")
     if override is not None:
         return override not in ("0", "false", "no", "off", "")
-    # The probe (jax import + backend discovery + an 8 MB transfer) can
-    # take tens of seconds on a tunneled chip and can block outright on a
-    # sick device service, so it runs ONCE on a daemon thread and the
-    # answer is cached.  While undecided the engine runs the host path,
-    # which is always correct — column batches are independent, so later
-    # batches switching to the screen changes nothing in the output.
-    # wait=True (used by the parallel driver before forking) blocks up to
-    # the probe deadline so workers inherit a settled decision.
-    global _SCREEN_DEFAULT, _PROBE
+    global _SCREEN_DEFAULT
     if _SCREEN_DEFAULT is not None:
         return _SCREEN_DEFAULT
-    cached = _gate_cache_read()
-    if cached is not None:
-        _SCREEN_DEFAULT = cached
-        return cached
-    import threading
+    from .probe import probe_device
 
-    pid = os.getpid()
-    if _PROBE is not None and _PROBE[0] != pid:
-        # forked worker inherited a probe thread that doesn't exist in
-        # this process: stay on the host path
-        _SCREEN_DEFAULT = False
-        return False
-    if _PROBE is None:
-
-        def decide(out):
-            try:
-                import jax
-
-                if jax.default_backend() == "cpu":
-                    out.append((False, None))
-                    return
-            except Exception:
-                out.append((False, None))
-                return
-            from .device_baq import link_bandwidth_mbs
-
-            bw = link_bandwidth_mbs()
-            on = bw >= MIN_SCREEN_LINK_MBS
-            # persist for sibling CLI processes (somatic/call-parallel
-            # spawn many): the probe costs tens of seconds per process on
-            # a tunneled chip.  Only accelerator-backed processes write,
-            # so CPU-pinned test runs never poison the cache.
-            _gate_cache_write(on)
-            out.append((on, bw))
-
-        out: list = []
-        th = threading.Thread(target=decide, args=(out,), daemon=True)
-        th.start()
-        _PROBE = (pid, th, out)
-    _, th, out = _PROBE
-    # wait=True callers (the parallel driver, before forking) bound their
-    # wait separately: a probe that needs longer than this is itself the
-    # signal of a thin/sick link, where the host engine is the right call
-    deadline = float(os.environ.get("LOFREQ_TPU_GATE_WAIT_S", "10")) \
-        if wait else 0.25
-    th.join(deadline)
-    if not out:
+    wait_s = float(os.environ.get("LOFREQ_TPU_GATE_WAIT_S", "60")) \
+        if wait else 0.0
+    res = probe_device(wait_s=wait_s)
+    if res is None:
         if wait:
-            log.info("device screen auto-off for this run: device probe "
-                     "still pending after %.0fs", deadline)
             _SCREEN_DEFAULT = False
-            return False
         return False            # undecided: host path for now
-    on, bw = out[0]
-    if not on and bw is not None:
+    on = (res["backend"] not in ("cpu", "none")
+          and res["bw_mbs"] >= MIN_SCREEN_LINK_MBS)
+    if not on and res["backend"] not in ("cpu", "none"):
         log.info(
             "device screen auto-off: host<->device link measured "
             "%.0f MB/s (< %.0f MB/s); the host path is faster on this "
-            "link (--device-screen forces it on)", bw,
+            "link (--device-screen forces it on)", res["bw_mbs"],
             MIN_SCREEN_LINK_MBS)
     _SCREEN_DEFAULT = on
     return on
 
 
 _SCREEN_DEFAULT = None
-_PROBE = None
-_GATE_TTL_S = 3600.0
-
-
-def _gate_cache_path():
-    import hashlib
-    import tempfile
-
-    key = hashlib.md5(
-        (os.environ.get("JAX_PLATFORMS", "") + ":"
-         + str(os.getuid())).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"lofreq_tpu_gate_{key}.json")
-
-
-def _gate_cache_read():
-    if os.environ.get("LOFREQ_TPU_GATE_CACHE", "1") == "0":
-        return None
-    try:
-        import json
-        import time
-
-        p = _gate_cache_path()
-        st = os.stat(p)
-        if time.time() - st.st_mtime > _GATE_TTL_S:
-            return None
-        with open(p) as fh:
-            return bool(json.load(fh)["screen_on"])
-    except Exception:
-        return None
-
-
-def _gate_cache_write(on: bool):
-    if os.environ.get("LOFREQ_TPU_GATE_CACHE", "1") == "0":
-        return
-    try:
-        import json
-
-        p = _gate_cache_path()
-        tmp = p + f".tmp{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump({"screen_on": bool(on)}, fh)
-        os.replace(tmp, p)
-    except Exception:
-        pass
 
 
 # below this the screen's per-column transfer + RPC overhead exceeds the
