@@ -164,6 +164,15 @@ typedef struct {
     int32_t use_sq;      /* compute per-read source qual */
     int32_t def_nm_q;
     int32_t sq_min_bq;   /* DEFAULT_MIN_BQ for count_cigar_ops */
+    /* count '='(CEQUAL) bases as matches in the source-qual op count?
+     * The reference's count_cigar_ops only handles CMATCH/CDIFF
+     * (samutils.c:481,489): a '=' op falls into the warn-only branch,
+     * contributing nothing (and desyncing qpos until the qpos==qlen
+     * assert aborts).  Default 0 = parity: '=' bases contribute no
+     * evidence (we still advance positions — reproducing the desync
+     * would corrupt every later op and then abort).  1 = opt-in fix:
+     * count '=' bases as matches like an M op would. */
+    int32_t sq_count_eq;
     int32_t tid;         /* -1 = all */
     int64_t reg_beg, reg_end; /* region filter; reg_end<=0 = none */
     /* sorted ignore positions for source_qual (-S vcf, this chrom);
@@ -325,6 +334,14 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
     for (int k = 0; k < r->n_cigar; k++) {
         int op = r->cigar[k] & 0xf, l = r->cigar[k] >> 4;
         if (op == OPM || op == OPEQ || op == OPX) {
+            if (op == OPEQ && !cf->sq_count_eq) {
+                /* reference parity: CEQUAL is unhandled by
+                 * count_cigar_ops (samutils.c:481-489 covers only
+                 * CMATCH/CDIFF) so '=' bases contribute no evidence */
+                tpos += l;
+                qpos += l;
+                continue;
+            }
             for (int j = 0; j < l; j++) {
                 char rb = (tpos + j < ref_len) ? ref[tpos + j] : 'N';
                 char qb = NT16_CHR[(r->seq4[(qpos + j) >> 1] >>

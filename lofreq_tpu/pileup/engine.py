@@ -56,6 +56,11 @@ class PileupConf:
     use_idaq: bool = True
     redo_idaq: bool = False
     use_sq: bool = False
+    # opt-in: count '='(CEQUAL) bases as matches in the source-qual op
+    # count.  Default False = reference parity: samutils.c:481-489 only
+    # handles CMATCH/CDIFF, so '=' bases contribute no evidence (see
+    # pileup/sourcequal.py:count_cigar_ops).
+    sq_count_eq: bool = False
     illumina13: bool = False
     bed = None
     collect_indels: bool = True

@@ -28,6 +28,7 @@ class _IngestConf(ctypes.Structure):
         ("ext_baq", ctypes.c_int32), ("use_idaq", ctypes.c_int32),
         ("redo_idaq", ctypes.c_int32), ("use_sq", ctypes.c_int32),
         ("def_nm_q", ctypes.c_int32), ("sq_min_bq", ctypes.c_int32),
+        ("sq_count_eq", ctypes.c_int32),
         ("tid", ctypes.c_int32), ("reg_beg", ctypes.c_int64),
         ("reg_end", ctypes.c_int64),
         ("ign_pos", ctypes.POINTER(ctypes.c_int64)),
@@ -93,6 +94,7 @@ def _conf_struct(conf: PileupConf, tid: int, beg, end,
         redo_idaq=1 if conf.redo_idaq else 0,
         use_sq=1 if conf.use_sq else 0,
         def_nm_q=conf.def_nm_q, sq_min_bq=D.DEFAULT_MIN_BQ,
+        sq_count_eq=1 if getattr(conf, "sq_count_eq", False) else 0,
         tid=tid, reg_beg=beg if beg is not None else 0,
         reg_end=end if end is not None else 0,
     )

@@ -27,7 +27,8 @@ def _sq_all_match() -> int:
     return _SQ_ALL_MATCH
 
 
-def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None):
+def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None,
+                    count_eq: bool = False):
     """Returns (err_quals list, num_non_matches) for one read.
 
     err_quals are phred ints per counted op, grouped by op category
@@ -35,6 +36,13 @@ def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None):
     category, plp.c:486-508, before its eps-comparator qsort); indels use
     INDEL_QUAL_DEFAULT.  ign_pos: set of 0-based reference positions to
     ignore (mismatches and indel anchors), from the -S ign-vcf list.
+
+    count_eq: the reference's count_cigar_ops handles only CMATCH/CDIFF
+    (samutils.c:481,489); a '='(CEQUAL) op lands in the warn-only branch
+    and contributes nothing (then desyncs qpos until assert-abort).
+    Default False = parity: '=' bases add no evidence (positions still
+    advance — reproducing the desync would corrupt every later op).
+    True = opt-in fix: count '=' bases as matches.
     """
     cat_quals = ([], [], [], [])  # MATCH, MISMATCH, INS, DEL
     nonmatch = 0
@@ -44,7 +52,10 @@ def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None):
     qual = read.qual
     refarr = np.frombuffer(ref, dtype=np.uint8)
     for op, l in read.cigar_ops():
-        if op in (CMATCH, CDIFF, CEQUAL):
+        if op == CEQUAL and not count_eq:
+            tpos += l
+            qpos += l
+        elif op in (CMATCH, CDIFF, CEQUAL):
             r = refarr[tpos : tpos + l]
             q = seq[qpos : qpos + l]
             bq = qual[qpos : qpos + l]
@@ -86,14 +97,16 @@ def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None):
 
 
 def compute_source_quals(reads, ref: bytes, def_nm_q: int,
-                         min_bq: int = D.DEFAULT_MIN_BQ, ign_pos=None):
+                         min_bq: int = D.DEFAULT_MIN_BQ, ign_pos=None,
+                         count_eq: bool = False):
     """Attach the 'sq' tag to each read (batched DP across reads)."""
     pend_idx = []
     pend_probs = []
     pend_k = []
     results = np.zeros(len(reads), dtype=np.int64)
     for i, r in enumerate(reads):
-        quals, nonmatch = count_cigar_ops(r, ref, min_bq, ign_pos)
+        quals, nonmatch = count_cigar_ops(r, ref, min_bq, ign_pos,
+                                          count_eq=count_eq)
         if len(quals) < 1:
             results[i] = 0  # -1 -> stored as 0 (plp.c:733-735)
             continue

@@ -422,7 +422,8 @@ def _prepare_chunk(chunk, ref, pconf: PileupConf, ign_pos):
             redo_baq=pconf.redo_baq, redo_idaq=pconf.redo_idaq,
         )
     if pconf.use_sq:
-        compute_source_quals(chunk, ref, pconf.def_nm_q, ign_pos=ign_pos)
+        compute_source_quals(chunk, ref, pconf.def_nm_q, ign_pos=ign_pos,
+                             count_eq=pconf.sq_count_eq)
     return chunk
 
 
