@@ -48,6 +48,7 @@ def main():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))))
     import __graft_entry__ as ge
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from lofreq_tpu.ops.device_call import build_sharded_column_call
 
     rows = []
@@ -57,7 +58,13 @@ def main():
         mesh = Mesh(np.array(jax.devices()[:n]), ("cols",))
         fn, _ = build_sharded_column_call(mesh=mesh, use_baq=True)
         B = b_per_dev * n
-        args = ge._example_batch(B=B, D=D)
+        # pre-place the batch with the mesh sharding: the timed section
+        # measures the sharded step (compute + psum), not host->device
+        # staging — production overlaps the staging with the next
+        # window's ingest (pipelines/call_pipeline.py)
+        sh = NamedSharding(mesh, P("cols"))
+        args = tuple(jax.device_put(a, sh)
+                     for a in ge._example_batch(B=B, D=D))
         out = fn(*args)  # compile + warm
         _ = int(out["num_tested"])
         times = []
