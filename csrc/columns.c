@@ -198,7 +198,9 @@ static void process_position(const colctx_t *cx, int64_t p, int64_t ci,
         /* light indel accounting (plp.c:1062-1192) */
         int iqv = cx->iq[r], dqv = cx->dq[r];
         if (iqv < cf->min_plp_idq || dqv < cf->min_plp_idq) {
-            if (cx->indel[r] != 0 || is_del)
+            /* refskips count too: htslib is_del covers N ops
+             * (plp.c:1062-1066 tests p->is_del) */
+            if (cx->indel[r] != 0 || is_del || is_skip)
                 nign++;
         } else if (cx->indel[r] > 0) {
             nins++;

@@ -587,12 +587,18 @@ static void expand_read(const expand_ctx_t *cx, int64_t i)
                 cx->o_ev_seq_start[nev] = evseq_off;
                 nev++;
             }
-            int64_t qpd = y > 0 ? y - 1 : 0;
+            /* htslib pileup: a deleted/refskip column's qpos is the
+             * NEXT query base (y does not advance through D/N) — where
+             * compile_plp_col reads BI/BD (plp.c:1024,1038); verified
+             * by test_plp_differential.  Tag strings have a NUL at
+             * [l_qseq], matching the reference when D ends the cigar. */
+            int64_t qpd = y;
+            int64_t qpb = y < r->l_qseq ? y : (r->l_qseq - 1);
             uint8_t fl = (op == OPD) ? (uint8_t)(1 | flbase)
                                      : (uint8_t)(2 | (strand ? 16 : 0));
             fill_iota64(cx->o_pos + row, l, x);
             memset(cx->o_nt4 + row, 4, l);
-            fill16(cx->o_bq + row, l, cx->quals[s0 + qpd]);
+            fill16(cx->o_bq + row, l, cx->quals[s0 + qpb]);
             fill16(cx->o_baq + row, l, -1);
             fill16(cx->o_mq + row, l, mq);
             fill32(cx->o_sq + row, l, sq);
@@ -1340,7 +1346,9 @@ static void fused_stripe(fusedctx_t *fx)
                     int dqv = ri->bd ? (int)ri->bd[defer_qp] - 33 : 0;
                     fused_indel_acct(fx, ci, iqv, dqv, 0, 0);
                 }
-                int64_t qpd = y > 0 ? y - 1 : 0;
+                /* qpos of del/refskip rows = next query base (see
+                 * expand_read above) */
+                int64_t qpd = y;
                 int iqv = ri->bi ? (int)ri->bi[qpd] - 33 : 0;
                 int dqv = ri->bd ? (int)ri->bd[qpd] - 33 : 0;
                 for (int64_t j = 0; j < l; j++) {
@@ -1353,8 +1361,10 @@ static void fused_stripe(fusedctx_t *fx)
                     fx->seen[p]++;
                     int64_t ci = fx->cols_before[p];
                     /* del/refskip rows: no base stats, only indel acct;
-                     * head/tail flags only count on base rows */
-                    fused_indel_acct(fx, ci, iqv, dqv, 0, is_d);
+                     * head/tail flags only count on base rows.  Both D
+                     * and N rows are is_del for the ignored-indel gate
+                     * (htslib is_del covers refskips, plp.c:1062) */
+                    fused_indel_acct(fx, ci, iqv, dqv, 0, 1);
                 }
                 x += l;
                 prev_aligned = 0;

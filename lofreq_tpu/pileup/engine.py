@@ -207,7 +207,11 @@ def expand_read(r: bamio.BamRead, conf: PileupConf, out: dict):
                 indel_rows[nrows - 1] = -l
                 events.append((nrows - 1, None, False))  # seq filled from ref
             segs_pos.append(np.arange(x, x + l, dtype=np.int64))
-            segs_qpos.append(np.full(l, y - 1, dtype=np.int64))
+            # htslib pileup: a deleted column's qpos is the NEXT query
+            # base (y does not advance through D), which is where
+            # compile_plp_col reads the BI/BD tags (plp.c:1024,1038);
+            # verified against the reference by test_plp_differential
+            segs_qpos.append(np.full(l, y, dtype=np.int64))
             segs_isdel.append(np.ones(l, dtype=bool))
             segs_isskip.append(np.zeros(l, dtype=bool))
             x += l
@@ -215,7 +219,7 @@ def expand_read(r: bamio.BamRead, conf: PileupConf, out: dict):
             prev_aligned = False
         elif op == CREF_SKIP:
             segs_pos.append(np.arange(x, x + l, dtype=np.int64))
-            segs_qpos.append(np.full(l, max(y - 1, 0), dtype=np.int64))
+            segs_qpos.append(np.full(l, y, dtype=np.int64))
             segs_isdel.append(np.zeros(l, dtype=bool))
             segs_isskip.append(np.ones(l, dtype=bool))
             x += l
@@ -359,22 +363,35 @@ def rows_from_reads(reads, conf: PileupConf, chrom_name=None) -> ReadRows:
         "daq", "has_ai", "has_ad", "event_id",
     )}
     out["events"] = []
-    # fast path: group simple single-M reads by length
+    # fast path: group simple single-M reads by length.  Row order must
+    # come out in ORIGINAL read order: the reference's per-column qual
+    # pools follow htslib's pileup-entry order (= BAM read order), which
+    # is observable through the eps-comparator qsort's near-tie handling
+    # downstream (plp_to_errprobs) — verified by test_plp_differential.
     simple: dict[int, list] = {}
     complex_reads = []
-    for r in reads:
+    for i, r in enumerate(reads):
         cig = r.cigar
         if len(cig) == 1 and (int(cig[0]) & 0xF) == CMATCH and len(r.seq):
-            simple.setdefault(len(r.seq), []).append(r)
+            simple.setdefault(len(r.seq), []).append((i, r))
         else:
-            complex_reads.append(r)
+            complex_reads.append((i, r))
+    ridx = []
     for L, group in simple.items():
-        _expand_simple_batch(group, conf, out)
-    for r in complex_reads:
+        _expand_simple_batch([r for _i, r in group], conf, out)
+        ridx.append(np.repeat([i for i, _r in group], L))
+    for i, r in complex_reads:
+        before = sum(a.shape[0] for a in out["pos"])
         expand_read(r, conf, out)
+        after = sum(a.shape[0] for a in out["pos"])
+        ridx.append(np.full(after - before, i, dtype=np.int64))
     if not out["pos"]:
         return ReadRows.empty()
     kw = {k: np.concatenate(v) for k, v in out.items() if k != "events"}
+    order = np.argsort(np.concatenate(ridx), kind="stable")
+    if not np.array_equal(order, np.arange(len(order))):
+        for k in kw:
+            kw[k] = kw[k][order]
     kw["events"] = out["events"]
     return ReadRows(**kw)
 
@@ -432,27 +449,39 @@ class ColumnBatch:
     ins_events: list  # [C] dict key->IndelEvent (insertion-ordered)
     del_events: list
     # per-column non-event indel quals, CSR layout: *_neq_start [C+1] slices
-    # into flat (q, mq, sq) arrays for reads without that indel type
+    # into flat (q, mq) arrays for reads without that indel type.  The sq
+    # pool is RAGGED vs q/mq: the reference appends source quals to the
+    # non-event pools only from opposite-type EVENT rows, never from
+    # non-indel rows (plp.c:1106,1160 vs 1173-1189) — and never reads
+    # them back (snpcaller.c:582-590 keeps sq=-1 for the non-event part).
+    # Kept bit-identical anyway, with its own CSR starts.
     ins_neq_start: np.ndarray
     ins_neq_q: np.ndarray
     ins_neq_mq: np.ndarray
     ins_neq_sq: np.ndarray
+    ins_neq_sq_start: np.ndarray
     del_neq_start: np.ndarray
     del_neq_q: np.ndarray
     del_neq_mq: np.ndarray
     del_neq_sq: np.ndarray
+    del_neq_sq_start: np.ndarray
     non_ins_fw_rv: np.ndarray  # [C, 2]
     non_del_fw_rv: np.ndarray
     has_indel_aqs: np.ndarray  # [C] bool
 
     def ins_neq_at(self, c):
-        """(quals, map_quals, source_quals) arrays of non-ins reads at col c."""
+        """(quals, map_quals, source_quals) arrays of non-ins reads at col
+        c.  NB source_quals is ragged vs the other two (see field note)."""
         lo, hi = self.ins_neq_start[c], self.ins_neq_start[c + 1]
-        return self.ins_neq_q[lo:hi], self.ins_neq_mq[lo:hi], self.ins_neq_sq[lo:hi]
+        slo, shi = self.ins_neq_sq_start[c], self.ins_neq_sq_start[c + 1]
+        return (self.ins_neq_q[lo:hi], self.ins_neq_mq[lo:hi],
+                self.ins_neq_sq[slo:shi])
 
     def del_neq_at(self, c):
         lo, hi = self.del_neq_start[c], self.del_neq_start[c + 1]
-        return self.del_neq_q[lo:hi], self.del_neq_mq[lo:hi], self.del_neq_sq[lo:hi]
+        slo, shi = self.del_neq_sq_start[c], self.del_neq_sq_start[c + 1]
+        return (self.del_neq_q[lo:hi], self.del_neq_mq[lo:hi],
+                self.del_neq_sq[slo:shi])
 
     def ins_neq_len(self, c):
         return int(self.ins_neq_start[c + 1] - self.ins_neq_start[c])
@@ -624,10 +653,12 @@ def compile_columns(
         ins_neq_q=np.zeros(0, dtype=np.int64),
         ins_neq_mq=np.zeros(0, dtype=np.int64),
         ins_neq_sq=np.zeros(0, dtype=np.int64),
+        ins_neq_sq_start=np.zeros(C + 1, dtype=np.int64),
         del_neq_start=np.zeros(C + 1, dtype=np.int64),
         del_neq_q=np.zeros(0, dtype=np.int64),
         del_neq_mq=np.zeros(0, dtype=np.int64),
         del_neq_sq=np.zeros(0, dtype=np.int64),
+        del_neq_sq_start=np.zeros(C + 1, dtype=np.int64),
         non_ins_fw_rv=np.zeros((C, 2), dtype=np.int64),
         non_del_fw_rv=np.zeros((C, 2), dtype=np.int64),
         has_indel_aqs=np.zeros(C, dtype=bool),
@@ -650,7 +681,10 @@ def _collect_indels(batch, rows, f, col_of_row, conf, ref,
     C = len(batch.positions)
     idq_ok = (f["iq"] >= conf.min_plp_idq) & (f["dq"] >= conf.min_plp_idq)
     if not counts_done:
-        has_indel_evt = (f["indel"] != 0) | f["is_del"]
+        # refskip rows count as ignorable indel events too: htslib sets
+        # is_del=1 for N ops, and the reference's gate tests p->is_del
+        # (plp.c:1062-1066) — verified by test_plp_differential
+        has_indel_evt = (f["indel"] != 0) | f["is_del"] | f["is_refskip"]
         ign = ~idq_ok & has_indel_evt
         np.add.at(batch.num_ign_indels, col_of_row[ign], 1)
 
@@ -676,8 +710,11 @@ def _collect_indels(batch, rows, f, col_of_row, conf, ref,
     np.add.at(batch.non_ins_fw_rv,
               (col_of_row[nins_src], f["strand"][nins_src].astype(np.int64)), 1)
 
-    # CSR pack of the non-event pools (sorted stably by column)
-    def pack(src_mask, qkey):
+    # CSR pack of the non-event pools (sorted stably by column).  The sq
+    # side pool only collects from opposite-type EVENT rows — the
+    # reference never appends sq for non-indel rows (plp.c:1106,1160 vs
+    # 1173-1189) and never reads the pool back; kept bit-identical.
+    def pack(src_mask, qkey, sq_mask):
         idx = np.nonzero(src_mask)[0]
         order = np.argsort(col_of_row[idx], kind="stable")
         idx = idx[order]
@@ -685,13 +722,21 @@ def _collect_indels(batch, rows, f, col_of_row, conf, ref,
         start = np.zeros(C + 1, dtype=np.int64)
         np.add.at(start, cols + 1, 1)
         start = np.cumsum(start)
+        sidx = np.nonzero(sq_mask)[0]
+        sidx = sidx[np.argsort(col_of_row[sidx], kind="stable")]
+        sstart = np.zeros(C + 1, dtype=np.int64)
+        np.add.at(sstart, col_of_row[sidx] + 1, 1)
+        sstart = np.cumsum(sstart)
         return (start, f[qkey][idx].astype(np.int64),
-                f["mq"][idx].astype(np.int64), f["sq"][idx].astype(np.int64))
+                f["mq"][idx].astype(np.int64),
+                f["sq"][sidx].astype(np.int64), sstart)
 
     (batch.del_neq_start, batch.del_neq_q, batch.del_neq_mq,
-     batch.del_neq_sq) = pack(ndel_src, "dq")
+     batch.del_neq_sq, batch.del_neq_sq_start) = pack(
+        ndel_src, "dq", is_ins_row)
     (batch.ins_neq_start, batch.ins_neq_q, batch.ins_neq_mq,
-     batch.ins_neq_sq) = pack(nins_src, "iq")
+     batch.ins_neq_sq, batch.ins_neq_sq_start) = pack(
+        nins_src, "iq", is_del_row)
 
     ev_cols = np.unique(col_of_row[is_ins_row | is_del_row]) \
         if np.any(is_ins_row | is_del_row) else np.zeros(0, dtype=np.int64)

@@ -213,8 +213,10 @@ def _batch_from_out(out, C, cons_indel, target) -> ColumnBatch:
         ins_events=[None] * C, del_events=[None] * C,
         ins_neq_start=np.zeros(C + 1, np.int64), ins_neq_q=z,
         ins_neq_mq=z, ins_neq_sq=z,
+        ins_neq_sq_start=np.zeros(C + 1, np.int64),
         del_neq_start=np.zeros(C + 1, np.int64), del_neq_q=z,
         del_neq_mq=z, del_neq_sq=z,
+        del_neq_sq_start=np.zeros(C + 1, np.int64),
         non_ins_fw_rv=np.zeros((C, 2), np.int64),
         non_del_fw_rv=np.zeros((C, 2), np.int64),
         has_indel_aqs=np.zeros(C, bool),

@@ -1,0 +1,58 @@
+#!/bin/bash
+# Regenerate tests/golden/plp_col.json: pileup-column differential golden
+# from the reference's own compile_plp_col (plp.c:797), linked unmodified
+# with fabricated bam1_t/bam_pileup1_t inputs (mini_hts).
+# Requires the reference checkout at /root/reference (read-only).
+set -euo pipefail
+cd "$(dirname "$0")"
+REF=/root/reference/src/lofreq
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+
+mkdir -p "$TMP/htslib"
+cat > "$TMP/htslib/bgzf.h" <<'HEOF'
+#ifndef STUB_BGZF_H
+#define STUB_BGZF_H
+#include <stdlib.h>
+#include <sys/types.h>
+#include "htslib/kstring.h"
+typedef struct BGZF BGZF;
+static BGZF *bgzf_open(const char *path, const char *mode) { abort(); }
+static int bgzf_close(BGZF *fp) { abort(); }
+static int bgzf_flush(BGZF *fp) { abort(); }
+static int bgzf_getline(BGZF *fp, int delim, kstring_t *str) { abort(); }
+static int64_t bgzf_seek(BGZF *fp, int64_t pos, int whence) { abort(); }
+static ssize_t bgzf_write(BGZF *fp, const void *data, size_t length)
+    { abort(); }
+#endif
+HEOF
+cat > "$TMP/htslib/kseq.h" <<'HEOF'
+/* vcf.c includes this but uses nothing from it */
+HEOF
+cat > "$TMP/htslib/tbx.h" <<'HEOF'
+#include <stdlib.h>
+typedef struct tbx_conf_t_ { int dummy; } tbx_conf_t;
+static const tbx_conf_t tbx_conf_vcf;
+static int tbx_index_build(const char *fn, int min_shift,
+                           const tbx_conf_t *conf) { abort(); }
+HEOF
+# bed_* live in bedidx.c (needs real htslib khash/kseq); plp.c's bed
+# paths are never taken by the oracle (conf.bed == NULL)
+cat > "$TMP/stubs.c" <<'HEOF'
+#include <stdlib.h>
+void *bed_read(const char *fn) { abort(); }
+void bed_destroy(void *h) { abort(); }
+int bed_overlap(const void *h, const char *c, int b, int e) { abort(); }
+HEOF
+
+gcc -std=gnu99 -O2 -o "$TMP/oracle_plp" oracle_plp.c \
+    "$REF/plp.c" "$REF/vcf.c" "$REF/samutils.c" "$REF/snpcaller.c" \
+    "$REF/bam_md_ext.c" "$REF/kprobaln_ext.c" \
+    "$REF/utils.c" "$REF/log.c" "$TMP/stubs.c" \
+    -Imini_hts -I"$TMP" -I/root/reference/src/uthash -I"$REF" -lm \
+    2> "$TMP/err" || { cat "$TMP/err"; exit 1; }
+
+python3 gen_plp_cases.py --emit-input > "$TMP/cases.txt"
+"$TMP/oracle_plp" < "$TMP/cases.txt" > "$TMP/golden.txt"
+python3 gen_plp_cases.py --pack "$TMP/golden.txt" ../golden/plp_col.json
+echo "wrote ../golden/plp_col.json"

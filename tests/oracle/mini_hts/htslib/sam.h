@@ -136,4 +136,111 @@ static void bam_aux_append(bam1_t *b, const char tag[2], char type,
     b->l_data += 3 + len;
 }
 
+/* ---- additions for compiling plp.c/samutils.c standalone ----
+ * Real helpers where the reference reads results (bam_aux2i, bam_endpos,
+ * bam_cigar2qlen, bam_pileup1_t layout); abort() stubs for the BAM-IO /
+ * pileup-iterator machinery the differential oracles never run (they
+ * fabricate records and pileup entries by hand). */
+
+static int64_t bam_aux2i(const uint8_t *s)
+{
+    switch (*s) {
+    case 'c': return *(int8_t *)(s + 1);
+    case 'C': return *(uint8_t *)(s + 1);
+    case 's': { int16_t v; memcpy(&v, s + 1, 2); return v; }
+    case 'S': { uint16_t v; memcpy(&v, s + 1, 2); return v; }
+    case 'i': { int32_t v; memcpy(&v, s + 1, 4); return v; }
+    case 'I': { uint32_t v; memcpy(&v, s + 1, 4); return v; }
+    default: return 0;
+    }
+}
+
+/* ops consuming reference: M D N = X ; ops consuming query: M I S = X */
+#define MINI_HTS_CONSUME_REF(op) \
+    ((op) == 0 || (op) == 2 || (op) == 3 || (op) == 7 || (op) == 8)
+#define MINI_HTS_CONSUME_QRY(op) \
+    ((op) == 0 || (op) == 1 || (op) == 4 || (op) == 7 || (op) == 8)
+
+static int64_t bam_endpos(const bam1_t *b)
+{
+    const uint32_t *cig = bam_get_cigar(b);
+    int64_t pos = b->core.pos;
+    for (int k = 0; k < b->core.n_cigar; k++) {
+        int op = cig[k] & BAM_CIGAR_MASK;
+        if (MINI_HTS_CONSUME_REF(op))
+            pos += cig[k] >> BAM_CIGAR_SHIFT;
+    }
+    return pos > b->core.pos ? pos : b->core.pos + 1;
+}
+
+static int64_t bam_cigar2qlen(int n_cigar, const uint32_t *cigar)
+{
+    int64_t l = 0;
+    for (int k = 0; k < n_cigar; k++)
+        if (MINI_HTS_CONSUME_QRY(cigar[k] & BAM_CIGAR_MASK))
+            l += cigar[k] >> BAM_CIGAR_SHIFT;
+    return l;
+}
+#define bam_calend(c, cigar) (bam_endpos_core_(c, cigar))
+static uint32_t bam_endpos_core_(const bam1_core_t *c,
+                                 const uint32_t *cigar)
+{
+    uint32_t pos = c->pos;
+    for (int k = 0; k < c->n_cigar; k++)
+        if (MINI_HTS_CONSUME_REF(cigar[k] & BAM_CIGAR_MASK))
+            pos += cigar[k] >> BAM_CIGAR_SHIFT;
+    return pos;
+}
+
+/* pileup entry: field set and semantics as documented in the SAM spec /
+ * samtools mpileup docs (qpos of deleted columns = next query base;
+ * indel set on the column preceding the event) */
+typedef struct {
+    bam1_t *b;
+    int32_t qpos;
+    int indel, level;
+    uint32_t is_del:1, is_head:1, is_tail:1, is_refskip:1, aux:28;
+} bam_pileup1_t;
+
+typedef struct { int32_t n_targets; char **target_name;
+                 uint32_t *target_len; } bam_hdr_t;
+typedef struct samFile_ samFile;
+typedef struct hts_idx_t_ hts_idx_t;
+typedef struct hts_itr_t_ { int tid; int64_t beg, end; } hts_itr_t;
+typedef struct bam_mplp_s_ *bam_mplp_t;
+typedef int (*bam_plp_auto_f)(void *data, bam1_t *b);
+
+#define MINI_HTS_ABORT_STUB { abort(); }
+static samFile *sam_open(const char *fn, const char *mode)
+    MINI_HTS_ABORT_STUB
+static int sam_close(samFile *fp) MINI_HTS_ABORT_STUB
+static int sam_read1(samFile *fp, bam_hdr_t *h, bam1_t *b)
+    MINI_HTS_ABORT_STUB
+static int sam_write1(samFile *fp, const bam_hdr_t *h, const bam1_t *b)
+    MINI_HTS_ABORT_STUB
+static bam_hdr_t *sam_hdr_read(samFile *fp) MINI_HTS_ABORT_STUB
+static int sam_hdr_write(samFile *fp, const bam_hdr_t *h)
+    MINI_HTS_ABORT_STUB
+static void bam_hdr_destroy(bam_hdr_t *h) MINI_HTS_ABORT_STUB
+static hts_idx_t *sam_index_load(samFile *fp, const char *fn)
+    MINI_HTS_ABORT_STUB
+static void hts_idx_destroy(hts_idx_t *idx) MINI_HTS_ABORT_STUB
+static hts_itr_t *sam_itr_querys(const hts_idx_t *idx, bam_hdr_t *h,
+                                 const char *region) MINI_HTS_ABORT_STUB
+static int sam_itr_next(samFile *fp, hts_itr_t *itr, bam1_t *b)
+    MINI_HTS_ABORT_STUB
+static void bam_itr_destroy(hts_itr_t *itr) MINI_HTS_ABORT_STUB
+static bam_mplp_t bam_mplp_init(int n, bam_plp_auto_f func, void **data)
+    MINI_HTS_ABORT_STUB
+static void bam_mplp_set_maxcnt(bam_mplp_t iter, int maxcnt)
+    MINI_HTS_ABORT_STUB
+static int bam_mplp_auto(bam_mplp_t iter, int *tid, int *pos, int *n_plp,
+                         const bam_pileup1_t **plp) MINI_HTS_ABORT_STUB
+static void bam_mplp_destroy(bam_mplp_t iter) MINI_HTS_ABORT_STUB
+static int bam_name2id(bam_hdr_t *h, const char *ref) MINI_HTS_ABORT_STUB
+static void bam_init_header_hash(bam_hdr_t *h) MINI_HTS_ABORT_STUB
+static void bam_destroy_header_hash(bam_hdr_t *h) MINI_HTS_ABORT_STUB
+static char *bam_format1_core(const bam_hdr_t *h, const bam1_t *b,
+                              int of) MINI_HTS_ABORT_STUB
+
 #endif
