@@ -361,12 +361,14 @@ static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
             tpos += l;
             qpos += l;
         } else if (op == OPI || op == OPD) {
-            /* ins keyed at tpos-1, del at tpos (samutils.c:540-556) */
+            /* ins keyed at tpos-1, del at tpos (samutils.c:540-556).
+             * Reference quirk: an ign-listed DELETION 'continue's
+             * WITHOUT advancing tpos (samutils.c:548-556), shifting
+             * every later ref comparison in the read — reproduced for
+             * bit-identity (test_source_qual_differential) */
             if (in_ign(cf, op == OPI ? tpos - 1 : tpos)) {
                 if (op == OPI)
                     qpos += l;
-                else
-                    tpos += l;
                 continue;
             }
             int q = (def_nm_q >= 0) ? def_nm_q : 45 /* INDEL_QUAL_DEFAULT */;

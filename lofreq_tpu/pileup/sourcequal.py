@@ -79,13 +79,19 @@ def count_cigar_ops(read, ref: bytes, min_bq: int, ign_pos=None,
             qpos += l
         elif op == CINS or op == CDEL:
             anchor = tpos - 1 if op == CINS else tpos
-            if not (ign_pos and anchor in ign_pos):
+            ignored = bool(ign_pos) and anchor in ign_pos
+            if not ignored:
                 cat_quals[2 if op == CINS else 3].append(
                     D.INDEL_QUAL_DEFAULT)
                 nonmatch += 1
             if op == CINS:
                 qpos += l
-            else:
+            elif not ignored:
+                # reference quirk: an ign-listed DELETION 'continue's
+                # without advancing tpos (samutils.c:546-556), so every
+                # later ref comparison in the read is shifted left by
+                # the deletion length — reproduced for bit-identity
+                # (verified by test_source_qual_differential)
                 tpos += l
         elif op == CREF_SKIP:
             tpos += l

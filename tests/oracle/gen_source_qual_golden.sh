@@ -1,8 +1,8 @@
 #!/bin/bash
-# Regenerate tests/golden/plp_col.json: pileup-column differential golden
-# from the reference's own compile_plp_col (plp.c:797), linked unmodified
-# with fabricated bam1_t/bam_pileup1_t inputs (mini_hts).
-# Requires the reference checkout at /root/reference (read-only).
+# Regenerate tests/golden/source_qual.json: per-read source-quality
+# differential golden from the reference's own source_qual
+# (plp.c:428-593) + count_cigar_ops (samutils.c:437-614), linked
+# unmodified.  Requires the reference checkout at /root/reference.
 set -euo pipefail
 cd "$(dirname "$0")"
 REF=/root/reference/src/lofreq
@@ -36,8 +36,6 @@ static const tbx_conf_t tbx_conf_vcf;
 static int tbx_index_build(const char *fn, int min_shift,
                            const tbx_conf_t *conf) { abort(); }
 HEOF
-# bed_* live in bedidx.c (needs real htslib khash/kseq); plp.c's bed
-# paths are never taken by the oracle (conf.bed == NULL)
 cat > "$TMP/stubs.c" <<'HEOF'
 #include <stdlib.h>
 void *bed_read(const char *fn) { abort(); }
@@ -45,14 +43,20 @@ void bed_destroy(void *h) { abort(); }
 int bed_overlap(const void *h, const char *c, int b, int e) { abort(); }
 HEOF
 
-gcc -std=gnu99 -O2 -DNDEBUG -o "$TMP/oracle_plp" oracle_plp.c \
+gcc -std=gnu99 -O2 -DNDEBUG -o "$TMP/oracle_source_qual" oracle_source_qual.c \
     "$REF/plp.c" "$REF/vcf.c" "$REF/samutils.c" "$REF/snpcaller.c" \
     "$REF/bam_md_ext.c" "$REF/kprobaln_ext.c" \
     "$REF/utils.c" "$REF/log.c" "$TMP/stubs.c" \
     -Imini_hts -I"$TMP" -I/root/reference/src/uthash -I"$REF" -lm \
     2> "$TMP/err" || { cat "$TMP/err"; exit 1; }
 
-python3 gen_plp_cases.py --emit-input > "$TMP/cases.txt"
-"$TMP/oracle_plp" < "$TMP/cases.txt" > "$TMP/golden.txt"
-python3 gen_plp_cases.py --pack "$TMP/golden.txt" ../golden/plp_col.json
-echo "wrote ../golden/plp_col.json"
+# one oracle invocation per case: the reference's ign-var hash is
+# load-once-per-process (see gen_source_qual_cases.py --emit-split)
+python3 gen_source_qual_cases.py --emit-split "$TMP/cases" > /dev/null
+: > "$TMP/golden.txt"
+for f in "$TMP"/cases/case*.txt; do
+    "$TMP/oracle_source_qual" < "$f" >> "$TMP/golden.txt"
+done
+python3 gen_source_qual_cases.py --pack "$TMP/golden.txt" \
+    ../golden/source_qual.json
+echo "wrote ../golden/source_qual.json"
