@@ -148,16 +148,21 @@ def main():
         spread = (f"median of {len(dev['walls'])}, "
                   f"min {GENOME / max(dev['walls']):.0f} / "
                   f"max {GENOME / min(dev['walls']):.0f} cols/s")
-        print(json.dumps({
+        result = json.dumps({
             "metric": "end_to_end_call_columns_per_sec",
             "value": round(cols_per_sec, 1),
             "unit": (f"cols/s, {GENOME//1000}kb@{DEPTH}x BAM->VCF, default "
                      f"call, {spread}; identical VCF vs single-core run; "
-                     "device stages auto-gate on measured link bandwidth; "
+                     "device stages auto-gate on measured link/throughput; "
                      f"vs_baseline = value / {denom}"),
             "vs_baseline": round(vs, 2),
-        }))
-    return 0
+        })
+    # tempdir is cleaned up; print and leave WITHOUT interpreter teardown:
+    # a deadline-abandoned remote-compile warm thread is non-daemon, and
+    # joining it at exit could stall the harness for minutes
+    print(result)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,24 @@ def link_bandwidth_mbs() -> float:
 # the link (C: ~120k reads/s/core; device path needs ~300 B/read moved)
 MIN_LINK_MBS = 200.0
 
+# measured-throughput floor (reads/s): after the first big batch the
+# runner knows its REAL rate — compute + RPC latency included, which the
+# bandwidth probe cannot see (a tunneled chip measures GB/s of bandwidth
+# yet executes this kernel at ~11k reads/s; PCIe/ICI v5e measures ~431k).
+# Below the floor the threaded C kernel (~28k reads/s/core) wins and the
+# runner goes sticky-off.  Override: LOFREQ_TPU_MIN_DEVICE_BAQ_RPS.
+MIN_DEVICE_BAQ_READS_PER_S = 100_000.0
+
+
+def _min_device_rps() -> float:
+    import os
+
+    try:
+        return float(os.environ.get("LOFREQ_TPU_MIN_DEVICE_BAQ_RPS",
+                                    MIN_DEVICE_BAQ_READS_PER_S))
+    except ValueError:
+        return MIN_DEVICE_BAQ_READS_PER_S
+
 
 def device_baq_worthwhile() -> bool:
     bw = link_bandwidth_mbs()
@@ -86,6 +104,9 @@ def _build_step(L: int, Lr_pad: int, W_pad: int, tile: int, ext: bool):
     query i8 [tile, L], qual u8 [tile, L], xbrel i32 [tile] (xb - window
     base), l_ref i32 [tile], diag0 i32 [tile] (pos - xb).
     Returns final BAQ u8 [tile, L] (0..93, ext-smoothed when ext)."""
+    from . import ensure_jax_cache
+
+    ensure_jax_cache()
     import jax
     import jax.numpy as jnp
 
@@ -118,14 +139,84 @@ def _build_step(L: int, Lr_pad: int, W_pad: int, tile: int, ext: bool):
     return step
 
 
+_RUNNERS: dict = {}
+_MEMO_TTL_S = 24 * 3600.0
+
+
+def _memo_path() -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5((os.environ.get("JAX_PLATFORMS", "") + ":"
+                       + str(os.getuid())).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(),
+                        f"lofreq_tpu_devbaq_{key}.json")
+
+
+def _memo_read():
+    import json
+    import os
+    import time
+
+    try:
+        p = _memo_path()
+        if time.time() - os.stat(p).st_mtime > _MEMO_TTL_S:
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
+
+
+def _memo_write(off: bool, reason: str, rate: float = 0.0) -> None:
+    import json
+    import os
+    import time
+
+    try:
+        p = _memo_path()
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(dict(off=off, reason=reason, rate=rate,
+                           ts=time.time()), fh)
+        os.replace(tmp, p)
+    except Exception:
+        pass
+
+
+def get_runner(ext_baq: bool = True) -> "DeviceBaqRunner":
+    """Process-wide runner cache: compiled step kernels (and the sticky
+    off-switch after a blown deadline) survive across run_call
+    invocations.  A fresh runner per call retried the multi-minute
+    remote compile EVERY run — 20s/100kb window of pure recompile on
+    the tunneled chip.
+
+    The on/off DECISION is also memoized machine-wide (TTL file like
+    ops/probe.py): the trial that discovers this backend is too slow —
+    a blown multi-minute remote compile, or a measured-rate miss — is
+    paid once per machine per day, not once per process."""
+    r = _RUNNERS.get(ext_baq)
+    if r is None:
+        r = _RUNNERS[ext_baq] = DeviceBaqRunner(ext_baq=ext_baq)
+        memo = _memo_read()
+        if memo is not None and memo.get("off"):
+            log.info("device BAQ off (memoized: %s)",
+                     memo.get("reason", "?"))
+            r._off = True
+    return r
+
+
 class DeviceBaqRunner:
     """Compiles per-(L, Lr, W) BAQ step kernels under a deadline;
-    sticky-off on compile failure.  One instance per call pipeline (the
-    pipeline's single prefetch worker drives it)."""
+    sticky-off on compile failure.  Use get_runner() — per-process
+    caching matters (see above); the pipeline's single prefetch worker
+    drives it."""
 
     def __init__(self, ext_baq: bool = True):
         self.ext_baq = ext_baq
         self._off = False
+        self._rated = False
         self._fns = {}
         self._tile = None
         self._q2p_dev = None
@@ -164,6 +255,7 @@ class DeviceBaqRunner:
         except _TO:
             log.warning("device BAQ: compile for L=%d blew the deadline; "
                         "falling back to the C kernel", L)
+            _memo_write(True, "compile blew the deadline")
         except Exception as e:
             log.warning("device BAQ: compile failed (%s); falling back to "
                         "the C kernel", e)
@@ -177,6 +269,34 @@ class DeviceBaqRunner:
         """codes/quals [N, L] uint8, pos/xb/xe [N] int64 (from
         lfq_extract_reads).  Returns final BAQ [N, L] uint8 (0..93) or
         None when the device path is unavailable."""
+        if self._off:
+            return None
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self._run_inner(ref, codes, quals, pos, xb, xe)
+        if out is not None and len(codes) >= 5000 and not self._rated:
+            # first big batch: measure the REAL end-to-end rate (compute
+            # + RPC latency, which the bandwidth gate can't see) and go
+            # sticky-off when the threaded C kernel would be faster.
+            # This window's result is still used (screening only).
+            self._rated = True
+            rate = len(codes) / max(_time.perf_counter() - t0, 1e-9)
+            floor = _min_device_rps()
+            if rate < floor:
+                log.info(
+                    "device BAQ auto-off: measured %.0f reads/s on this "
+                    "backend (< %.0f); the threaded C kernel is faster "
+                    "(LOFREQ_TPU_MIN_DEVICE_BAQ_RPS overrides)",
+                    rate, floor)
+                self._off = True
+                _memo_write(True, f"measured {rate:.0f} reads/s < "
+                            f"{floor:.0f}", rate)
+            else:
+                _memo_write(False, f"measured {rate:.0f} reads/s", rate)
+        return out
+
+    def _run_inner(self, ref: bytes, codes, quals, pos, xb, xe):
         if self._off:
             return None
         import jax.numpy as jnp
@@ -198,10 +318,10 @@ class DeviceBaqRunner:
             cut = np.searchsorted(xb, base + W_PAD - Lr, side="left")
             if cut == 0 or cut >= N:
                 return None
-            a = self.run(ref, codes[:cut], quals[:cut], pos[:cut],
-                         xb[:cut], xe[:cut])
-            b = self.run(ref, codes[cut:], quals[cut:], pos[cut:],
-                         xb[cut:], xe[cut:])
+            a = self._run_inner(ref, codes[:cut], quals[:cut], pos[:cut],
+                                xb[:cut], xe[:cut])
+            b = self._run_inner(ref, codes[cut:], quals[cut:], pos[cut:],
+                                xb[cut:], xe[cut:])
             if a is None or b is None:
                 return None
             return np.concatenate([a, b])

@@ -28,6 +28,9 @@ MQ0_ERRPROB = D.MQ0_ERRPROB
 
 
 def _jx():
+    from . import ensure_jax_cache
+
+    ensure_jax_cache()
     import jax
     import jax.numpy as jnp
 

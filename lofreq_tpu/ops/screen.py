@@ -33,13 +33,37 @@ log = logging.getLogger("lofreq_tpu")
 
 
 def _get_jax():
+    from . import ensure_jax_cache
+
+    ensure_jax_cache()
     import jax
     import jax.numpy as jnp
 
     return jax, jnp
 
 
-def _build_screen_fn(use_pallas=False):
+def _local_mesh():
+    """Mesh over all local devices ('cols' axis), or None single-device.
+
+    Production multi-chip: the screen's column batches are data-parallel
+    over every local device (SURVEY §2.3 'per-chip batches of pileup
+    columns'); bucketed batch sizes are powers of two >= 256, so they
+    divide any power-of-two device count."""
+    jax, _ = _get_jax()
+    devs = jax.devices()
+    n = len(devs)
+    if n <= 1:
+        return None
+    # largest power of two <= n: keeps bucketed batches divisible
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devs[:p]), ("cols",))
+
+
+def _build_screen_fn(use_pallas=False, mesh=None):
     jax, jnp = _get_jax()
 
     # u8 log-quantized err-prob decode table: code c decodes to
@@ -52,8 +76,8 @@ def _build_screen_fn(use_pallas=False):
     dec[:255] = np.exp2(-np.arange(255, dtype=np.float64) / 8.0
                         ).astype(np.float32)
 
-    @partial(jax.jit, static_argnames=("s", "kmax"))
-    def screen(codes, depths, ks, log_thresh, s=SCREEN_S, kmax=KMAX):
+    def screen_body(codes, depths, ks, log_thresh, s=SCREEN_S,
+                    kmax=KMAX):
         """codes [B, s] u8 log-quantized err probs (255 = padding/zero);
         depths [B]; ks [B] (>=1); log_thresh [B] = log(sig*MARGIN/bonf).
         Returns candidate mask [B] (True = needs exact confirmation).
@@ -73,6 +97,10 @@ def _build_screen_fn(use_pallas=False):
         in_depth = jnp.arange(s)[None, :] < depths[:, None]
         probs = jnp.asarray(dec)[codes.astype(jnp.int32)]
         p_all = jnp.where(in_depth, probs, 0.0)
+        # tie the scan carry to a batch-varying input so shard_map's
+        # varying-axis tracking accepts it (same trick as
+        # device_call.py's column step)
+        state0 = state0 + 0.0 * p_all[:, :1]
 
         if use_pallas:
             from .pallas_poissbin import tail_device
@@ -96,7 +124,37 @@ def _build_screen_fn(use_pallas=False):
         # is an upper bound there)
         return (tail_val < log_thresh) | (ks > kmax)
 
-    return screen
+    if mesh is None:
+        return partial(jax.jit, static_argnames=("s", "kmax"))(screen_body)
+
+    # multi-device: columns data-parallel over the mesh via shard_map
+    # (works for both the XLA scan and the pallas kernel — each shard
+    # runs the single-device program on its B/n slice; the mask is
+    # per-column, so there is no cross-device communication)
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def build(s=SCREEN_S, kmax=KMAX):
+        body = partial(screen_body, s=s, kmax=kmax)
+        sm = shard_map(body, mesh=mesh,
+                       in_specs=(P("cols"), P("cols"), P("cols"),
+                                 P("cols")),
+                       out_specs=P("cols"))
+        return jax.jit(sm)
+
+    cache = {}
+
+    def screen_sharded(codes, depths, ks, log_thresh, s=SCREEN_S,
+                       kmax=KMAX):
+        fn = cache.get((s, kmax))
+        if fn is None:
+            fn = cache[(s, kmax)] = build(s, kmax)
+        return fn(codes, depths, ks, log_thresh)
+
+    return screen_sharded
 
 
 def _bucket(n: int) -> int:
@@ -205,10 +263,12 @@ class _ScreenManager:
         if key in self._fns:
             return self._fns[key]
         _jax, jnp = _get_jax()
+        mesh = _local_mesh()
         modes = self._modes()
         while self._mode_rank < len(modes):
             mode = modes[self._mode_rank]
-            fn = _build_screen_fn(use_pallas=(mode == "pallas"))
+            fn = _build_screen_fn(use_pallas=(mode == "pallas"),
+                                  mesh=mesh)
 
             def _warm():
                 # dtypes MUST match screen_candidates' real call exactly:

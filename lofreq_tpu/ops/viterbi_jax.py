@@ -33,6 +33,9 @@ PD_M, PD_D = 0, 1  # "MD"
 
 @lru_cache(maxsize=32)
 def _build(L, Lr):
+    from . import ensure_jax_cache
+
+    ensure_jax_cache()
     import jax
     import jax.numpy as jnp
 

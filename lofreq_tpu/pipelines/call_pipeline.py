@@ -335,9 +335,9 @@ def run_call(
             screen_ctx = None
             if vconf.device_baq_on(pconf) and pconf.bed is None:
                 from ..defaults import BAQ_SCREEN_DELTA
-                from ..ops.device_baq import DeviceBaqRunner
+                from ..ops.device_baq import get_runner
 
-                device_baq = DeviceBaqRunner(ext_baq=pconf.ext_baq)
+                device_baq = get_runner(ext_baq=pconf.ext_baq)
                 vconf.baq_screen_bias = BAQ_SCREEN_DELTA
                 screen_ctx = []
             for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
