@@ -296,37 +296,72 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
         # (position, running bonf) and re-scored exactly later; nothing is
         # emitted here.
         CHUNK = 4096
-        for lo in range(0, n_test, CHUNK):
-            hi = min(lo + CHUNK, n_test)
-            cols = order_idx[lo:hi]
-            with stagetimer.stage("pack_sort"):
-                probs = pack_probs(ep["flat_probs"], ep["starts"],
-                                   ep["depths"], cols, sort=False)
-            cand = _screen_mask(
-                probs, ep["depths"][cols], ep["alt_counts"][cols],
-                running_bonf[lo:hi].astype(np.float64), conf)
-            for j in np.nonzero(cand)[0]:
-                screen_ctx.append((int(batch.positions[cols[j]]),
-                                   int(running_bonf[lo + j])))
+        # software-pipelined: chunk N+1's screen is DISPATCHED before
+        # chunk N's mask is fetched, so device compute + transfers hide
+        # behind the host-side pack of the next chunk (jax dispatch is
+        # asynchronous; only the fetch blocks)
+        pending = None  # (lo, hi, cols, probs, handle)
+        chunks = list(range(0, n_test, CHUNK)) + [None]
+        for lo in chunks:
+            nxt = None
+            if lo is not None:
+                hi = min(lo + CHUNK, n_test)
+                cols = order_idx[lo:hi]
+                with stagetimer.stage("pack_sort"):
+                    probs = pack_probs(ep["flat_probs"], ep["starts"],
+                                       ep["depths"], cols, sort=False)
+                with stagetimer.stage("screen"):
+                    h = _screen_dispatch(
+                        probs, ep["depths"][cols], ep["alt_counts"][cols],
+                        running_bonf[lo:hi].astype(np.float64), conf)
+                nxt = (lo, hi, cols, probs, h)
+            if pending is not None:
+                plo, phi, pcols, pprobs, ph = pending
+                with stagetimer.stage("screen"):
+                    cand = _screen_finish(
+                        ph, pprobs, ep["depths"][pcols],
+                        ep["alt_counts"][pcols],
+                        running_bonf[plo:phi].astype(np.float64), conf)
+                for j in np.nonzero(cand)[0]:
+                    screen_ctx.append((int(batch.positions[pcols[j]]),
+                                       int(running_bonf[plo + j])))
+            pending = nxt
         return
 
     pvalues = np.full((n_test, 3), PH.LDBL_MAX, dtype=np.longdouble)
     CHUNK = 4096
     # with the screen on, pack unsorted and sort only the rows that
     # survive screening (the screen is permutation invariant; the
-    # reference qsort is only observable through the exact DP)
+    # reference qsort is only observable through the exact DP).
+    # Software-pipelined like the screening pass above: chunk N+1's
+    # screen is in flight while chunk N runs its exact host DP.
     screen_on = conf.device_screen_on()
-    for lo in range(0, n_test, CHUNK):
-        hi = min(lo + CHUNK, n_test)
-        cols = order_idx[lo:hi]
-        with stagetimer.stage("pack_sort"):
-            probs = pack_probs(ep["flat_probs"], ep["starts"], ep["depths"],
-                               cols, sort=not screen_on)
-        pvalues[lo:hi] = _snpcaller_with_screen(
-            probs, ep["depths"][cols], ep["alt_counts"][cols],
-            running_bonf[lo:hi].astype(np.float64), conf,
-            presorted=not screen_on,
-        )
+    pending = None
+    chunks = list(range(0, n_test, CHUNK)) + [None]
+    for lo in chunks:
+        nxt = None
+        if lo is not None:
+            hi = min(lo + CHUNK, n_test)
+            cols = order_idx[lo:hi]
+            with stagetimer.stage("pack_sort"):
+                probs = pack_probs(ep["flat_probs"], ep["starts"],
+                                   ep["depths"], cols, sort=not screen_on)
+            h = None
+            if screen_on:
+                with stagetimer.stage("screen"):
+                    h = _screen_dispatch(
+                        probs, ep["depths"][cols], ep["alt_counts"][cols],
+                        running_bonf[lo:hi].astype(np.float64), conf)
+            nxt = (lo, hi, cols, probs, h)
+        if pending is not None:
+            plo, phi, pcols, pprobs, ph = pending
+            pvalues[plo:phi] = _snpcaller_with_screen(
+                pprobs, ep["depths"][pcols], ep["alt_counts"][pcols],
+                running_bonf[plo:phi].astype(np.float64), conf,
+                presorted=not screen_on, screen_handle=ph,
+                screen_dispatched=screen_on,
+            )
+        pending = nxt
 
     _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf)
 
@@ -360,8 +395,45 @@ def _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf):
             )
 
 
+def _screen_dispatch(probs, depths, alt_counts, bonf, conf: VarcallConf):
+    """Issue the device screen for a chunk (asynchronous; see
+    ops/screen.py:screen_dispatch).  None = screen off/unavailable."""
+    if not conf.device_screen_on():
+        return None
+    from ..ops.screen import screen_dispatch
+
+    ks = alt_counts.max(axis=1)
+    return screen_dispatch(probs, depths, ks, bonf, conf.sig)
+
+
+def _screen_finish(handle, probs, depths, alt_counts, bonf,
+                   conf: VarcallConf):
+    """Fetch a dispatched screen's mask and apply the host pre-filters
+    (the candidate filter of _snpcaller_with_screen without the exact
+    DP).  handle None = screen unavailable: every column with alt bases
+    stays a candidate."""
+    B = probs.shape[0]
+    ks = alt_counts.max(axis=1)
+    run_mask = ks > 0
+    if conf.approx_threshold_n > 0 and B:
+        from scipy.stats import poisson
+
+        deep = depths > conf.approx_threshold_n
+        if np.any(deep):
+            valid = probs <= 1.0
+            mu = np.where(valid, probs, 0.0).sum(axis=1)
+            approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
+            run_mask &= ~(deep & (approx * bonf > conf.sig))
+    if handle is not None:
+        from ..ops.screen import screen_fetch
+
+        run_mask = run_mask & screen_fetch(handle)
+    return run_mask
+
+
 def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf,
-                           presorted=True):
+                           presorted=True, screen_handle=None,
+                           screen_dispatched=False):
     """snpcaller over packed columns, with optional TPU pre-screen.
 
     The screen computes a conservative f32 estimate of the max-count tail
@@ -389,7 +461,16 @@ def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf,
             mu = np.where(valid, probs, 0.0).sum(axis=1)
             approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
             run_mask &= ~(deep & (approx * bonf > conf.sig))
-    if B and conf.device_screen_on():
+    if screen_dispatched:
+        # the pipelined caller already issued this chunk's screen; a
+        # None handle means the screen was unavailable (every column
+        # stays candidate)
+        if screen_handle is not None:
+            from ..ops.screen import screen_fetch
+
+            with stagetimer.stage("screen"):
+                run_mask = run_mask & screen_fetch(screen_handle)
+    elif B and conf.device_screen_on():
         from ..ops.screen import screen_candidates
 
         with stagetimer.stage("screen"):

@@ -239,15 +239,57 @@ _SCREEN_DEFAULT = None
 MIN_SCREEN_LINK_MBS = 80.0
 
 
+def _mode_memo_path() -> str:
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5((os.environ.get("JAX_PLATFORMS", "") + ":"
+                       + str(os.getuid())).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(),
+                        f"lofreq_tpu_screenmode_{key}.json")
+
+
+def _mode_memo_read() -> int:
+    import json
+    import time
+
+    try:
+        pth = _mode_memo_path()
+        if time.time() - os.stat(pth).st_mtime > 24 * 3600:
+            return 0
+        with open(pth) as fh:
+            return int(json.load(fh).get("rank", 0))
+    except Exception:
+        return 0
+
+
+def _mode_memo_write(rank: int) -> None:
+    import json
+
+    if os.environ.get("LOFREQ_TPU_GATE_CACHE", "1") == "0":
+        return
+    try:
+        pth = _mode_memo_path()
+        tmp = pth + f".tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(dict(rank=rank), fh)
+        os.replace(tmp, pth)
+    except Exception:
+        pass
+
+
 class _ScreenManager:
     """Compiles screens per (B, s) bucket under a deadline, degrading
     pallas -> xla -> off on stalls.  Compiled fns are cached; `off` is
     process-wide sticky (every column then takes the exact host path,
-    which is always correct — the screen is an optimization)."""
+    which is always correct — the screen is an optimization).  The
+    degrade RANK is memoized machine-wide (TTL file): a pallas compile
+    that blows the multi-minute deadline is tried once per machine per
+    day, not once per process."""
 
     def __init__(self):
         self._fns = {}  # (B, s) -> jitted fn
-        self._mode_rank = 0  # index into modes; 2 = off
+        self._mode_rank = None  # resolved lazily (index into modes)
 
     def _modes(self):
         import jax
@@ -265,6 +307,15 @@ class _ScreenManager:
         _jax, jnp = _get_jax()
         mesh = _local_mesh()
         modes = self._modes()
+        if self._mode_rank is None:
+            # the memoized degrade rank only transfers between processes
+            # with the same mode ladder (accelerator backends); the cpu
+            # test ladder is a different list, and tests pin the gate
+            # cache off anyway
+            self._mode_rank = (_mode_memo_read()
+                               if len(modes) > 1 and os.environ.get(
+                                   "LOFREQ_TPU_GATE_CACHE", "1") != "0"
+                               else 0)
         while self._mode_rank < len(modes):
             mode = modes[self._mode_rank]
             fn = _build_screen_fn(use_pallas=(mode == "pallas"),
@@ -294,11 +345,13 @@ class _ScreenManager:
                     "%ds deadline; degrading", mode, B, s,
                     int(compile_deadline()))
                 self._mode_rank += 1
+                _mode_memo_write(self._mode_rank)
             except Exception as e:
                 log.warning(
                     "device screen: %s compile failed (%s); degrading",
                     mode, e)
                 self._mode_rank += 1
+                _mode_memo_write(self._mode_rank)
             finally:
                 ex.shutdown(wait=False)
         self._fns[key] = None
@@ -308,9 +361,15 @@ class _ScreenManager:
 _manager = _ScreenManager()
 
 
-def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
-    """Host wrapper: probs [B, D] float64 (padded with 2.0, any order — the
-    DP is permutation invariant); returns boolean candidate mask.
+def screen_dispatch(probs, depths, ks, bonf, sig):
+    """Pack + quantize + ISSUE the device screen for one chunk; returns
+    an opaque handle for screen_fetch, or None (screen unavailable —
+    treat every column as candidate).
+
+    JAX dispatch is asynchronous: the returned mask is a device array
+    whose transfer/compute overlaps whatever the host does next — the
+    call pipeline issues chunk N+1's screen before fetching chunk N's
+    (call_snvs_batch), so device latency hides behind the exact DP.
 
     Deep columns are screened from their TOP-S largest err probs only:
     the Poisson-binomial tail over ANY subset of a column's reads is a
@@ -318,11 +377,10 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
     the threshold proves insignificance — and the largest probs carry
     virtually all of the tail mass, so the bound stays sharp.  This keeps
     the host->device transfer at S u8 codes per column regardless of
-    depth (full-depth [B, 2048] f32 tiles were the dominant cost on thin
-    links; the codes are log-quantized with conservative rounding, see
-    _build_screen_fn).  B and S are padded to buckets so jit compiles are bounded;
-    if compilation blows the deadline the screen degrades and every
-    column is marked candidate."""
+    depth; the codes are log-quantized with conservative rounding (see
+    _build_screen_fn).  B and S are padded to buckets so jit compiles
+    are bounded; if compilation blows the deadline the screen degrades
+    and every column is marked candidate."""
     _jax, jnp = _get_jax()
     B, D = probs.shape
     s = min(_bucket(D), TOP_S)
@@ -334,7 +392,7 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
         Bp = max(Bp, 4096)
     fn = _manager.get(Bp, s)
     if fn is None:
-        return np.ones(B, dtype=bool)
+        return None
     prefix = np.full((Bp, s), 2.0, dtype=np.float64)
     depths_p = np.zeros(Bp, dtype=np.int32)
     if D > s:
@@ -367,4 +425,18 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
         jnp.asarray(codes), jnp.asarray(depths_p), jnp.asarray(ks_p),
         jnp.asarray(log_thresh), s=s,
     )
+    return (mask, B)
+
+
+def screen_fetch(handle) -> np.ndarray:
+    """Blocking fetch of a screen_dispatch handle's candidate mask."""
+    mask, B = handle
     return np.asarray(mask)[:B]
+
+
+def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
+    """Synchronous wrapper: dispatch + fetch in one call."""
+    handle = screen_dispatch(probs, depths, ks, bonf, sig)
+    if handle is None:
+        return np.ones(probs.shape[0], dtype=bool)
+    return screen_fetch(handle)
