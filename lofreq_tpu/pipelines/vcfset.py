@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from ..io.vcf import Var, VcfReader, VcfWriter, add_header_line
+from ..io.vcf import Var, VcfReader, VcfWriter
 
 
 class _TabixVar2:
@@ -97,13 +97,11 @@ def run_vcfset(
     for in_idx, path in enumerate(inputs):
         with VcfReader(path) as r1:
             if writer is None and not count_only:
-                header = r1.header
-                if add_info == "SOMATIC":
-                    header = add_header_line(
-                        header,
-                        '##INFO=<ID=SOMATIC,Number=0,Type=Flag,'
-                        'Description="Somatic event">\n')
-                writer = VcfWriter(out_path, header)
+                # NB the reference's vcfset does NOT register an ##INFO
+                # header for -I values (the SOMATIC declaration comes
+                # from lofreq_uniq.c:658 where the tag originates);
+                # verified by test_vcfset_differential
+                writer = VcfWriter(out_path, r1.header)
             for v1 in r1:
                 if only_snvs and v1.is_indel():
                     continue
