@@ -21,9 +21,14 @@ def _var_span(v: Var):
 
 
 def _qual_key(v: Var) -> float:
-    q = INT_MAX if v.qual == -1 else v.qual
+    # missing quals are bare MAX_INT — the reference adds the AF
+    # tiebreak only for numeric quals (lofreq2_indel_ovlp.py:47-53), so
+    # '.'-qual ties resolve by input order, not AF; verified by
+    # test_tools_differential
+    if v.qual == -1:
+        return float(INT_MAX)
     found, af = v.info_value("AF")
-    return q + (float(af) if found and af else 0.0)
+    return v.qual + (float(af) if found and af else 0.0)
 
 
 def indel_ovlp(vcf_in, vcf_out="-"):
