@@ -27,6 +27,11 @@ def ensure_jax_cache() -> None:
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            # CPU compiles are fast and XLA:CPU AOT cache entries warn
+            # (and can SIGILL) on machine-feature drift; the cache only
+            # pays for itself on remote/tunneled accelerator backends
+            return
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
