@@ -364,7 +364,7 @@ def cmd_viterbi(args) -> int:
     if args.out != "-" and os.path.exists(args.out):
         return _err(f"Cowardly refusing to overwrite file '{args.out}'")
     run_viterbi(args.bam, args.out, args.ref, q2default=args.defqual,
-                del_flags=not args.keepflags)
+                del_flags=not args.keepflags, reclip=args.reclip)
     return 0
 
 
@@ -497,6 +497,7 @@ def build_parser():
     p.add_argument("-o", "--out", default="-")
     p.add_argument("-q", "--defqual", type=int, default=-1)
     p.add_argument("-k", "--keepflags", action="store_true")
+    p.add_argument("-r", "--reclip", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("bam")
 

@@ -132,7 +132,9 @@ def realign_prep(r, ref: bytes, q2default: int = -1):
     phreds = np.frombuffer(bqual, dtype=np.uint8).astype(np.int64) - 33
     non_q2 = phreds[phreds != 2]
     if len(non_q2) == 0:
-        return None  # all Q2: write as-is (lofreq_viterbi.c:220-242)
+        # all Q2: written unrealigned (lofreq_viterbi.c:220-242); with
+        # --reclip the ORIGINAL cigar's edge inserts become soft clips
+        return "allq2"
     q2d = q2default
     if q2d < 0:
         vals = np.sort(non_q2)
@@ -147,18 +149,35 @@ def realign_prep(r, ref: bytes, q2default: int = -1):
     return query, bqual, q2d, ref[lower:upper], lower
 
 
-def realign_read(r, ref: bytes, q2default: int = -1):
+def realign_read(r, ref: bytes, q2default: int = -1, reclip: bool = False):
     """Realign one read in place.  Returns True if the read was modified
     (or examined); False if passed through untouched (no indels/hardclip)."""
     prep = realign_prep(r, ref, q2default)
     if prep is None:
         return False
+    if prep == "allq2":
+        if reclip:
+            reclip_edge_inserts(r)
+        return False
     query, bqual, q2d, ref_win, lower = prep
     shift, aln = viterbi_align(ref_win, query, bqual, q2d)
-    return realign_apply(r, shift, aln, lower)
+    return realign_apply(r, shift, aln, lower, reclip=reclip)
 
 
-def realign_apply(r, shift, aln, lower):
+def reclip_edge_inserts(r):
+    """--reclip: convert a leading/trailing INSERT op to a soft clip
+    in place (lofreq_viterbi.c:222-239, 327-343)."""
+    cig = r.cigar
+    if len(cig) == 0:
+        return
+    if (int(cig[0]) & 0xF) == CINS:
+        cig[0] = (int(cig[0]) & ~np.uint32(0xF)) | CSOFT_CLIP
+    if (int(cig[-1]) & 0xF) == CINS:
+        cig[-1] = (int(cig[-1]) & ~np.uint32(0xF)) | CSOFT_CLIP
+    r.cigar = cig
+
+
+def realign_apply(r, shift, aln, lower, reclip: bool = False):
     """Apply a realignment result (cigar rebuild + position shift)."""
     if not aln:
         return False
@@ -183,12 +202,19 @@ def realign_apply(r, shift, aln, lower):
 
     if shift - (r.pos - lower) != 0:
         r.pos = r.pos + (shift - (r.pos - lower))
+    if reclip:
+        # edge inserts of the REALIGNED cigar become soft clips
+        # (lofreq_viterbi.c:327-343)
+        if (new_cigar[0] & 0xF) == CINS:
+            new_cigar[0] = (new_cigar[0] & ~0xF) | CSOFT_CLIP
+        if (new_cigar[-1] & 0xF) == CINS:
+            new_cigar[-1] = (new_cigar[-1] & ~0xF) | CSOFT_CLIP
     r.cigar = np.array(new_cigar, dtype=np.uint32)
     return True
 
 
 def run_viterbi(bam_in, bam_out, ref_path, q2default: int = -1,
-                del_flags: bool = True):
+                del_flags: bool = True, reclip: bool = False):
     """`lofreq viterbi` over a whole BAM (output order = input order,
     likely unsorted afterwards, as in the reference).
 
@@ -217,7 +243,8 @@ def run_viterbi(bam_in, bam_out, ref_path, q2default: int = -1,
         nonlocal pending, n_dp, n_realigned
         groups = {}
         for j, ent in enumerate(pending):
-            if ent[0] == "dp" and ent[2] is not None:
+            if ent[0] == "dp" and ent[2] is not None \
+                    and ent[2] != "allq2":
                 p = ent[2]
                 groups.setdefault((len(p[0]), len(p[3])), []).append(j)
         results = {}
@@ -245,9 +272,12 @@ def run_viterbi(bam_in, bam_out, ref_path, q2default: int = -1,
                 wtr.write_raw(ent[1])
                 continue
             _, r, prep = ent
-            if prep is not None:
+            if prep == "allq2":
+                if reclip:
+                    reclip_edge_inserts(r)
+            elif prep is not None:
                 shift, aln = results[j]
-                if realign_apply(r, shift, aln, prep[4]):
+                if realign_apply(r, shift, aln, prep[4], reclip=reclip):
                     n_realigned += 1
             wtr.write(r)
         pending = []

@@ -73,6 +73,10 @@ static void seq_nt16_table_init(void)
 #define seq_nt16_table \
     (seq_nt16_table_init(), seq_nt16_table_storage)
 
+/* htslib exposes this as a macro; real htslib's own definition */
+#define kroundup32(x) (--(x), (x)|=(x)>>1, (x)|=(x)>>2, (x)|=(x)>>4, \
+                       (x)|=(x)>>8, (x)|=(x)>>16, ++(x))
+
 #define bam_get_qname(b) ((char *)(b)->data)
 #define bam_get_cigar(b) \
     ((uint32_t *)((b)->data + (b)->core.l_qname))
@@ -210,7 +214,27 @@ typedef struct hts_itr_t_ { int tid; int64_t beg, end; } hts_itr_t;
 typedef struct bam_mplp_s_ *bam_mplp_t;
 typedef int (*bam_plp_auto_f)(void *data, bam1_t *b);
 
+#ifdef MINI_HTS_NO_IO_STUBS
+/* the oracle provides real shim implementations (extern) */
+samFile *sam_open(const char *fn, const char *mode);
+int sam_close(samFile *fp);
+int sam_read1(samFile *fp, bam_hdr_t *h, bam1_t *b);
+int sam_write1(samFile *fp, const bam_hdr_t *h, const bam1_t *b);
+bam_hdr_t *sam_hdr_read(samFile *fp);
+int sam_hdr_write(samFile *fp, const bam_hdr_t *h);
+void bam_hdr_destroy(bam_hdr_t *h);
+bam1_t *bam_init1(void);
+void bam_destroy1(bam1_t *b);
+#else
 #define MINI_HTS_ABORT_STUB { abort(); }
+static bam1_t *bam_init1(void)
+{
+    return (bam1_t *)calloc(1, sizeof(bam1_t));
+}
+static void bam_destroy1(bam1_t *b)
+{
+    if (b) { free(b->data); free(b); }
+}
 static samFile *sam_open(const char *fn, const char *mode)
     MINI_HTS_ABORT_STUB
 static int sam_close(samFile *fp) MINI_HTS_ABORT_STUB
@@ -242,5 +266,6 @@ static void bam_init_header_hash(bam_hdr_t *h) MINI_HTS_ABORT_STUB
 static void bam_destroy_header_hash(bam_hdr_t *h) MINI_HTS_ABORT_STUB
 static char *bam_format1_core(const bam_hdr_t *h, const bam1_t *b,
                               int of) MINI_HTS_ABORT_STUB
+#endif /* MINI_HTS_NO_IO_STUBS */
 
 #endif
