@@ -52,6 +52,62 @@ def _single_pos_column(bam: BamReader, fa, chrom, pos, pconf: PileupConf):
     return compile_columns(rows, pconf, ref, chrom)
 
 
+def uniq_test_var(col_batch, var, uni_freq: float,
+                  use_det_lim: bool) -> None:
+    """The per-variant uniq test (uniq_snv, lofreq_uniq.c:222-397):
+    annotates `var` in place with UNIQ (detection-limit mode) or
+    UQ=<phred> (binomial mode).  Differentially tested against the
+    reference's own uniq_snv in test_uniq_differential.py."""
+    c = 0
+    is_indel = var.is_indel()
+    coverage = int(col_batch.coverage_plp[c])
+    if is_indel:
+        coverage -= int(col_batch.num_tails[c])
+    if coverage < 1:
+        return
+
+    if uni_freq <= 0.0:
+        found, af_s = var.info_value("AF")
+        if not found or af_s is None:
+            raise ValueError("Couldn't parse AF from variant")
+        af = np.float32(float(af_s))
+        af = float(np.clip(af, 0.01 if af < 0 else af, 1.0))
+    else:
+        af = uni_freq
+
+    if use_det_lim:
+        from ..call.caller import snv_errprobs_for_batch
+
+        vconf = VarcallConf()
+        ep = snv_errprobs_for_batch(col_batch, vconf)
+        nep = int(ep["depths"][c])
+        # NO sort: lofreq_uniq.c:299-311 feeds plp_to_errprobs output
+        # (nt4-grouped, unsorted) straight to snpcaller
+        probs = ep["flat_probs"][:nep][None, :].astype(np.float64)
+        counts = np.array([[int(af * nep), 0, 0]])
+        if counts[0, 0] > 0 and nep:
+            pv = snpcaller_batch(probs, np.array([nep]), counts, 1.0, 0.01)
+            if pv[0, 0] * 1.0 < 0.01:
+                var.add_info("UNIQ")
+        return
+
+    # binomial test path
+    if is_indel:
+        if len(var.ref) > len(var.alt):  # deletion
+            key = var.ref[1:]
+            ev = (col_batch.del_events[c] or {}).get(key)
+        else:
+            key = var.alt[1:]
+            ev = (col_batch.ins_events[c] or {}).get(key)
+        alt_count = ev.count if ev else 0
+    else:
+        b = "ACGTN".index(var.alt[0]) if var.alt[0] in "ACGTN" else 4
+        alt_count = int(col_batch.fw_counts[c, b]
+                        + col_batch.rv_counts[c, b])
+    pvalue, _q = binom_cdf_sf(coverage, alt_count, af)
+    var.add_info(f"UQ={prob_to_phred_safe(pvalue)}")
+
+
 def run_uniq(
     bam_path,
     ref_path,
@@ -112,53 +168,7 @@ def run_uniq(
         col_batch = _single_pos_column(bam, fa, var.chrom, var.pos, pconf)
         if col_batch is None:
             continue
-        c = 0
-        is_indel = var.is_indel()
-        coverage = int(col_batch.coverage_plp[c])
-        if is_indel:
-            coverage -= int(col_batch.num_tails[c])
-        if coverage < 1:
-            continue
-
-        if uni_freq <= 0.0:
-            found, af_s = var.info_value("AF")
-            if not found or af_s is None:
-                raise ValueError("Couldn't parse AF from variant")
-            af = np.float32(float(af_s))
-            af = float(np.clip(af, 0.01 if af < 0 else af, 1.0))
-        else:
-            af = uni_freq
-
-        if use_det_lim:
-            from ..call.caller import snv_errprobs_for_batch
-
-            vconf = VarcallConf()
-            ep = snv_errprobs_for_batch(col_batch, vconf)
-            nep = int(ep["depths"][c])
-            # NO sort: lofreq_uniq.c:299-311 feeds plp_to_errprobs output
-            # (nt4-grouped, unsorted) straight to snpcaller
-            probs = ep["flat_probs"][:nep][None, :].astype(np.float64)
-            counts = np.array([[int(af * nep), 0, 0]])
-            if counts[0, 0] > 0 and nep:
-                pv = snpcaller_batch(probs, np.array([nep]), counts, 1.0, 0.01)
-                if pv[0, 0] * 1.0 < 0.01:
-                    var.add_info("UNIQ")
-            continue
-
-        # binomial test path
-        if is_indel:
-            if len(var.ref) > len(var.alt):  # deletion
-                key = var.ref[1:]
-                ev = (col_batch.del_events[c] or {}).get(key)
-            else:
-                key = var.alt[1:]
-                ev = (col_batch.ins_events[c] or {}).get(key)
-            alt_count = ev.count if ev else 0
-        else:
-            b = "ACGTN".index(var.alt[0]) if var.alt[0] in "ACGTN" else 4
-            alt_count = int(col_batch.fw_counts[c, b] + col_batch.rv_counts[c, b])
-        pvalue, _q = binom_cdf_sf(coverage, alt_count, af)
-        var.add_info(f"UQ={prob_to_phred_safe(pvalue)}")
+        uniq_test_var(col_batch, var, uni_freq, use_det_lim)
 
     bam.close()
 
