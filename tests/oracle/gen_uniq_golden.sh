@@ -44,7 +44,7 @@ HEOF
 gcc -std=gnu99 -O2 -DNDEBUG -o "$TMP/oracle_uniq" oracle_uniq.c \
     "$REF/lofreq_uniq.c" "$REF/plp.c" "$REF/vcf.c" "$REF/samutils.c" \
     "$REF/snpcaller.c" "$REF/bam_md_ext.c" "$REF/kprobaln_ext.c" \
-    "$REF/binom.c" /root/reference/src/cdflib90/dcdflib.c \
+    "$REF/binom.c" "$REF/multtest.c" /root/reference/src/cdflib90/dcdflib.c \
     /root/reference/src/cdflib90/ipmpar.c \
     "$REF/utils.c" "$REF/log.c" "$TMP/stubs.c" \
     -Imini_hts -I"$TMP" -I/root/reference/src/uthash \
