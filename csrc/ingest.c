@@ -233,10 +233,15 @@ static int read_kept(const rec_t *r, const ingest_conf_t *c)
         return 0;
     if (r->flag & (XFUNMAP | XFSECONDARY | XFQCFAIL | XFDUP))
         return 0;
-    if (r->mapq < c->min_mq)
-        return 0;
-    if (c->no_orphan && (r->flag & XFPAIRED) && !(r->flag & XFPROPER))
-        return 0;
+    /* plp.c:707-720 is an else-if chain: a read whose MQ exceeds the
+     * cap is capped and accepted — it bypasses BOTH the min-mq skip
+     * and the orphan skip */
+    if (r->mapq <= c->max_mq) {
+        if (r->mapq < c->min_mq)
+            return 0;
+        if (c->no_orphan && (r->flag & XFPAIRED) && !(r->flag & XFPROPER))
+            return 0;
+    }
     if (c->tid >= 0 && r->tid != c->tid)
         return 0;
     return 1;

@@ -58,6 +58,12 @@ class VarcallConf:
     use_device_baq: bool | None = None
     baq_screen_bias: int = 0
 
+    def __post_init__(self):
+        # the reference stores sig as a C float (snpcaller.h:53), so every
+        # downstream pv*bonf < sig comparison and the auto-filter threshold
+        # derivation (lofreq_call.c:1524-1537) see the float32-rounded value
+        self.sig = float(np.float32(self.sig))
+
     def device_screen_on(self) -> bool:
         if self.use_device_screen is None:
             from ..ops.screen import device_screen_default

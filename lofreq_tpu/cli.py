@@ -165,6 +165,7 @@ def cmd_call(args) -> int:
             args.bam, args.ref, args.out, vconf=vconf, pconf=pconf,
             no_default_filter=args.no_default_filter, region=args.region,
             bed=bed, ign_pos=ign_pos,
+            src=getattr(args, "raw_cmdline", None),
         )
     finally:
         if profile_ctx is not None:
@@ -668,6 +669,10 @@ def _main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     ap = build_parser()
     args = ap.parse_args(argv)
+    # full command line, reconstructed the way the reference stores it
+    # for the ##source= VCF header (lofreq_call.c:1431-1437: every argv
+    # token — including the program name — followed by one space)
+    args.raw_cmdline = " ".join(["lofreq"] + argv) + " "
     if args.cmd is None:
         ap.print_help()
         return 1

@@ -141,10 +141,14 @@ def read_passes_filters(r: bamio.BamRead, conf: PileupConf, chrom_name=None) -> 
     if conf.bed is not None and chrom_name is not None:
         if not conf.bed.overlap(chrom_name, r.pos, r.endpos()):
             return False
-    if r.mapq < conf.min_mq:
-        return False
-    if conf.no_orphan and (r.flag & FPAIRED) and not (r.flag & FPROPER_PAIR):
-        return False
+    if r.mapq <= conf.max_mq:
+        # plp.c:707-720 is an else-if chain: a read above the MQ cap is
+        # capped and accepted, bypassing the min-mq AND orphan skips
+        if r.mapq < conf.min_mq:
+            return False
+        if conf.no_orphan and (r.flag & FPAIRED) \
+                and not (r.flag & FPROPER_PAIR):
+            return False
     return True
 
 

@@ -433,13 +433,15 @@ def default_filter_conf(vconf: VarcallConf, no_default_filter: bool) -> FilterCo
     if vconf.bonf_dynamic:
         snv_th = 2**31 - 1
         indel_th = 2**31 - 1
-        # C computes sig/bonf in double, then phreds it (lofreq_call.c:1524)
+        # C divides the FLOAT sig by the long-long bonf, so the quotient is
+        # computed in float32, then phreded in long double
+        # (snpcaller.h:53, lofreq_call.c:1524-1537)
         if vconf.bonf_subst:
             snv_th = max(prob_to_phred(
-                np.float64(vconf.sig) / np.float64(vconf.bonf_subst)), 0)
+                np.float32(vconf.sig) / np.float32(vconf.bonf_subst)), 0)
         if vconf.bonf_indel:
             indel_th = max(prob_to_phred(
-                np.float64(vconf.sig) / np.float64(vconf.bonf_indel)), 0)
+                np.float32(vconf.sig) / np.float32(vconf.bonf_indel)), 0)
         cfg.snvqual = MtcFilter(thresh=int(snv_th))
         cfg.indelqual = MtcFilter(thresh=int(indel_th))
     return cfg
@@ -453,13 +455,19 @@ def write_vcf(path, vars_, header: str):
 
 def call_and_filter(
     bam_path, ref_path, out_path, vconf=None, pconf=None,
-    no_default_filter=False, **kw
+    no_default_filter=False, src=None, **kw
 ):
     """Full default `call` flow: call, then filter with dynamic-bonf
-    thresholds (+ default filters unless no_default_filter)."""
+    thresholds (+ default filters unless no_default_filter).
+
+    `src` is the ##source= header payload; the CLI passes the full
+    command line like the reference (lofreq_call.c:1431-1437 concats
+    every argv token plus a trailing space into mplp_conf.cmdline,
+    which vcf_write_header emits verbatim, vcf.c:662)."""
     vconf = vconf or VarcallConf()
     res = run_call(bam_path, ref_path, vconf=vconf, pconf=pconf, **kw)
-    src = "lofreq_tpu call"
+    if src is None:
+        src = "lofreq_tpu call"
     header = new_header(src, str(ref_path))
 
     if no_default_filter and not vconf.bonf_dynamic:

@@ -9,6 +9,9 @@ void fai_destroy(faidx_t *f);
 char *fai_fetch(const faidx_t *f, const char *reg, int *len);
 char *faidx_fetch_seq(const faidx_t *f, const char *n, int s, int e,
                       int *l);
+int faidx_nseq(const faidx_t *f);
+const char *faidx_iseq(const faidx_t *f, int i);
+int faidx_seq_len(const faidx_t *f, const char *seq);
 #else
 static char *faidx_fetch_seq(const faidx_t *f, const char *n, int s,
                              int e, int *l) { abort(); }

@@ -210,7 +210,8 @@ typedef struct { int32_t n_targets; char **target_name;
                  uint32_t *target_len; } bam_hdr_t;
 typedef struct samFile_ samFile;
 typedef struct hts_idx_t_ hts_idx_t;
-typedef struct hts_itr_t_ { int tid; int64_t beg, end; } hts_itr_t;
+typedef struct hts_itr_t_ { int tid; int64_t beg, end;
+                            int cur; /* shim read cursor */ } hts_itr_t;
 typedef struct bam_mplp_s_ *bam_mplp_t;
 typedef int (*bam_plp_auto_f)(void *data, bam1_t *b);
 
@@ -225,6 +226,18 @@ int sam_hdr_write(samFile *fp, const bam_hdr_t *h);
 void bam_hdr_destroy(bam_hdr_t *h);
 bam1_t *bam_init1(void);
 void bam_destroy1(bam1_t *b);
+/* index / region-iterator / pileup surface (oracle_call_e2e.c) */
+hts_idx_t *sam_index_load(samFile *fp, const char *fn);
+void hts_idx_destroy(hts_idx_t *idx);
+hts_itr_t *sam_itr_querys(const hts_idx_t *idx, bam_hdr_t *h,
+                          const char *region);
+int sam_itr_next(samFile *fp, hts_itr_t *itr, bam1_t *b);
+void bam_itr_destroy(hts_itr_t *itr);
+bam_mplp_t bam_mplp_init(int n, bam_plp_auto_f func, void **data);
+void bam_mplp_set_maxcnt(bam_mplp_t iter, int maxcnt);
+int bam_mplp_auto(bam_mplp_t iter, int *tid, int *pos, int *n_plp,
+                  const bam_pileup1_t **plp);
+void bam_mplp_destroy(bam_mplp_t iter);
 #else
 #define MINI_HTS_ABORT_STUB { abort(); }
 static bam1_t *bam_init1(void)
