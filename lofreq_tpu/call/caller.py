@@ -72,16 +72,24 @@ class VarcallConf:
         return self.use_device_screen
 
     def device_baq_on(self, pconf) -> bool:
-        """Device-BAQ screening mode: requires the fused SNV-only column
-        path, default joint-qual filters (so the tested-column set and
-        dynamic Bonferroni sequence are BAQ-independent), BAQ in use, and
-        a usable device screen (the screen is what keeps the exact
-        confirmation set small)."""
+        """Device-BAQ screening mode: requires the fused column path,
+        default joint-qual filters (so the tested-column set and dynamic
+        Bonferroni sequence are BAQ-independent), BAQ in use, and a
+        usable device screen (the screen is what keeps the exact
+        confirmation set small).
+
+        --call-indels is covered: BAQ feeds only the SNV merge, while
+        indel err probs come from iq/dq + IDAQ + mq/sq — and the native
+        ingest computes IDAQ with the exact C HMM regardless of a
+        spliced device BAQ (csrc/ingest.c want_baq/want_idaq are
+        independent), so indel quals never see the approximation.
+        only_indels runs no SNV tests at all, so there is nothing to
+        screen."""
         if self.use_device_baq is False:
             return False
         from ..pileup.fast_columns import supports_fused
 
-        ok = (pconf.use_baq and self.no_indels and not self.only_indels
+        ok = (pconf.use_baq and not self.only_indels
               and self.min_jq == 0 and self.min_alt_jq == 0
               and supports_fused(self))
         if not ok:

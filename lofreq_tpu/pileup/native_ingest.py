@@ -58,12 +58,16 @@ class SlabPool:
     pool (fresh allocation is the default everywhere else)."""
 
     def __init__(self, generations: int = 2):
+        import threading
+
         self._gens = [dict() for _ in range(generations)]
         self._i = 0
+        self._lock = threading.Lock()  # pipelined workers rotate concurrently
 
     def next_gen(self) -> dict:
-        g = self._gens[self._i % len(self._gens)]
-        self._i += 1
+        with self._lock:
+            g = self._gens[self._i % len(self._gens)]
+            self._i += 1
         return g
 
     @staticmethod

@@ -114,13 +114,18 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     hi = rend if rend is not None else len(ref)
     win = (lo // window) * window
 
-    # prefetch the next window's ingest on a single worker thread while the
-    # caller consumes the current batch: the C ingest releases the GIL, and
-    # only ingest_region touches the BAM reader, so a one-worker pool keeps
-    # reader access serialized (SURVEY's decode/compute overlap stage)
+    # software-pipelined window builds: PIPE_DEPTH windows in flight on a
+    # small worker pool while the caller consumes the current batch.  The
+    # C ingest/sweep releases the GIL and the device-BAQ wait parks in
+    # jax, so window N's device compute/transfer hides under window N+1's
+    # host sweep.  Only the raw BAM fetch touches the shared reader; a
+    # lock serializes it (SURVEY's decode/compute overlap stage).
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    ex = ThreadPoolExecutor(1)
+    PIPE_DEPTH = 2 if device_baq is not None else 1
+    ex = ThreadPoolExecutor(PIPE_DEPTH)
+    rdr_lock = threading.Lock()
 
     import numpy as _np
 
@@ -129,10 +134,11 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
         ign_arr = _np.asarray(sorted(ign_pos), dtype=_np.int64)
 
     from ..pileup.fast_columns import _attach_indels, build_snv_batch_fused
-    from ..pileup.native_ingest import SlabPool
+    from ..pileup.native_ingest import SlabPool, raw_records_for_region
 
-    row_pool = SlabPool(2)   # one generation consumed, one prefetched
-    col_pool = SlabPool(2)
+    # generations: one consumed + PIPE_DEPTH in flight
+    row_pool = SlabPool(PIPE_DEPTH + 1)
+    col_pool = SlabPool(PIPE_DEPTH + 1)
     # fully-fused ingest->columns path (no row materialization).  Indel
     # mode runs it too: the per-event rows are re-ingested SPARSELY from
     # the window's raw bytes at event columns only (interval-list filter),
@@ -164,9 +170,13 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
         from ..core import stagetimer
 
         b, e = max(w, lo), min(w + window, hi)
+        with rdr_lock, stagetimer.stage("ingest.raw"):
+            raw = raw_records_for_region(rdr, tid, b, e)
+        if not raw:
+            return None
         with stagetimer.stage("ingest_columns"):
             batch, ok = build_snv_batch_fused(
-                rdr, ref, chrom, tid, b, e, pconf, vconf,
+                rdr, ref, chrom, tid, b, e, pconf, vconf, raw=raw,
                 ign_pos=ign_arr, device_baq=device_baq, pool=col_pool,
                 keep_raw=device_baq is not None or want_indels,
                 skip_consindel_gate=want_indels)
@@ -178,8 +188,8 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
         if not ok:
             # rare: a consensus-indel recheck needs per-event rows
             rows = ingest_region(rdr, pconf, ref, tid, beg=b, end=e,
-                                 ign_pos=ign_arr, device_baq=device_baq,
-                                 pool=row_pool,
+                                 raw=raw, ign_pos=ign_arr,
+                                 device_baq=device_baq, pool=row_pool,
                                  keep_raw=device_baq is not None)
             from ..pileup.fast_columns import build_snv_batch
 
@@ -200,18 +210,27 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     from ..core import stagetimer
 
     try:
-        fut = _submit(win) if win < hi else None
         if fused_snv:
-            while win < hi:
-                win_e = win + window
+            from collections import deque
+
+            futs = deque()
+            w = win
+            while w < hi and len(futs) < PIPE_DEPTH:
+                futs.append(_submit(w))
+                w += window
+            while futs:
                 with stagetimer.stage("ingest_wait"):
-                    batch = fut.result()
-                if win_e < hi:
-                    fut = _submit(win_e)
+                    batch = futs.popleft().result()
+                # refill BEFORE the consumer crunches this batch so the
+                # pipe stays PIPE_DEPTH deep during consumption
+                if w < hi:
+                    futs.append(_submit(w))
+                    w += window
                 if batch is not None:
                     yield batch
-                win = win_e
-        else:
+            return
+        fut = _submit(win) if win < hi else None
+        if True:
             for _batch in _native_window_loop(
                     fut, _submit, win, hi, window, lo, fused, rdr, tid,
                     chrom, ref, pconf, vconf, col_pool):
@@ -347,7 +366,6 @@ def run_call(
                                                 device_baq=device_baq):
                 vs = call_vars_batch(batch, vconf, res.stats,
                                      screen_ctx=screen_ctx)
-                res.vars.extend(vs)
                 if screen_ctx:
                     # exact confirmation per window, while the window's
                     # raw record bytes are still in memory (no BAM
@@ -356,11 +374,18 @@ def run_call(
                     from ..core import stagetimer
 
                     with stagetimer.stage("confirm"):
-                        res.vars.extend(confirm_snv_candidates(
+                        confirmed = confirm_snv_candidates(
                             rdr, tid, chrom, ref, pconf, vconf, screen_ctx,
                             ign_pos=chrom_ign,
-                            raw=getattr(batch, "raw", None)))
+                            raw=getattr(batch, "raw", None))
                     screen_ctx.clear()
+                    # interleave with this batch's indel vars to match
+                    # the reference's per-column emission (indels before
+                    # SNVs at one position, lofreq_call.c:887): both
+                    # lists are position-sorted and the stable sort
+                    # keeps vs (indels) first at equal positions
+                    vs = sorted(vs + confirmed, key=lambda v: v.pos)
+                res.vars.extend(vs)
                 n_cols += len(batch.positions)
                 if n_cols >= next_beat:
                     print(f"Alive and happily crunching away on pos "

@@ -54,23 +54,45 @@ def test_device_baq_identity_region(tmp_path):
     assert _vars_key(exact.vars) == _vars_key(dev.vars)
 
 
-def test_device_baq_gates(tmp_path):
-    """Configurations the screening mode cannot cover fall back cleanly."""
+def test_device_baq_identity_call_indels(tmp_path):
+    """--call-indels (the reference best-practice configuration,
+    snakemake/Snakefile:124-144) keeps the device BAQ engine: indel err
+    probs never see the approximation (IDAQ stays exact-C in the same
+    ingest fill), SNV candidates are exactly confirmed, and the merged
+    emission order (indels before SNVs at one position,
+    lofreq_call.c:887) must match the all-exact path on the full
+    interleaved var list."""
     from lofreq_tpu.pileup.engine import PileupConf
 
-    art = simulate(str(tmp_path), genome_len=12000, depth=60, seed=3)
-    # indel calling on -> gated off; still correct end to end
+    art = simulate(
+        str(tmp_path), genome_len=20000, depth=80, seed=3,
+        indels=((0.5, 2, 3, "ins"), (0.4, 2, 4, "del")),
+    )
+    # BI/BD tags via the dindel model (the reference's prescribed indel
+    # preprocessing) so the planted indels reach significance
+    from lofreq_tpu.io.bai import build_bai
+    from lofreq_tpu.pipelines.indelqual import run_indelqual
+
+    iq_bam = str(tmp_path / "iq.bam")
+    run_indelqual(art["bam"], iq_bam, dindel=True, ref_path=art["fa"])
+    build_bai(iq_bam)
+    art["bam"] = iq_bam
+    vkw = dict(no_indels=False)
     exact = run_call(
         art["bam"], art["fa"],
         vconf=VarcallConf(use_device_screen=False, use_device_baq=False,
-                          no_indels=False),
-        pconf=PileupConf(collect_indels=True))
+                          **vkw),
+        pconf=PileupConf(collect_indels=True, use_idaq=True))
+    dev_conf = VarcallConf(use_device_screen=True, use_device_baq=True,
+                           **vkw)
+    assert dev_conf.device_baq_on(PileupConf(collect_indels=True))
     dev = run_call(
-        art["bam"], art["fa"],
-        vconf=VarcallConf(use_device_screen=True, use_device_baq=True,
-                          no_indels=False),
-        pconf=PileupConf(collect_indels=True))
+        art["bam"], art["fa"], vconf=dev_conf,
+        pconf=PileupConf(collect_indels=True, use_idaq=True))
+    assert any("INDEL" in (v.info or "") for v in exact.vars)
     assert _vars_key(exact.vars) == _vars_key(dev.vars)
+    assert exact.stats.num_snv_tests == dev.stats.num_snv_tests
+    assert exact.stats.num_indel_tests == dev.stats.num_indel_tests
 
 
 def test_extract_reads_eligibility(tmp_path):

@@ -19,7 +19,9 @@ MATRIX = [
     ("default SNV call", {}, {}, True),
     ("forced on", {"use_device_baq": True}, {}, True),
     ("forced off", {"use_device_baq": False}, {}, False),
-    ("indel mode (--call-indels)", {"no_indels": False}, {}, False),
+    # --call-indels is eligible: BAQ feeds only the SNV merge; IDAQ is
+    # computed by the exact C HMM regardless of a spliced device BAQ
+    ("indel mode (--call-indels)", {"no_indels": False}, {}, True),
     ("only-indels", {"no_indels": False, "only_indels": True}, {}, False),
     ("BAQ off (-B)", {}, {"use_baq": False}, False),
     ("min_jq set (-j)", {"min_jq": 10}, {}, False),
