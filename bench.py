@@ -40,7 +40,7 @@ import time
 GENOME = int(os.environ.get("LOFREQ_BENCH_GENOME", 200_000))
 DEPTH = int(os.environ.get("LOFREQ_BENCH_DEPTH", 800))
 READLEN = 100
-NRUNS = int(os.environ.get("LOFREQ_BENCH_RUNS", 3))
+NRUNS = int(os.environ.get("LOFREQ_BENCH_RUNS", 5))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -100,9 +100,15 @@ def baseline_single_core(art):
 
 
 def device_run(art):
-    """Default call (TPU engine), warmed then timed NRUNS times."""
+    """Default call (TPU engine), warmed then timed NRUNS times.
+
+    Records, per run, the wall AND the stagetimer breakdown; the engine
+    decisions are OBSERVED from the stage counters (a stage that never
+    ran never appears), not inferred from the gate predicates — so the
+    JSON states what the timed runs actually executed."""
     os.environ.setdefault("LOFREQ_TPU_COMPILE_DEADLINE", "240")
     from lofreq_tpu.call.caller import VarcallConf
+    from lofreq_tpu.core import stagetimer
     from lofreq_tpu.pipelines.call_pipeline import run_call
 
     chrom = art["chrom"]
@@ -110,13 +116,34 @@ def device_run(art):
     run_call(art["bam"], art["fa"], region=f"{chrom}:1-6000",
              vconf=VarcallConf())
     walls = []
+    stage_reports = []
     res = None
     for _ in range(NRUNS):
+        stagetimer.reset()
         t0 = time.time()
         res = run_call(art["bam"], art["fa"], vconf=VarcallConf())
         walls.append(time.time() - t0)
+        stage_reports.append(stagetimer.report())
+    med_i = sorted(range(NRUNS), key=lambda i: walls[i])[NRUNS // 2]
+    stages = stage_reports[med_i]
+    engine = {
+        "device_screen": any("screen" in r for r in stage_reports),
+        "device_baq": any("ingest.device_baq" in r for r in stage_reports),
+    }
+    try:
+        import jax
+
+        engine["backend"] = jax.default_backend()
+    except Exception:
+        engine["backend"] = "unavailable"
+    try:
+        from lofreq_tpu.ops.device_baq import link_bandwidth_mbs
+
+        engine["link_mbs"] = round(link_bandwidth_mbs(), 1)
+    except Exception:
+        pass
     # lists, not tuples: the baseline's came through a JSON round-trip
-    return dict(walls=walls,
+    return dict(walls=walls, stages=stages, engine=engine,
                 vars=[[v.pos, v.ref, v.alt, v.qual, v.info]
                       for v in res.vars],
                 tests=res.stats.num_snv_tests)
@@ -145,17 +172,26 @@ def main():
             vs = base["wall"] / wall
             denom = ("repo's own single-thread no-device path "
                      "(reference checkout absent)")
+        eng = dev["engine"]
         spread = (f"median of {len(dev['walls'])}, "
                   f"min {GENOME / max(dev['walls']):.0f} / "
                   f"max {GENOME / min(dev['walls']):.0f} cols/s")
+        engine_s = (f"engine observed during timed runs: "
+                    f"backend={eng.get('backend')}, "
+                    f"device_screen={'on' if eng.get('device_screen') else 'off'}, "
+                    f"device_baq={'on' if eng.get('device_baq') else 'off'}"
+                    + (f", link {eng['link_mbs']} MB/s"
+                       if "link_mbs" in eng else ""))
         result = json.dumps({
             "metric": "end_to_end_call_columns_per_sec",
             "value": round(cols_per_sec, 1),
             "unit": (f"cols/s, {GENOME//1000}kb@{DEPTH}x BAM->VCF, default "
                      f"call, {spread}; identical VCF vs single-core run; "
-                     "device stages auto-gate on measured link/throughput; "
-                     f"vs_baseline = value / {denom}"),
+                     f"{engine_s}; vs_baseline = value / {denom}"),
             "vs_baseline": round(vs, 2),
+            "runs_wall_s": [round(w, 3) for w in dev["walls"]],
+            "median_run_stages_s": dev["stages"],
+            "engine": eng,
         })
     # tempdir is cleaned up; print and leave WITHOUT interpreter teardown:
     # a deadline-abandoned remote-compile warm thread is non-daemon, and

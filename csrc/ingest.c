@@ -1025,60 +1025,118 @@ int32_t lfq_mode_read_len(const uint8_t *buf, int64_t buflen,
  * the glocal reference window (realn_one's band arithmetic, baq.c:422-438,
  * for the M-only case: pos-3 .. pos+L+3, clamped to the contig).
  * Returns the kept-read count. */
+typedef struct {
+    const rec_t *recs;
+    const ingest_conf_t *conf;
+    int64_t ref_len;
+    int32_t L;
+    uint8_t *o_elig;
+    int64_t *o_pos;
+    int32_t *o_lq;
+    uint8_t *o_codes, *o_quals;
+    int64_t *o_xb, *o_xe;
+    int64_t i0, i1;
+} extract_job_t;
+
+static void *extract_worker(void *arg)
+{
+    static const uint8_t code16[16] = {4, 0, 1, 4, 2, 4, 4, 4,
+                                       3, 4, 4, 4, 4, 4, 4, 4};
+    extract_job_t *jb = arg;
+    const ingest_conf_t *conf = jb->conf;
+    const int32_t L = jb->L;
+    for (int64_t i = jb->i0; i < jb->i1; i++) {
+        const rec_t *r = &jb->recs[i];
+        jb->o_pos[i] = r->pos;
+        jb->o_lq[i] = r->l_qseq;
+        int elig = 0;
+        if (conf->use_baq && r->l_qseq == L && r->n_cigar == 1) {
+            int op = r->cigar[0] & 0xf, l = r->cigar[0] >> 4;
+            if ((op == OPM || op == OPEQ || op == OPX) && l == L) {
+                const uint8_t *t;
+                elig = conf->redo_baq ||
+                       !((t = aux_get(r, "lb")) && *t == 'Z');
+            }
+        }
+        jb->o_elig[i] = (uint8_t)elig;
+        if (elig) {
+            uint8_t *cd = jb->o_codes + (int64_t)i * L;
+            uint8_t *qd = jb->o_quals + (int64_t)i * L;
+            for (int j = 0; j < L; j++)
+                cd[j] = code16[(r->seq4[j >> 1] >> ((~j & 1) << 2)) & 0xf];
+            if (conf->illumina13) {
+                for (int j = 0; j < L; j++) {
+                    uint8_t q = r->qual[j];
+                    qd[j] = q > 31 ? q - 31 : 0;
+                }
+            } else {
+                memcpy(qd, r->qual, (size_t)L);
+            }
+            int64_t xb = r->pos - 3, xe = r->pos + L + 3;
+            if (xb < 0) xb = 0;
+            if (xe > jb->ref_len) xe = jb->ref_len;
+            jb->o_xb[i] = xb;
+            jb->o_xe[i] = xe;
+        } else {
+            jb->o_xb[i] = 0;
+            jb->o_xe[i] = 0;
+        }
+    }
+    return NULL;
+}
+
 int64_t lfq_extract_reads(
     const uint8_t *buf, int64_t buflen, const ingest_conf_t *conf,
     int64_t ref_len, int32_t L,
     uint8_t *o_elig, int64_t *o_pos, int32_t *o_lq,
     uint8_t *o_codes, uint8_t *o_quals, int64_t *o_xb, int64_t *o_xe)
 {
-    static const uint8_t code16[16] = {4, 0, 1, 4, 2, 4, 4, 4,
-                                       3, 4, 4, 4, 4, 4, 4, 4};
-    int64_t off = 0, i = 0, regcur = 0;
+    /* pass 1 (serial, pointer-level): collect kept records in stream
+     * order — regcur makes the region walk order-dependent.  Pass 2
+     * stripes the per-base decode across threads; each read's outputs
+     * sit at fixed stride L, so stripes write disjoint ranges. */
+    static _Thread_local arena_t ar_recs;
+    int64_t nrec_max = 0;
+    for (int64_t o = 0; o + 4 <= buflen;) {
+        int32_t sz = *(int32_t *)(buf + o);
+        if (o + 4 + sz > buflen)
+            return -1;
+        o += 4 + sz;
+        nrec_max++;
+    }
+    rec_t *recs = arena_get(&ar_recs, (nrec_max + 1) * sizeof(rec_t));
+    int64_t n = 0, off = 0, regcur = 0;
     while (off + 4 <= buflen) {
         int32_t sz = *(int32_t *)(buf + off);
         off += 4;
-        if (off + sz > buflen)
-            return -1;
         rec_t r;
         if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf) &&
-            in_region(conf, &regcur, r.pos, rec_endpos(&r))) {
-            o_pos[i] = r.pos;
-            o_lq[i] = r.l_qseq;
-            int elig = 0;
-            if (conf->use_baq && r.l_qseq == L && r.n_cigar == 1) {
-                int op = r.cigar[0] & 0xf, l = r.cigar[0] >> 4;
-                if ((op == OPM || op == OPEQ || op == OPX) && l == L) {
-                    const uint8_t *t;
-                    elig = conf->redo_baq ||
-                           !((t = aux_get(&r, "lb")) && *t == 'Z');
-                }
-            }
-            o_elig[i] = (uint8_t)elig;
-            if (elig) {
-                uint8_t *cd = o_codes + (int64_t)i * L;
-                uint8_t *qd = o_quals + (int64_t)i * L;
-                for (int j = 0; j < L; j++) {
-                    cd[j] = code16[(r.seq4[j >> 1] >>
-                                    ((~j & 1) << 2)) & 0xf];
-                    uint8_t q = r.qual[j];
-                    if (conf->illumina13)
-                        q = q > 31 ? q - 31 : 0;
-                    qd[j] = q;
-                }
-                int64_t xb = r.pos - 3, xe = r.pos + L + 3;
-                if (xb < 0) xb = 0;
-                if (xe > ref_len) xe = ref_len;
-                o_xb[i] = xb;
-                o_xe[i] = xe;
-            } else {
-                o_xb[i] = 0;
-                o_xe[i] = 0;
-            }
-            i++;
-        }
+            in_region(conf, &regcur, r.pos, rec_endpos(&r)))
+            recs[n++] = r;
         off += sz;
     }
-    return i;
+    extract_job_t jobs[64];
+    pthread_t tids[64];
+    int started[64];
+    int nth = ingest_threads();
+    if ((int64_t)nth > n)
+        nth = n > 0 ? (int)n : 1;
+    for (int t = 0; t < nth; t++) {
+        jobs[t] = (extract_job_t){
+            recs, conf, ref_len, L, o_elig, o_pos, o_lq,
+            o_codes, o_quals, o_xb, o_xe,
+            n * t / nth, n * (t + 1) / nth};
+        started[t] = (t > 0) && pthread_create(
+            &tids[t], NULL, extract_worker, &jobs[t]) == 0;
+    }
+    extract_worker(&jobs[0]);
+    for (int t = 1; t < nth; t++) {
+        if (started[t])
+            pthread_join(tids[t], NULL);
+        else
+            extract_worker(&jobs[t]);
+    }
+    return n;
 }
 
 /* ---- fused ingest->columns (default SNV path) -------------------------

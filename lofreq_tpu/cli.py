@@ -444,6 +444,9 @@ def cmd_call_parallel(args, extra) -> int:
 def cmd_somatic(args) -> int:
     from .pipelines.somatic import SomaticCaller
 
+    # with --no-src-qual the -S value is ignored entirely (the script
+    # only reads args.ign_vcf in the src-qual-on branch,
+    # lofreq2_somatic.py:821-832)
     sc = SomaticCaller(
         tumor_bam=args.tumor, normal_bam=args.normal, ref=args.ref,
         out_prefix=args.outprefix, dbsnp=args.dbsnp, bed=args.bed,
@@ -451,10 +454,9 @@ def cmd_somatic(args) -> int:
         continue_interrupted=args.cont, min_cov=args.min_cov,
         use_orphan=args.use_orphan, baq_off=args.baq_off,
         src_qual_on=not args.no_src_qual,
-        ign_vcf=args.ign_vcf, do_germline=args.germline,
+        ign_vcf=None if args.no_src_qual else args.ign_vcf,
+        do_germline=args.germline,
     )
-    if args.ign_vcf and args.no_src_qual:
-        return _err("ign-vcf file was provided, but src-qual is off")
     return sc.run()
 
 
@@ -535,8 +537,9 @@ def build_parser():
     p.add_argument("--use-orphan", action="store_true")
     p.add_argument("--output-all", action="store_true")
     p.add_argument("--is-somatic", action="store_true")
-    p.add_argument("--ref", required=True,
-                   help="reference fasta (needed for pileup)")
+    p.add_argument("--ref", default=None,
+                   help="reference fasta (optional; the reference "
+                        "binary pileups without one — all-N ref)")
     p.add_argument("bam")
 
     p = sub.add_parser("vcfset", help="vcf set operations")
@@ -583,9 +586,10 @@ def build_parser():
     p.add_argument("--use-orphan", action="store_true")
     p.add_argument("--baq-off", action="store_true")
     p.add_argument("--no-src-qual", action="store_true")
-    p.add_argument("-S", "--ign-vcf",
+    p.add_argument("-S", "--ign-vcf", default="normal",
                    help="vcf(s) of known variants to ignore for source "
-                        "quality; the special value 'normal' uses the "
+                        "quality; the special value 'normal' (the "
+                        "default, lofreq2_somatic.py:715) uses the "
                         "normal sample's stringent calls")
     p.add_argument("--germline", action="store_true")
     p.add_argument("-l", "--bed")

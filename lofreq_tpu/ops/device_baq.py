@@ -141,6 +141,10 @@ def _build_step(L: int, Lr_pad: int, W_pad: int, tile: int, ext: bool):
 
 _RUNNERS: dict = {}
 _MEMO_TTL_S = 24 * 3600.0
+# a blown compile deadline is retryable much sooner: the persistent
+# compile cache (ops/screen.py compile_cache) makes the retry a cache
+# hit, while a measured-rate miss reflects real link/backend throughput
+_MEMO_TTL_DEADLINE_S = 1800.0
 
 
 def _memo_path() -> str:
@@ -161,10 +165,15 @@ def _memo_read():
 
     try:
         p = _memo_path()
-        if time.time() - os.stat(p).st_mtime > _MEMO_TTL_S:
+        age = time.time() - os.stat(p).st_mtime
+        if age > _MEMO_TTL_S:
             return None
         with open(p) as fh:
-            return json.load(fh)
+            memo = json.load(fh)
+        if age > _MEMO_TTL_DEADLINE_S and "deadline" in str(
+                memo.get("reason", "")):
+            return None
+        return memo
     except Exception:
         return None
 

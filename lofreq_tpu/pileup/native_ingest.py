@@ -130,6 +130,30 @@ def raw_records_for_region(rdr: BamReader, tid, beg, end) -> bytes:
     return rdr._bgzf.read()
 
 
+_extract_scratch = None
+
+
+def _scratch_take(name: str, shape, dtype):
+    """Grow-only per-thread scratch buffers for the extract arrays: a
+    fresh 160 MB np.empty per window would re-fault ~40k pages each time
+    (same rationale as SlabPool; per-thread because pipelined workers
+    extract concurrently)."""
+    global _extract_scratch
+    import threading
+
+    if _extract_scratch is None:
+        _extract_scratch = threading.local()
+    d = getattr(_extract_scratch, "d", None)
+    if d is None:
+        d = _extract_scratch.d = {}
+    dt = np.dtype(dtype)
+    need = int(np.prod(shape)) * dt.itemsize
+    a = d.get(name)
+    if a is None or a.nbytes < need:
+        a = d[name] = np.empty(max(int(need * 1.25), 256), np.uint8)
+    return a[:need].view(dt).reshape(shape)
+
+
 def _splice_device_baq(lib, buf, raw, cs, ref, n_reads, device_baq):
     """Run the device BAQ for eligible reads of this window and attach the
     precomputed buffer to the ingest conf.  Returns keepalive arrays (or
@@ -143,13 +167,13 @@ def _splice_device_baq(lib, buf, raw, cs, ref, n_reads, device_baq):
                                   ctypes.byref(cs))
         if L < 16:
             return None
-        elig = np.zeros(n_reads, np.uint8)
-        pos = np.empty(n_reads, np.int64)
-        lq = np.empty(n_reads, np.int32)
-        codes = np.empty((n_reads, L), np.uint8)
-        quals = np.empty((n_reads, L), np.uint8)
-        xb = np.empty(n_reads, np.int64)
-        xe = np.empty(n_reads, np.int64)
+        elig = _scratch_take("elig", (n_reads,), np.uint8)
+        pos = _scratch_take("pos", (n_reads,), np.int64)
+        lq = _scratch_take("lq", (n_reads,), np.int32)
+        codes = _scratch_take("codes", (n_reads, L), np.uint8)
+        quals = _scratch_take("quals", (n_reads, L), np.uint8)
+        xb = _scratch_take("xb", (n_reads,), np.int64)
+        xe = _scratch_take("xe", (n_reads,), np.int64)
         lib.lfq_extract_reads.restype = ctypes.c_int64
         k = lib.lfq_extract_reads(
             bufp, ctypes.c_int64(len(raw)), ctypes.byref(cs),
@@ -173,7 +197,10 @@ def _splice_device_baq(lib, buf, raw, cs, ref, n_reads, device_baq):
         return None
     seq_start = np.zeros(n_reads + 1, np.int64)
     np.cumsum(lq, out=seq_start[1:])
-    pre = np.zeros(int(seq_start[-1]) + n_reads + 1, np.uint8)
+    # scratch-reused: lanes are only read under pre_have[i]=1, and those
+    # are fully rewritten below each window
+    pre = _scratch_take("pre", (int(seq_start[-1]) + n_reads + 1,),
+                        np.uint8)
     offs = seq_start[idx] + idx
     enc = baq.astype(np.uint8) + 33
     # write per contiguous run of eligible reads: consecutive length-L

@@ -196,14 +196,20 @@ def finalize_parallel_output(lines, n_snv, n_indel, args, vconf,
 
     cfg = FilterConf(no_defaults=args.no_default_filter)
     if vconf.bonf_dynamic:
-        snv_th = max(prob_to_phred(
-            np.float64(vconf.sig) / np.float64(max(n_snv, 1))), 0) \
-            if n_snv else 2**31 - 1
-        indel_th = max(prob_to_phred(
-            np.float64(vconf.sig) / np.float64(max(n_indel, 1))), 0) \
-            if n_indel else 2**31 - 1
-        cfg.snvqual = MtcFilter(thresh=int(snv_th))
-        cfg.indelqual = MtcFilter(thresh=int(indel_th))
+        # mirror the wrapper script's OWN arithmetic
+        # (lofreq2_call_pparallel.py:54-70,697-709): python-double
+        # division, round-half-even, prob==0 -> MAXINT, bonf 0 -> 1 —
+        # note round() where the C auto-filter truncates
+        import math
+
+        def _script_phred(bonf: int) -> int:
+            prob = float(vconf.sig) / float(max(bonf, 1))
+            if prob == 0.0:
+                return 2**31 - 1
+            return int(round(-10.0 * math.log10(prob)))
+
+        cfg.snvqual = MtcFilter(thresh=_script_phred(n_snv))
+        cfg.indelqual = MtcFilter(thresh=_script_phred(n_indel))
     header, out_vars = run_filter(header, vars_, cfg)
     with VcfWriter(args.out, header) as w:
         for v in out_vars:

@@ -39,7 +39,7 @@ class SomaticCaller:
                  dbsnp=None, threads=1, call_indels=False,
                  continue_interrupted=False, min_cov=7, use_orphan=False,
                  baq_off=False, src_qual_on=True, do_germline=False,
-                 ign_vcf=None):
+                 ign_vcf="normal"):
         self.bam_t = tumor_bam
         self.bam_n = normal_bam
         self.ref = ref
@@ -257,7 +257,9 @@ class SomaticCaller:
             if self.cont and os.path.exists(out):
                 self._log(f"reusing {out}")
                 continue
-            run_uniq(self.bam_n, self.ref, vin, out, uni_freq=0.5,
+            # no ref: the reference script's uniq invocation passes none
+            # (lofreq2_somatic.py:485-495) and the binary can't take one
+            run_uniq(self.bam_n, None, vin, out, uni_freq=0.5,
                      mtc_type=MT.mtc_str_to_type(mtc), alpha=alpha,
                      is_somatic=True)
 

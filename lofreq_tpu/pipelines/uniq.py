@@ -23,6 +23,19 @@ from ..pileup.engine import PileupConf, compile_columns, read_passes_filters, ro
 from .call_pipeline import parse_region  # noqa: F401  (CLI convenience)
 
 
+class _NRef:
+    """Fasta stand-in when uniq runs without a reference (the
+    reference binary never takes one): fetch() returns all-'N' of the
+    chromosome's BAM-header length, giving ref_base 'N' everywhere
+    like the reference's NULL-ref mpileup (plp.c:818)."""
+
+    def __init__(self, bam):
+        self._lens = dict(bam.header.references)
+
+    def fetch(self, chrom):
+        return b"N" * self._lens[chrom]
+
+
 def _uq_from_var(var) -> int:
     found, uq = var.info_value("UQ")
     if not found or uq is None:
@@ -162,7 +175,13 @@ def run_uniq(
         no_orphan=not use_orphan, collect_indels=True,
     )
     bam = BamReader(bam_path)
-    fa = Fasta(ref_path)
+    if ref_path is None:
+        # the reference's uniq runs mpileup with NO fasta: every column
+        # gets ref_base 'N' (plp.c:818) — the test itself only reads
+        # counts/events, so an all-N ref reproduces it exactly
+        fa = _NRef(bam)
+    else:
+        fa = Fasta(ref_path)
 
     for var in vars_:
         col_batch = _single_pos_column(bam, fa, var.chrom, var.pos, pconf)
