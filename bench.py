@@ -112,6 +112,17 @@ def device_run(art):
     from lofreq_tpu.pipelines.call_pipeline import run_call
 
     chrom = art["chrom"]
+    # settle every engine decision BEFORE the timed region: the link
+    # probe is an async subprocess and the screen/BAQ compiles run
+    # under a deadline — unresolved, they'd land inside a timed run
+    # (observed: a 491s "run" that was really two compile deadlines)
+    from lofreq_tpu.ops.probe import probe_device
+
+    probe_device(wait_s=90)
+    from lofreq_tpu.ops.screen import device_screen_default, screen_ready
+
+    if device_screen_default():
+        screen_ready()          # compile (or cache-hit) the screen now
     # warm-up: same depth/read-length -> compiles the same kernel buckets
     run_call(art["bam"], art["fa"], region=f"{chrom}:1-6000",
              vconf=VarcallConf())
@@ -126,9 +137,16 @@ def device_run(art):
         stage_reports.append(stagetimer.report())
     med_i = sorted(range(NRUNS), key=lambda i: walls[i])[NRUNS // 2]
     stages = stage_reports[med_i]
+    from lofreq_tpu.ops.screen import DISPATCH_STATS
+
+    baq_s = sum(r.get("ingest.device_baq", 0.0) for r in stage_reports)
     engine = {
-        "device_screen": any("screen" in r for r in stage_reports),
-        "device_baq": any("ingest.device_baq" in r for r in stage_reports),
+        # real dispatch accounting, not stage presence (the stage wraps
+        # the call even when the screen is off and returns instantly)
+        "device_screen": DISPATCH_STATS["dispatched"] > 0,
+        "screen_dispatches": DISPATCH_STATS["dispatched"],
+        "screen_unavailable": DISPATCH_STATS["unavailable"],
+        "device_baq": baq_s > 0.05,
     }
     try:
         import jax

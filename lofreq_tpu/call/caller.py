@@ -250,6 +250,40 @@ def pack_probs(flat_probs, starts, depths, cols, sort=True):
     return probs
 
 
+PACK_BUDGET_BYTES = int(__import__("os").environ.get(
+    "LOFREQ_TPU_PACK_BUDGET_MB", "256")) << 20
+PACK_MAX_COLS = 4096
+
+
+def _depth_chunks(depths, max_cols: int = PACK_MAX_COLS,
+                  budget: int = PACK_BUDGET_BYTES) -> list:
+    """Depth-bucketed packing order: index arrays (into `depths`) whose
+    packed [rows, Dmax] f64 matrices each stay under `budget` bytes.
+
+    Sorting by depth before chunking keeps similar depths together, so
+    one 10^5-10^6-deep column (reference max-depth default is 1e6,
+    defaults.h:60) no longer inflates every row of its chunk to Dmax —
+    without it a single deep column in a 4096-column chunk allocates
+    4096 x depth x 8 bytes.  The pack order is free: each column's
+    p-value and dynamic-Bonferroni factor are precomputed per column,
+    and results are scattered back through the returned indices."""
+    n = len(depths)
+    if n == 0:
+        return []
+    perm = np.argsort(depths, kind="stable")
+    d = np.asarray(depths)[perm]
+    chunks = []
+    i = 0
+    while i < n:
+        j = i + 1
+        while (j < n and j - i < max_cols
+               and (j - i + 1) * max(int(d[j]), 1) * 8 <= budget):
+            j += 1
+        chunks.append(perm[i:j])
+        i = j
+    return chunks
+
+
 def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                     out_vars: list, screen_ctx: list = None):
     """call_snvs over a ColumnBatch (lofreq_call.c:735-879).
@@ -302,6 +336,7 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
     # chunk the tested columns to bound packed-matrix memory
     from ..core import stagetimer
 
+    d_tested = ep["depths"][order_idx]
     if screen_ctx is not None:
         # device-BAQ screening pass: probs in `ep` were merged with the
         # deflated (baq_screen_bias) approximate BAQ, a lower bound on the
@@ -309,41 +344,37 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
         # the exact p-value, so discards are safe.  Candidates are recorded
         # (position, running bonf) and re-scored exactly later; nothing is
         # emitted here.
-        CHUNK = 4096
         # software-pipelined: chunk N+1's screen is DISPATCHED before
         # chunk N's mask is fetched, so device compute + transfers hide
         # behind the host-side pack of the next chunk (jax dispatch is
         # asynchronous; only the fetch blocks)
-        pending = None  # (lo, hi, cols, probs, handle)
-        chunks = list(range(0, n_test, CHUNK)) + [None]
-        for lo in chunks:
+        pending = None  # (sel, cols, probs, handle)
+        for sel in _depth_chunks(d_tested) + [None]:
             nxt = None
-            if lo is not None:
-                hi = min(lo + CHUNK, n_test)
-                cols = order_idx[lo:hi]
+            if sel is not None:
+                cols = order_idx[sel]
                 with stagetimer.stage("pack_sort"):
                     probs = pack_probs(ep["flat_probs"], ep["starts"],
                                        ep["depths"], cols, sort=False)
                 with stagetimer.stage("screen"):
                     h = _screen_dispatch(
                         probs, ep["depths"][cols], ep["alt_counts"][cols],
-                        running_bonf[lo:hi].astype(np.float64), conf)
-                nxt = (lo, hi, cols, probs, h)
+                        running_bonf[sel].astype(np.float64), conf)
+                nxt = (sel, cols, probs, h)
             if pending is not None:
-                plo, phi, pcols, pprobs, ph = pending
+                psel, pcols, pprobs, ph = pending
                 with stagetimer.stage("screen"):
                     cand = _screen_finish(
                         ph, pprobs, ep["depths"][pcols],
                         ep["alt_counts"][pcols],
-                        running_bonf[plo:phi].astype(np.float64), conf)
+                        running_bonf[psel].astype(np.float64), conf)
                 for j in np.nonzero(cand)[0]:
                     screen_ctx.append((int(batch.positions[pcols[j]]),
-                                       int(running_bonf[plo + j])))
+                                       int(running_bonf[psel[j]])))
             pending = nxt
         return
 
     pvalues = np.full((n_test, 3), PH.LDBL_MAX, dtype=np.longdouble)
-    CHUNK = 4096
     # with the screen on, pack unsorted and sort only the rows that
     # survive screening (the screen is permutation invariant; the
     # reference qsort is only observable through the exact DP).
@@ -351,12 +382,10 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
     # screen is in flight while chunk N runs its exact host DP.
     screen_on = conf.device_screen_on()
     pending = None
-    chunks = list(range(0, n_test, CHUNK)) + [None]
-    for lo in chunks:
+    for sel in _depth_chunks(d_tested) + [None]:
         nxt = None
-        if lo is not None:
-            hi = min(lo + CHUNK, n_test)
-            cols = order_idx[lo:hi]
+        if sel is not None:
+            cols = order_idx[sel]
             with stagetimer.stage("pack_sort"):
                 probs = pack_probs(ep["flat_probs"], ep["starts"],
                                    ep["depths"], cols, sort=not screen_on)
@@ -365,13 +394,13 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                 with stagetimer.stage("screen"):
                     h = _screen_dispatch(
                         probs, ep["depths"][cols], ep["alt_counts"][cols],
-                        running_bonf[lo:hi].astype(np.float64), conf)
-            nxt = (lo, hi, cols, probs, h)
+                        running_bonf[sel].astype(np.float64), conf)
+            nxt = (sel, cols, probs, h)
         if pending is not None:
-            plo, phi, pcols, pprobs, ph = pending
-            pvalues[plo:phi] = _snpcaller_with_screen(
+            psel, pcols, pprobs, ph = pending
+            pvalues[psel] = _snpcaller_with_screen(
                 pprobs, ep["depths"][pcols], ep["alt_counts"][pcols],
-                running_bonf[plo:phi].astype(np.float64), conf,
+                running_bonf[psel].astype(np.float64), conf,
                 presorted=not screen_on, screen_handle=ph,
                 screen_dispatched=screen_on,
             )
@@ -737,21 +766,20 @@ def _call_indels_batch(batch: ColumnBatch, conf: VarcallConf,
     if E == 0:
         return
     # pass 2: one screened batch DP over all pending events, chunked to
-    # bound the packed-matrix footprint
-    CHUNK = 4096
+    # bound the packed-matrix footprint (depth-bucketed so one deep
+    # event column can't inflate the whole chunk, _depth_chunks)
     pvals = np.empty(E, dtype=np.longdouble)
-    for lo in range(0, E, CHUNK):
-        hi = min(lo + CHUNK, E)
-        depths = np.array([len(p) for p in pend_probs[lo:hi]],
-                          dtype=np.int64)
+    all_depths = np.array([len(p) for p in pend_probs], dtype=np.int64)
+    for sel in _depth_chunks(all_depths):
+        depths = all_depths[sel]
         Dmax = max(int(depths.max()), 1)
-        probs = np.full((hi - lo, Dmax), 2.0, dtype=np.float64)
-        for j, p in enumerate(pend_probs[lo:hi]):
-            probs[j, : len(p)] = p
-        alt_counts = np.zeros((hi - lo, 3), dtype=np.int64)
-        alt_counts[:, 0] = [m[3].count for m in pend_meta[lo:hi]]
-        bonfs = np.array([float(m[4]) for m in pend_meta[lo:hi]])
-        pvals[lo:hi] = _snpcaller_with_screen(
+        probs = np.full((len(sel), Dmax), 2.0, dtype=np.float64)
+        for j, k in enumerate(sel):
+            probs[j, : all_depths[k]] = pend_probs[k]
+        alt_counts = np.zeros((len(sel), 3), dtype=np.int64)
+        alt_counts[:, 0] = [pend_meta[k][3].count for k in sel]
+        bonfs = np.array([float(pend_meta[k][4]) for k in sel])
+        pvals[sel] = _snpcaller_with_screen(
             probs, depths, alt_counts, bonfs, conf)[:, 0]
 
     for (c, key, is_ins, ev, bonf), pv in zip(pend_meta, pvals):

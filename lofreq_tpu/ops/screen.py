@@ -255,10 +255,20 @@ def _mode_memo_read() -> int:
 
     try:
         pth = _mode_memo_path()
-        if time.time() - os.stat(pth).st_mtime > 24 * 3600:
+        age = time.time() - os.stat(pth).st_mtime
+        if age > 24 * 3600:
             return 0
         with open(pth) as fh:
-            return int(json.load(fh).get("rank", 0))
+            rank = int(json.load(fh).get("rank", 0))
+        # two different facts with different lifetimes: pallas->xla
+        # (rank 1) is a genuine backend property on tunneled chips — the
+        # remote Mosaic compile reliably blows the deadline — and keeps
+        # the 24h TTL; fully-OFF (rank >= 2) is usually transient host
+        # contention stalling the XLA compile RPC, so after 30 min retry
+        # from the xla rung instead of staying dark for a day
+        if rank >= 2 and age > 1800:
+            return 1
+        return rank
     except Exception:
         return 0
 
@@ -360,6 +370,28 @@ class _ScreenManager:
 
 _manager = _ScreenManager()
 
+# real dispatch accounting: "did the device screen actually run during
+# this process" — the stage timer can't tell (the stage wraps the call
+# even when it returns None instantly).  bench.py reports these.
+DISPATCH_STATS = {"dispatched": 0, "unavailable": 0}
+
+
+def screen_ready(B: int = 4096, s: int = None) -> bool:
+    """True when the production screen shape is compiled and live (the
+    manager compiles it under the deadline on first ask).  The device-BAQ
+    screening mode REQUIRES this: with no screen, every alt column
+    becomes an exact-confirm candidate and the mode degenerates into a
+    slower exact pass — callers must fall back to the plain exact path
+    instead (call_pipeline.run_call)."""
+    import jax
+
+    if s is None:
+        s = TOP_S
+    if jax.default_backend() == "cpu":
+        B = _bucket_b(min(B, 1024))
+        s = min(s, TOP_S)
+    return _manager.get(B, s) is not None
+
 
 def screen_dispatch(probs, depths, ks, bonf, sig):
     """Pack + quantize + ISSUE the device screen for one chunk; returns
@@ -392,7 +424,9 @@ def screen_dispatch(probs, depths, ks, bonf, sig):
         Bp = max(Bp, 4096)
     fn = _manager.get(Bp, s)
     if fn is None:
+        DISPATCH_STATS["unavailable"] += 1
         return None
+    DISPATCH_STATS["dispatched"] += 1
     prefix = np.full((Bp, s), 2.0, dtype=np.float64)
     depths_p = np.zeros(Bp, dtype=np.int32)
     if D > s:

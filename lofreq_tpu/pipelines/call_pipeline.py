@@ -353,12 +353,21 @@ def run_call(
             device_baq = None
             screen_ctx = None
             if vconf.device_baq_on(pconf) and pconf.bed is None:
-                from ..defaults import BAQ_SCREEN_DELTA
-                from ..ops.device_baq import get_runner
+                # HARD requirement: the screen must be compiled and
+                # live.  With a dead screen every alt column becomes an
+                # exact-confirm candidate and the screening mode
+                # degenerates into a SLOWER exact pass (re-ingest + C
+                # BAQ per candidate cluster); the plain exact path is
+                # the correct fallback.
+                from ..ops.screen import screen_ready
 
-                device_baq = get_runner(ext_baq=pconf.ext_baq)
-                vconf.baq_screen_bias = BAQ_SCREEN_DELTA
-                screen_ctx = []
+                if screen_ready():
+                    from ..defaults import BAQ_SCREEN_DELTA
+                    from ..ops.device_baq import get_runner
+
+                    device_baq = get_runner(ext_baq=pconf.ext_baq)
+                    vconf.baq_screen_bias = BAQ_SCREEN_DELTA
+                    screen_ctx = []
             for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
                                                 rstart, rend, window=WINDOW,
                                                 vconf=vconf,
