@@ -57,6 +57,13 @@ class VarcallConf:
     # screening merge applies to approximate BAQ values.
     use_device_baq: bool | None = None
     baq_screen_bias: int = 0
+    # host no-BAQ screening: the column sweep skips the C BAQ entirely
+    # and merges err probs WITHOUT the BAQ term — each is a per-base
+    # lower bound of the exact merged prob (BAQ = a min against bq, it
+    # can only raise the err prob), so the top-k product prescreen
+    # stays a valid lower bound and survivors are re-scored exactly
+    # (confirm_snv_candidates runs the C BAQ on candidate clusters only)
+    baq_screen_null: bool = False
 
     def __post_init__(self):
         # the reference stores sig as a C float (snpcaller.h:53), so every
@@ -71,28 +78,32 @@ class VarcallConf:
             return device_screen_default()
         return self.use_device_screen
 
-    def device_baq_on(self, pconf) -> bool:
-        """Device-BAQ screening mode: requires the fused column path,
-        default joint-qual filters (so the tested-column set and dynamic
-        Bonferroni sequence are BAQ-independent), BAQ in use, and a
-        usable device screen (the screen is what keeps the exact
-        confirmation set small).
+    def baq_screen_config_ok(self, pconf) -> bool:
+        """Config gate shared by BOTH BAQ-screening engines (device and
+        host no-BAQ): the fused column path, default joint-qual filters
+        (so the tested-column set and dynamic Bonferroni sequence are
+        BAQ-independent), BAQ in use, and SNV tests happening at all.
 
         --call-indels is covered: BAQ feeds only the SNV merge, while
         indel err probs come from iq/dq + IDAQ + mq/sq — and the native
-        ingest computes IDAQ with the exact C HMM regardless of a
-        spliced device BAQ (csrc/ingest.c want_baq/want_idaq are
+        ingest computes IDAQ with the exact C HMM regardless of the
+        screening engine (csrc/ingest.c want_baq/want_idaq are
         independent), so indel quals never see the approximation.
         only_indels runs no SNV tests at all, so there is nothing to
         screen."""
-        if self.use_device_baq is False:
-            return False
         from ..pileup.fast_columns import supports_fused
 
-        ok = (pconf.use_baq and not self.only_indels
-              and self.min_jq == 0 and self.min_alt_jq == 0
-              and supports_fused(self))
-        if not ok:
+        return (pconf.use_baq and not self.only_indels
+                and self.min_jq == 0 and self.min_alt_jq == 0
+                and supports_fused(self))
+
+    def device_baq_on(self, pconf) -> bool:
+        """Device-BAQ screening mode: the shared config gate plus a
+        usable device screen (the screen is what keeps the exact
+        confirmation set small)."""
+        if self.use_device_baq is False:
+            return False
+        if not self.baq_screen_config_ok(pconf):
             return False
         if self.use_device_baq:
             return True
@@ -375,11 +386,14 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
         return
 
     pvalues = np.full((n_test, 3), PH.LDBL_MAX, dtype=np.longdouble)
-    # with the screen on, pack unsorted and sort only the rows that
-    # survive screening (the screen is permutation invariant; the
-    # reference qsort is only observable through the exact DP).
-    # Software-pipelined like the screening pass above: chunk N+1's
-    # screen is in flight while chunk N runs its exact host DP.
+    # pack UNSORTED always and sort only the rows that reach the exact
+    # DP: both the device screen and the Poisson approximation
+    # pre-filter (snpcaller.c:1128-1142) are permutation invariant, and
+    # the reference's eps-comparator qsort is only observable through
+    # the exact DP — so the qsort runs on the (few) surviving candidate
+    # rows inside _snpcaller_with_screen instead of every tested column.
+    # Software-pipelined: chunk N+1's screen is in flight while chunk N
+    # runs its exact host DP.
     screen_on = conf.device_screen_on()
     pending = None
     for sel in _depth_chunks(d_tested) + [None]:
@@ -388,7 +402,7 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
             cols = order_idx[sel]
             with stagetimer.stage("pack_sort"):
                 probs = pack_probs(ep["flat_probs"], ep["starts"],
-                                   ep["depths"], cols, sort=not screen_on)
+                                   ep["depths"], cols, sort=False)
             h = None
             if screen_on:
                 with stagetimer.stage("screen"):
@@ -401,7 +415,7 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
             pvalues[psel] = _snpcaller_with_screen(
                 pprobs, ep["depths"][pcols], ep["alt_counts"][pcols],
                 running_bonf[psel].astype(np.float64), conf,
-                presorted=not screen_on, screen_handle=ph,
+                presorted=False, screen_handle=ph,
                 screen_dispatched=screen_on,
             )
         pending = nxt
@@ -467,11 +481,58 @@ def _screen_finish(handle, probs, depths, alt_counts, bonf,
             mu = np.where(valid, probs, 0.0).sum(axis=1)
             approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
             run_mask &= ~(deep & (approx * bonf > conf.sig))
+    if B:
+        run_mask &= _topk_prescreen(probs, ks, bonf, conf.sig)
     if handle is not None:
         from ..ops.screen import screen_fetch
 
         run_mask = run_mask & screen_fetch(handle)
     return run_mask
+
+
+_TOPK_MAX = 64
+
+
+def _topk_prescreen(probs, ks, bonf, sig) -> np.ndarray:
+    """Keep-mask from a mathematically safe host pre-screen: the
+    Poisson-binomial tail P(X >= k) is bounded below by the probability
+    that the k most error-prone reads ALL err, i.e. the product of the
+    top-k err probs.  A column whose lower bound already fails the
+    significance test (lb * bonf > sig) provably gets no emission from
+    the reference's exact DP either (it emits on pv*bonf < sig,
+    lofreq_call.c:820-838, and pv >= lb), so skipping its qsort + DP is
+    output-identical.  This is what makes the default conf fast: the
+    reference ships with no pre-filter at all (approx_threshold_n = -1)
+    and sorts + DPs every covered column.
+
+    Works unchanged on the device-BAQ screening path's deflated probs
+    (per-base lower bounds -> the product is still a lower bound).
+    Rows with k > _TOPK_MAX or k < 1 are kept unconditionally; a 0.5
+    safety factor absorbs f64 product rounding vs the DP's longdouble.
+    """
+    B, D = probs.shape
+    if B == 0:
+        return np.ones(0, bool)
+    ks = np.asarray(ks, dtype=np.int64)
+    kmax = int(min(max(int(ks.max(initial=1)), 1), _TOPK_MAX))
+    valid = probs <= 1.0  # the 2.0 pad and invalid markers drop out
+    arr = np.where(valid, probs, 0.0)
+    if D > kmax:
+        top = np.partition(arr, D - kmax, axis=1)[:, D - kmax:]
+    else:
+        top = arr.copy()
+    top.sort(axis=1)
+    with np.errstate(divide="ignore"):
+        lg = np.log(top[:, ::-1])  # descending
+    csum = np.cumsum(lg, axis=1)
+    k_idx = np.clip(np.minimum(ks, kmax) - 1, 0, csum.shape[1] - 1)
+    lb_log = csum[np.arange(B), k_idx]
+    bounded = (ks >= 1) & (ks <= _TOPK_MAX)
+    with np.errstate(divide="ignore"):
+        discard = bounded & (
+            lb_log + np.log(np.asarray(bonf, dtype=np.float64))
+            + np.log(0.5) > np.log(np.float64(sig)))
+    return ~discard
 
 
 def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf,
@@ -504,6 +565,9 @@ def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf,
             mu = np.where(valid, probs, 0.0).sum(axis=1)
             approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
             run_mask &= ~(deep & (approx * bonf > conf.sig))
+    if B:
+        with stagetimer.stage("prescreen"):
+            run_mask &= _topk_prescreen(probs, ks, bonf, conf.sig)
     if screen_dispatched:
         # the pipelined caller already issued this chunk's screen; a
         # None handle means the screen was unavailable (every column
@@ -598,6 +662,7 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
         return out
     vc = copy.copy(conf)
     vc.baq_screen_bias = 0
+    vc.baq_screen_null = False    # exact BAQ merge in the rebuild
     vc.use_device_screen = False  # tiny batches: exact DP directly
     cands = sorted(set(cands))
     # merge candidates into one interval only when they can share reads

@@ -345,8 +345,15 @@ class _ScreenManager:
             from concurrent.futures import TimeoutError as _TO
 
             ex = ThreadPoolExecutor(1)
+            # locally-attached chips compile Mosaic in seconds; only the
+            # tunneled remote service takes minutes — so the pallas rung
+            # gets a short first-try budget and degrades to xla quickly
+            # instead of burning the full deadline on every fresh machine
+            ddl = compile_deadline()
+            if mode == "pallas":
+                ddl = min(ddl, 75.0)
             try:
-                got = ex.submit(_warm).result(timeout=compile_deadline())
+                got = ex.submit(_warm).result(timeout=ddl)
                 self._fns[key] = got
                 return got
             except _TO:

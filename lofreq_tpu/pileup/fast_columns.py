@@ -46,7 +46,9 @@ def colconf_struct(pconf: PileupConf, vconf) -> _ColConf:
         def_alt_bq=vconf.def_alt_bq,
         min_jq=vconf.min_jq, min_alt_jq=vconf.min_alt_jq,
         def_alt_jq=vconf.def_alt_jq,
-        use_baq=1 if vconf.use_baq else 0,
+        use_baq=1 if (vconf.use_baq
+                      and not getattr(vconf, "baq_screen_null", False))
+        else 0,
         use_mq=1 if vconf.use_mq else 0,
         use_sq=1 if vconf.use_sq else 0,
         min_plp_idq=pconf.min_plp_idq,

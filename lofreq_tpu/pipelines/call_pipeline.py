@@ -8,6 +8,7 @@ filter chain runs in-process at the end.
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -100,7 +101,7 @@ def _window_batches(reads_iter, chrom, ref, pconf: PileupConf,
 
 def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
                            window=WINDOW, vconf=None, ign_pos=None,
-                           device_baq=None):
+                           device_baq=None, keep_raw=False):
     """Yield ColumnBatches via the native ingest engine (csrc/ingest.c)."""
     import numpy as _np
 
@@ -123,7 +124,13 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    PIPE_DEPTH = 2 if device_baq is not None else 1
+    # depth 1 measured best on 4-core hosts: the device-BAQ wait is tiny
+    # once the runner is warm (~0.1s/window vs ~10s of sweep), while a
+    # second in-flight window doubles thread pressure on the sweep's
+    # pthread stripes (19.1s vs 15.2s of ingest.columns for the same
+    # work, BENCH r4 experiments)
+    PIPE_DEPTH = int(__import__("os").environ.get(
+        "LOFREQ_TPU_PIPE_DEPTH", "1"))
     ex = ThreadPoolExecutor(PIPE_DEPTH)
     rdr_lock = threading.Lock()
 
@@ -178,19 +185,19 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
             batch, ok = build_snv_batch_fused(
                 rdr, ref, chrom, tid, b, e, pconf, vconf, raw=raw,
                 ign_pos=ign_arr, device_baq=device_baq, pool=col_pool,
-                keep_raw=device_baq is not None or want_indels,
+                keep_raw=keep_raw or want_indels,
                 skip_consindel_gate=want_indels)
         if ok and batch is not None and want_indels:
             with stagetimer.stage("indel_attach"):
                 _attach_sparse(batch, b, e)
-            if device_baq is None:
+            if not keep_raw:
                 batch.raw = None    # only kept for the sparse re-ingest
         if not ok:
             # rare: a consensus-indel recheck needs per-event rows
             rows = ingest_region(rdr, pconf, ref, tid, beg=b, end=e,
                                  raw=raw, ign_pos=ign_arr,
                                  device_baq=device_baq, pool=row_pool,
-                                 keep_raw=device_baq is not None)
+                                 keep_raw=keep_raw)
             from ..pileup.fast_columns import build_snv_batch
 
             batch = build_snv_batch(rows, rows.raw_flags, b, e, ref,
@@ -205,7 +212,7 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
         return ex.submit(ingest_region, rdr, pconf, ref, tid,
                          beg=max(w, lo), end=min(w + window, hi),
                          ign_pos=ign_arr, device_baq=device_baq,
-                         pool=row_pool, keep_raw=device_baq is not None)
+                         pool=row_pool, keep_raw=keep_raw)
 
     from ..core import stagetimer
 
@@ -352,27 +359,47 @@ def run_call(
                 chrom_ign = ign_pos.get(chrom)
             device_baq = None
             screen_ctx = None
-            if vconf.device_baq_on(pconf) and pconf.bed is None:
-                # HARD requirement: the screen must be compiled and
-                # live.  With a dead screen every alt column becomes an
-                # exact-confirm candidate and the screening mode
-                # degenerates into a SLOWER exact pass (re-ingest + C
-                # BAQ per candidate cluster); the plain exact path is
-                # the correct fallback.
-                from ..ops.screen import screen_ready
+            sweep_pconf = pconf
+            if pconf.bed is None and vconf.baq_screen_config_ok(pconf) \
+                    and os.environ.get(
+                        "LOFREQ_TPU_BAQ_SCREEN", "1") != "0":
+                engaged = False
+                if vconf.device_baq_on(pconf):
+                    # HARD requirement: the screen must be compiled and
+                    # live.  With a dead screen every alt column becomes
+                    # an exact-confirm candidate and the screening mode
+                    # degenerates into a SLOWER exact pass.
+                    from ..ops.screen import screen_ready
 
-                if screen_ready():
-                    from ..defaults import BAQ_SCREEN_DELTA
-                    from ..ops.device_baq import get_runner
+                    if screen_ready():
+                        from ..defaults import BAQ_SCREEN_DELTA
+                        from ..ops.device_baq import get_runner
 
-                    device_baq = get_runner(ext_baq=pconf.ext_baq)
-                    vconf.baq_screen_bias = BAQ_SCREEN_DELTA
-                    screen_ctx = []
-            for batch in _native_window_batches(rdr, tid, chrom, ref, pconf,
+                        device_baq = get_runner(ext_baq=pconf.ext_baq)
+                        vconf.baq_screen_bias = BAQ_SCREEN_DELTA
+                        engaged = True
+                if not engaged:
+                    # host no-BAQ screening: the sweep skips the C BAQ
+                    # (its err probs are per-base lower bounds), the
+                    # top-k product prescreen discards provably
+                    # insignificant columns, and candidate clusters are
+                    # re-scored with the exact C BAQ — works on any
+                    # backend, no device needed
+                    import copy as _copy
+
+                    vconf.baq_screen_null = True
+                    sweep_pconf = _copy.copy(pconf)
+                    sweep_pconf.use_baq = False
+                    engaged = True
+                screen_ctx = []
+            for batch in _native_window_batches(rdr, tid, chrom, ref,
+                                                sweep_pconf,
                                                 rstart, rend, window=WINDOW,
                                                 vconf=vconf,
                                                 ign_pos=chrom_ign,
-                                                device_baq=device_baq):
+                                                device_baq=device_baq,
+                                                keep_raw=screen_ctx
+                                                is not None):
                 vs = call_vars_batch(batch, vconf, res.stats,
                                      screen_ctx=screen_ctx)
                 if screen_ctx:
