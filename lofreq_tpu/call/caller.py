@@ -98,20 +98,17 @@ class VarcallConf:
                 and supports_fused(self))
 
     def device_baq_on(self, pconf) -> bool:
-        """Device-BAQ screening mode: the shared config gate plus a
-        usable device screen (the screen is what keeps the exact
-        confirmation set small)."""
-        if self.use_device_baq is False:
-            return False
-        if not self.baq_screen_config_ok(pconf):
-            return False
-        if self.use_device_baq:
-            return True
-        if not self.device_screen_on():
-            return False
-        from ..ops.device_baq import device_baq_worthwhile
+        """Device-BAQ screening mode (explicit --device-baq only): the
+        shared config gate plus a usable device screen.
 
-        return device_baq_worthwhile()
+        Auto mode resolves to OFF since the host no-BAQ screening
+        engine made the device variant redundant: both feed the same
+        exact confirm pass, but skipping the BAQ merge costs nothing
+        while the device run pays extract + transfer + kernel time
+        (measured 3.8s/run vs 0 on the r4 bench workload)."""
+        if not self.use_device_baq:
+            return False
+        return self.baq_screen_config_ok(pconf)
 
 
 @dataclass
@@ -359,26 +356,28 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
         # chunk N's mask is fetched, so device compute + transfers hide
         # behind the host-side pack of the next chunk (jax dispatch is
         # asynchronous; only the fetch blocks)
-        pending = None  # (sel, cols, probs, handle)
+        pending = None  # (sel, cols, host_mask, sub_handle)
         for sel in _depth_chunks(d_tested) + [None]:
             nxt = None
             if sel is not None:
                 cols = order_idx[sel]
+                bonf_f = running_bonf[sel].astype(np.float64)
                 with stagetimer.stage("pack_sort"):
                     probs = pack_probs(ep["flat_probs"], ep["starts"],
                                        ep["depths"], cols, sort=False)
-                with stagetimer.stage("screen"):
-                    h = _screen_dispatch(
+                with stagetimer.stage("prescreen"):
+                    host_mask = _host_candidate_mask(
                         probs, ep["depths"][cols], ep["alt_counts"][cols],
-                        running_bonf[sel].astype(np.float64), conf)
-                nxt = (sel, cols, probs, h)
-            if pending is not None:
-                psel, pcols, pprobs, ph = pending
+                        bonf_f, conf)
                 with stagetimer.stage("screen"):
-                    cand = _screen_finish(
-                        ph, pprobs, ep["depths"][pcols],
-                        ep["alt_counts"][pcols],
-                        running_bonf[psel].astype(np.float64), conf)
+                    sub = _screen_dispatch_sub(
+                        probs, ep["depths"][cols], ep["alt_counts"][cols],
+                        bonf_f, conf, host_mask)
+                nxt = (sel, cols, host_mask, sub)
+            if pending is not None:
+                psel, pcols, pmask, psub = pending
+                with stagetimer.stage("screen"):
+                    cand = _screen_apply(pmask, psub)
                 for j in np.nonzero(cand)[0]:
                     screen_ctx.append((int(batch.positions[pcols[j]]),
                                        int(running_bonf[psel[j]])))
@@ -394,29 +393,32 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
     # rows inside _snpcaller_with_screen instead of every tested column.
     # Software-pipelined: chunk N+1's screen is in flight while chunk N
     # runs its exact host DP.
-    screen_on = conf.device_screen_on()
     pending = None
     for sel in _depth_chunks(d_tested) + [None]:
         nxt = None
         if sel is not None:
             cols = order_idx[sel]
+            bonf_f = running_bonf[sel].astype(np.float64)
             with stagetimer.stage("pack_sort"):
                 probs = pack_probs(ep["flat_probs"], ep["starts"],
                                    ep["depths"], cols, sort=False)
-            h = None
-            if screen_on:
-                with stagetimer.stage("screen"):
-                    h = _screen_dispatch(
-                        probs, ep["depths"][cols], ep["alt_counts"][cols],
-                        running_bonf[sel].astype(np.float64), conf)
-            nxt = (sel, cols, probs, h)
+            with stagetimer.stage("prescreen"):
+                host_mask = _host_candidate_mask(
+                    probs, ep["depths"][cols], ep["alt_counts"][cols],
+                    bonf_f, conf)
+            with stagetimer.stage("screen"):
+                sub = _screen_dispatch_sub(
+                    probs, ep["depths"][cols], ep["alt_counts"][cols],
+                    bonf_f, conf, host_mask)
+            nxt = (sel, cols, probs, host_mask, sub)
         if pending is not None:
-            psel, pcols, pprobs, ph = pending
+            psel, pcols, pprobs, pmask, psub = pending
+            with stagetimer.stage("screen"):
+                run_mask = _screen_apply(pmask, psub)
             pvalues[psel] = _snpcaller_with_screen(
                 pprobs, ep["depths"][pcols], ep["alt_counts"][pcols],
                 running_bonf[psel].astype(np.float64), conf,
-                presorted=False, screen_handle=ph,
-                screen_dispatched=screen_on,
+                presorted=False, precomputed_mask=run_mask,
             )
         pending = nxt
 
@@ -452,23 +454,12 @@ def _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf):
             )
 
 
-def _screen_dispatch(probs, depths, alt_counts, bonf, conf: VarcallConf):
-    """Issue the device screen for a chunk (asynchronous; see
-    ops/screen.py:screen_dispatch).  None = screen off/unavailable."""
-    if not conf.device_screen_on():
-        return None
-    from ..ops.screen import screen_dispatch
-
-    ks = alt_counts.max(axis=1)
-    return screen_dispatch(probs, depths, ks, bonf, conf.sig)
-
-
-def _screen_finish(handle, probs, depths, alt_counts, bonf,
-                   conf: VarcallConf):
-    """Fetch a dispatched screen's mask and apply the host pre-filters
-    (the candidate filter of _snpcaller_with_screen without the exact
-    DP).  handle None = screen unavailable: every column with alt bases
-    stays a candidate."""
+def _host_candidate_mask(probs, depths, alt_counts, bonf,
+                         conf: VarcallConf) -> np.ndarray:
+    """The host candidate filter: alt bases present, the reference's
+    optional Poisson approximation (snpcaller.c:1128-1142), and the
+    top-k product lower bound (_topk_prescreen).  All permutation
+    invariant, all only ever discard provably-insignificant columns."""
     B = probs.shape[0]
     ks = alt_counts.max(axis=1)
     run_mask = ks > 0
@@ -483,11 +474,42 @@ def _screen_finish(handle, probs, depths, alt_counts, bonf,
             run_mask &= ~(deep & (approx * bonf > conf.sig))
     if B:
         run_mask &= _topk_prescreen(probs, ks, bonf, conf.sig)
-    if handle is not None:
-        from ..ops.screen import screen_fetch
-
-        run_mask = run_mask & screen_fetch(handle)
     return run_mask
+
+
+def _screen_dispatch_sub(probs, depths, alt_counts, bonf,
+                         conf: VarcallConf, host_mask):
+    """Issue the device screen for the HOST-MASK SURVIVORS only
+    (asynchronous, ops/screen.py:screen_dispatch): the top-k prescreen
+    already discards the overwhelming majority of columns for free, so
+    the device only sees — and the link only carries — the handful of
+    borderline rows.  Returns (survivor_indices, handle) or None."""
+    if not conf.device_screen_on():
+        return None
+    sidx = np.nonzero(host_mask)[0]
+    if not len(sidx):
+        return None
+    from ..ops.screen import screen_dispatch
+
+    ks = alt_counts.max(axis=1)
+    h = screen_dispatch(probs[sidx], depths[sidx], ks[sidx], bonf[sidx],
+                        conf.sig)
+    if h is None:
+        return None
+    return (sidx, h)
+
+
+def _screen_apply(host_mask, sub):
+    """Combine a host candidate mask with a dispatched sub-screen's
+    fetched verdicts (None = screen off/unavailable: host mask rules)."""
+    if sub is None:
+        return host_mask
+    sidx, h = sub
+    from ..ops.screen import screen_fetch
+
+    mask = host_mask.copy()
+    mask[sidx[~screen_fetch(h)]] = False
+    return mask
 
 
 _TOPK_MAX = 64
@@ -536,53 +558,35 @@ def _topk_prescreen(probs, ks, bonf, sig) -> np.ndarray:
 
 
 def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf,
-                           presorted=True, screen_handle=None,
-                           screen_dispatched=False):
-    """snpcaller over packed columns, with optional TPU pre-screen.
+                           presorted=True, precomputed_mask=None):
+    """snpcaller over packed columns, candidate-filtered first.
 
-    The screen computes a conservative f32 estimate of the max-count tail
-    p-value for every column on device; only plausible candidates go through
-    the exact native DP.  Disabled -> all columns exact.
+    The host candidate mask (alt present + Poisson approx + top-k lower
+    bound) and the optional device sub-screen discard columns that
+    provably get no emission; only survivors run the exact native DP.
 
-    presorted=False: rows are packed unsorted (screen path); the
-    reference's eps-comparator qsort is applied only to the candidate rows
-    that reach the exact DP.
+    presorted=False: rows are packed unsorted; the reference's
+    eps-comparator qsort is applied only to the candidate rows that
+    reach the exact DP (it is only observable through the DP).
+
+    precomputed_mask: the pipelined caller already combined host mask +
+    device sub-screen for this chunk (call_snvs_batch).
     """
     from ..core import stagetimer
 
     B = probs.shape[0]
     pvalues = np.full((B, 3), PH.LDBL_MAX, dtype=np.longdouble)
     ks = alt_counts.max(axis=1)
-    run_mask = ks > 0
-    if conf.approx_threshold_n > 0 and B:
-        # Poisson approximation pre-filter (snpcaller.c:1128-1142): skip
-        # columns whose approximate tail is already insignificant
-        from scipy.stats import poisson
-
-        deep = depths > conf.approx_threshold_n
-        if np.any(deep):
-            valid = probs <= 1.0
-            mu = np.where(valid, probs, 0.0).sum(axis=1)
-            approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
-            run_mask &= ~(deep & (approx * bonf > conf.sig))
-    if B:
+    if precomputed_mask is not None:
+        run_mask = precomputed_mask
+    else:
         with stagetimer.stage("prescreen"):
-            run_mask &= _topk_prescreen(probs, ks, bonf, conf.sig)
-    if screen_dispatched:
-        # the pipelined caller already issued this chunk's screen; a
-        # None handle means the screen was unavailable (every column
-        # stays candidate)
-        if screen_handle is not None:
-            from ..ops.screen import screen_fetch
-
-            with stagetimer.stage("screen"):
-                run_mask = run_mask & screen_fetch(screen_handle)
-    elif B and conf.device_screen_on():
-        from ..ops.screen import screen_candidates
-
+            run_mask = _host_candidate_mask(probs, depths, alt_counts,
+                                            bonf, conf)
         with stagetimer.stage("screen"):
-            cand = screen_candidates(probs, depths, ks, bonf, conf.sig)
-        run_mask = run_mask & cand
+            run_mask = _screen_apply(
+                run_mask, _screen_dispatch_sub(probs, depths, alt_counts,
+                                               bonf, conf, run_mask))
     idx = np.nonzero(run_mask)[0]
     if len(idx) == 0:
         return pvalues
@@ -608,34 +612,6 @@ def _snpcaller_with_screen(probs, depths, alt_counts, bonf, conf: VarcallConf,
         ts = probvec_tailsum_batch(state[sel], counts[sel], sub_ks[sel])
         pvalues[idx[sel], i] = _exp_longdouble(ts)
     return pvalues
-
-
-def _screen_mask(probs, depths, alt_counts, bonf, conf: VarcallConf):
-    """The candidate filter of _snpcaller_with_screen without the exact DP:
-    True = column could be significant and needs exact confirmation.
-    With deflated (lower-bound) probs both filters only ever discard
-    columns whose exact p-value is guaranteed insignificant."""
-    B = probs.shape[0]
-    ks = alt_counts.max(axis=1)
-    run_mask = ks > 0
-    if conf.approx_threshold_n > 0 and B:
-        from scipy.stats import poisson
-
-        deep = depths > conf.approx_threshold_n
-        if np.any(deep):
-            valid = probs <= 1.0
-            mu = np.where(valid, probs, 0.0).sum(axis=1)
-            approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
-            run_mask &= ~(deep & (approx * bonf > conf.sig))
-    if B and conf.device_screen_on():
-        from ..ops.screen import screen_candidates
-
-        from ..core import stagetimer
-
-        with stagetimer.stage("screen"):
-            cand = screen_candidates(probs, depths, ks, bonf, conf.sig)
-        run_mask = run_mask & cand
-    return run_mask
 
 
 def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
