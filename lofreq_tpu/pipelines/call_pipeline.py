@@ -360,6 +360,11 @@ def run_call(
             device_baq = None
             screen_ctx = None
             sweep_pconf = pconf
+            # a reused conf object may carry the flag from a previous
+            # run_call whose gates passed; without screening engaged it
+            # would silently drop BAQ from the merge with no confirm
+            vconf.baq_screen_null = False
+            vconf.baq_screen_bias = 0
             if pconf.bed is None and vconf.baq_screen_config_ok(pconf) \
                     and os.environ.get(
                         "LOFREQ_TPU_BAQ_SCREEN", "1") != "0":

@@ -152,3 +152,27 @@ def test_extract_reads_eligibility(tmp_path):
         if isinstance(art.get("genome"), (bytes, bytearray)) else None
     assert codes[idx].max() <= 4
     assert quals[idx].min() >= 2
+
+
+def test_conf_reuse_after_screening_run(tmp_path):
+    """A conf object that engaged the no-BAQ screening engine must not
+    leak baq_screen_null into a later run whose gates fail (e.g. a BED
+    run): that would drop BAQ from the merge with no exact confirm."""
+    from lofreq_tpu.io.bed import BedIndex
+
+    art = simulate(str(tmp_path), genome_len=12000, depth=60, seed=21)
+    bed = tmp_path / "t.bed"
+    bed.write_text(f"{art['chrom']}\t1000\t9000\n")
+    conf = VarcallConf()
+    run_call(art["bam"], art["fa"], vconf=conf)  # engages screening
+    # the dynamic-Bonferroni counters legitimately accumulate on a
+    # reused conf (the reference struct does too); reset them so the
+    # comparison isolates the baq_screen_null leak
+    conf.bonf_subst = 1
+    conf.bonf_indel = 1
+    reused = run_call(art["bam"], art["fa"], vconf=conf,
+                      bed=BedIndex.read(str(bed)))
+    fresh = run_call(art["bam"], art["fa"], vconf=VarcallConf(),
+                     bed=BedIndex.read(str(bed)))
+    assert _vars_key(reused.vars) == _vars_key(fresh.vars)
+    assert len(fresh.vars) > 0
