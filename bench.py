@@ -122,7 +122,12 @@ def device_run(art):
     from lofreq_tpu.ops.screen import device_screen_default, screen_ready
 
     if device_screen_default():
-        screen_ready()          # compile (or cache-hit) the screen now
+        # compile (or cache-hit) the screen now, blocking generously:
+        # tunneled remote compiles measured 30s-300s+ for the SAME
+        # program within minutes, and timed runs must not start with a
+        # half-compiled screen (its compile thread steals host CPU and
+        # every prescreen survivor lands on the exact confirm)
+        screen_ready(wait_s=600)
     # warm-up: same depth/read-length -> compiles the same kernel buckets
     run_call(art["bam"], art["fa"], region=f"{chrom}:1-6000",
              vconf=VarcallConf())

@@ -479,36 +479,50 @@ def _host_candidate_mask(probs, depths, alt_counts, bonf,
 
 def _screen_dispatch_sub(probs, depths, alt_counts, bonf,
                          conf: VarcallConf, host_mask):
-    """Issue the device screen for the HOST-MASK SURVIVORS only
-    (asynchronous, ops/screen.py:screen_dispatch): the top-k prescreen
-    already discards the overwhelming majority of columns for free, so
-    the device only sees — and the link only carries — the handful of
-    borderline rows.  Returns (survivor_indices, handle) or None."""
-    if not conf.device_screen_on():
-        return None
+    """Issue the sub-screen for the HOST-MASK SURVIVORS only: the top-k
+    prescreen already discards the overwhelming majority of columns for
+    free, so the sub-screen only sees the handful of borderline rows.
+
+    Device available: asynchronous dispatch (ops/screen.py:
+    screen_dispatch — the link only carries the survivors).  Device off
+    or its compile still in flight: the HOST fallback runs the same
+    conservative clipped-K tail DP in numpy f64 (host_screen_tail) —
+    without it every survivor lands on the exact confirm pass (measured
+    10x confirm blow-up on a dark-screen bench run).
+
+    Returns ('dev', sidx, handle) | ('host', sidx, keep) | None."""
     sidx = np.nonzero(host_mask)[0]
     if not len(sidx):
         return None
-    from ..ops.screen import screen_dispatch
-
     ks = alt_counts.max(axis=1)
-    h = screen_dispatch(probs[sidx], depths[sidx], ks[sidx], bonf[sidx],
-                        conf.sig)
-    if h is None:
-        return None
-    return (sidx, h)
+    if conf.device_screen_on():
+        from ..ops.screen import screen_dispatch
+
+        h = screen_dispatch(probs[sidx], depths[sidx], ks[sidx],
+                            bonf[sidx], conf.sig)
+        if h is not None:
+            return ("dev", sidx, h)
+    from ..ops.screen import host_screen_tail
+
+    keep = host_screen_tail(probs[sidx], depths[sidx], ks[sidx],
+                            bonf[sidx], conf.sig)
+    return ("host", sidx, keep)
 
 
 def _screen_apply(host_mask, sub):
-    """Combine a host candidate mask with a dispatched sub-screen's
-    fetched verdicts (None = screen off/unavailable: host mask rules)."""
+    """Combine a host candidate mask with a sub-screen's verdicts
+    (None = no survivors: host mask rules)."""
     if sub is None:
         return host_mask
-    sidx, h = sub
-    from ..ops.screen import screen_fetch
+    kind, sidx, h = sub
+    if kind == "dev":
+        from ..ops.screen import screen_fetch
 
+        keep = screen_fetch(h)
+    else:
+        keep = h
     mask = host_mask.copy()
-    mask[sidx[~screen_fetch(h)]] = False
+    mask[sidx[~keep]] = False
     return mask
 
 

@@ -290,16 +290,31 @@ def _mode_memo_write(rank: int) -> None:
 
 class _ScreenManager:
     """Compiles screens per (B, s) bucket under a deadline, degrading
-    pallas -> xla -> off on stalls.  Compiled fns are cached; `off` is
-    process-wide sticky (every column then takes the exact host path,
-    which is always correct — the screen is an optimization).  The
-    degrade RANK is memoized machine-wide (TTL file): a pallas compile
-    that blows the multi-minute deadline is tried once per machine per
-    day, not once per process."""
+    pallas -> xla -> off on stalls — WITHOUT ever giving up on a compile
+    that is still running.  Tunneled remote compiles are wildly variable
+    (the same (4096,128) program measured 30s and 300s+ within minutes on
+    the dev tunnel), so a blown deadline means "run the host path FOR
+    NOW": the in-flight compile future is kept, every later get() polls
+    it, and the screen comes alive mid-run the moment the compile lands
+    (column batches are independent; late adoption changes no output).
+    Only a compile that FAILS advances the degrade rank, and at most one
+    compile is in flight at a time — two concurrent compiles queue
+    behind each other in the remote service and the second blows its
+    deadline on pure queueing (observed on the r4 bench).  A compile
+    still pending after HARD_ABANDON_S is treated as failed.  The
+    degrade RANK is memoized machine-wide (TTL file) so the next process
+    skips a rung this machine's service already proved pathological."""
+
+    HARD_ABANDON_S = 900.0
 
     def __init__(self):
         self._fns = {}  # (B, s) -> jitted fn
         self._mode_rank = None  # resolved lazily (index into modes)
+        # at most one in-flight compile: (key, mode_rank, future, t0)
+        self._inflight = None
+        import threading
+
+        self._lock = threading.RLock()
 
     def _modes(self):
         import jax
@@ -309,70 +324,129 @@ class _ScreenManager:
             return ["xla"]
         return ["pallas", "xla"]
 
-    def get(self, B: int, s: int):
-        """Returns a compiled screen fn for (B, s) or None (screen off)."""
-        key = (B, s)
-        if key in self._fns:
-            return self._fns[key]
+    def _submit(self, key, modes):
+        """Start compiling `key` at the current rank (no wait)."""
+        B, s = key
         _jax, jnp = _get_jax()
         mesh = _local_mesh()
-        modes = self._modes()
-        if self._mode_rank is None:
-            # the memoized degrade rank only transfers between processes
-            # with the same mode ladder (accelerator backends); the cpu
-            # test ladder is a different list, and tests pin the gate
-            # cache off anyway
-            self._mode_rank = (_mode_memo_read()
-                               if len(modes) > 1 and os.environ.get(
-                                   "LOFREQ_TPU_GATE_CACHE", "1") != "0"
-                               else 0)
-        while self._mode_rank < len(modes):
-            mode = modes[self._mode_rank]
-            fn = _build_screen_fn(use_pallas=(mode == "pallas"),
-                                  mesh=mesh)
+        mode = modes[self._mode_rank]
+        fn = _build_screen_fn(use_pallas=(mode == "pallas"), mesh=mesh)
 
-            def _warm():
-                # dtypes MUST match screen_candidates' real call exactly:
-                # a signature mismatch would retrace outside this deadline
-                codes = jnp.full((B, s), 255, jnp.uint8)
-                depths = jnp.zeros(B, jnp.int32)
-                ks = jnp.ones(B, jnp.int32)
-                lt = jnp.zeros(B, jnp.float32)
-                np.asarray(fn(codes, depths, ks, lt, s=s))
+        def _warm():
+            # dtypes MUST match screen_candidates' real call exactly:
+            # a signature mismatch would retrace outside this deadline
+            codes = jnp.full((B, s), 255, jnp.uint8)
+            depths = jnp.zeros(B, jnp.int32)
+            ks = jnp.ones(B, jnp.int32)
+            lt = jnp.zeros(B, jnp.float32)
+            np.asarray(fn(codes, depths, ks, lt, s=s))
+            return fn
+
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(1)
+        fut = ex.submit(_warm)
+        ex.shutdown(wait=False)
+        self._inflight = (key, self._mode_rank, fut, time.time())
+        return fut
+
+    def _adopt_or_degrade(self, modes):
+        """Resolve a finished (or hard-stale) in-flight compile.  Returns
+        the adopted fn, or None if still pending / degraded."""
+        import time
+
+        key, rank, fut, t0 = self._inflight
+        if not fut.done():
+            if time.time() - t0 < self.HARD_ABANDON_S:
+                return None
+            # stuck beyond any reasonable queueing: treat as failed (the
+            # thread is abandoned; a success after this point is ignored)
+            log.warning(
+                "device screen: %s compile for shape %s still pending "
+                "after %ds; abandoning", modes[rank], key,
+                int(self.HARD_ABANDON_S))
+            self._inflight = None
+            if rank == self._mode_rank:
+                self._mode_rank += 1
+                _mode_memo_write(self._mode_rank)
+            return None
+        self._inflight = None
+        try:
+            got = fut.result()
+            self._fns[key] = got
+            return got
+        except Exception as e:
+            log.warning(
+                "device screen: %s compile failed (%s); degrading",
+                modes[rank], e)
+            if rank == self._mode_rank:
+                self._mode_rank += 1
+                _mode_memo_write(self._mode_rank)
+            return None
+
+    def get(self, B: int, s: int, wait_s: float = None):
+        """Compiled screen fn for (B, s), or None (not available yet /
+        degraded — the host path covers those columns either way).
+
+        wait_s: block up to this long for the compile (warm-up callers,
+        e.g. bench/screen_ready, pass a generous budget so timed runs
+        start with a live screen); None = the per-rung deadline for a
+        fresh submit, a non-blocking poll for an in-flight one."""
+        from concurrent.futures import TimeoutError as _TO
+
+        with self._lock:
+            fn = self._fns.get((B, s))
+            if fn is not None:
                 return fn
-
-            from concurrent.futures import ThreadPoolExecutor
-            from concurrent.futures import TimeoutError as _TO
-
-            ex = ThreadPoolExecutor(1)
-            # locally-attached chips compile Mosaic in seconds; only the
-            # tunneled remote service takes minutes — so the pallas rung
-            # gets a short first-try budget and degrades to xla quickly
-            # instead of burning the full deadline on every fresh machine
-            ddl = compile_deadline()
-            if mode == "pallas":
-                ddl = min(ddl, 75.0)
-            try:
-                got = ex.submit(_warm).result(timeout=ddl)
-                self._fns[key] = got
-                return got
-            except _TO:
-                log.warning(
-                    "device screen: %s compile for shape (%d, %d) blew the "
-                    "%ds deadline; degrading", mode, B, s,
-                    int(compile_deadline()))
-                self._mode_rank += 1
-                _mode_memo_write(self._mode_rank)
-            except Exception as e:
-                log.warning(
-                    "device screen: %s compile failed (%s); degrading",
-                    mode, e)
-                self._mode_rank += 1
-                _mode_memo_write(self._mode_rank)
-            finally:
-                ex.shutdown(wait=False)
-        self._fns[key] = None
-        return None
+            modes = self._modes()
+            if self._mode_rank is None:
+                # the memoized degrade rank only transfers between
+                # processes with the same mode ladder (accelerator
+                # backends); the cpu test ladder is a different list, and
+                # tests pin the gate cache off anyway
+                self._mode_rank = (_mode_memo_read()
+                                   if len(modes) > 1 and os.environ.get(
+                                       "LOFREQ_TPU_GATE_CACHE", "1") != "0"
+                                   else 0)
+            while True:
+                if self._inflight is not None:
+                    key_i = self._inflight[0]
+                    fut = self._inflight[2]
+                    if wait_s:
+                        try:
+                            fut.exception(timeout=wait_s)
+                        except _TO:
+                            pass
+                    got = self._adopt_or_degrade(modes)
+                    if got is not None and key_i == (B, s):
+                        return got
+                    if self._inflight is not None:
+                        # still pending: host path for now, poll next call
+                        return None
+                    continue  # resolved (other key / degraded): reassess
+                if self._mode_rank >= len(modes):
+                    return None  # fully degraded: screen off
+                mode = modes[self._mode_rank]
+                fut = self._submit((B, s), modes)
+                # first-try budget: locally-attached chips compile in
+                # seconds, so a short wait catches them (and warm disk-
+                # cache hits); tunneled remote compiles can take minutes
+                # and ADOPT LATE instead of stalling a production call —
+                # warm-up callers (bench/screen_ready) pass wait_s to
+                # block through the whole compile deliberately
+                ddl = wait_s if wait_s else min(compile_deadline(), 10.0)
+                try:
+                    fut.exception(timeout=ddl)
+                except _TO:
+                    log.warning(
+                        "device screen: %s compile for shape (%d, %d) "
+                        "still running after %ds; running the host path "
+                        "until it lands", mode, B, s, int(ddl))
+                    return None
+                got = self._adopt_or_degrade(modes)
+                if got is not None:
+                    return got
 
 
 _manager = _ScreenManager()
@@ -383,13 +457,18 @@ _manager = _ScreenManager()
 DISPATCH_STATS = {"dispatched": 0, "unavailable": 0}
 
 
-def screen_ready(B: int = 4096, s: int = None) -> bool:
+def screen_ready(B: int = 4096, s: int = None, wait_s: float = None) -> bool:
     """True when the production screen shape is compiled and live (the
     manager compiles it under the deadline on first ask).  The device-BAQ
     screening mode REQUIRES this: with no screen, every alt column
     becomes an exact-confirm candidate and the mode degenerates into a
     slower exact pass — callers must fall back to the plain exact path
-    instead (call_pipeline.run_call)."""
+    instead (call_pipeline.run_call).
+
+    wait_s: warm-up callers (bench) pass a generous blocking budget so
+    their timed runs start with a live screen; the remote compile's
+    latency is wildly variable and a soft deadline miss otherwise just
+    means the first windows run the host path (late adoption)."""
     import jax
 
     if s is None:
@@ -397,7 +476,7 @@ def screen_ready(B: int = 4096, s: int = None) -> bool:
     if jax.default_backend() == "cpu":
         B = _bucket_b(min(B, 1024))
         s = min(s, TOP_S)
-    return _manager.get(B, s) is not None
+    return _manager.get(B, s, wait_s=wait_s) is not None
 
 
 def screen_dispatch(probs, depths, ks, bonf, sig):
@@ -473,6 +552,47 @@ def screen_fetch(handle) -> np.ndarray:
     """Blocking fetch of a screen_dispatch handle's candidate mask."""
     mask, B = handle
     return np.asarray(mask)[:B]
+
+
+def host_screen_tail(probs, depths, ks, bonf, sig) -> np.ndarray:
+    """Host (numpy f64) mirror of the device screen's clipped-K partial
+    tail DP: True = candidate (needs the exact DP).  Same semantics as
+    screen_body — top-S largest err probs per row (subset tail = lower
+    bound of the full tail), K clipped to KMAX (a clipped tail can rule
+    nothing out beyond it), same MARGIN slack — minus the u8
+    quantization (f64 here, and no link to cross).
+
+    This is the fallback engine when the device screen is unavailable
+    (compile still in flight, thin link, no accelerator): without it,
+    every top-k-prescreen survivor lands on the exact confirm pass
+    (measured 10x confirm blow-up on a dark-screen bench run).  It only
+    ever sees prescreen survivors, so B is small."""
+    probs = np.asarray(probs, dtype=np.float64)
+    B, D = probs.shape
+    if B == 0:
+        return np.ones(0, dtype=bool)
+    ks = np.asarray(ks, dtype=np.int64)
+    kc = np.minimum(np.maximum(ks, 1), KMAX)
+    in_depth = np.arange(D)[None, :] < np.asarray(depths)[:, None]
+    arr = np.where((probs <= 1.0) & in_depth, probs, 0.0)
+    s = min(D, TOP_S)
+    if D > s:
+        arr = np.partition(arr, D - s, axis=1)[:, D - s:]
+    cell = np.arange(KMAX + 1)[None, :]
+    is_tail = cell == kc[:, None]
+    not_beyond = cell <= kc[:, None]
+    state = np.zeros((B, KMAX + 1))
+    state[:, 0] = 1.0
+    for j in range(arr.shape[1]):
+        p = arr[:, j][:, None]
+        shifted = np.concatenate([np.zeros((B, 1)), state[:, :-1]], axis=1)
+        adv = shifted * p
+        tail = state + adv
+        state = np.where(is_tail, tail, state * (1.0 - p) + adv)
+        state *= not_beyond
+    lin_tail = state[np.arange(B), kc]
+    thresh = np.float64(sig) * MARGIN / np.asarray(bonf, dtype=np.float64)
+    return (lin_tail < thresh) | (ks > KMAX)
 
 
 def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
