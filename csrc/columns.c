@@ -68,6 +68,10 @@ typedef struct {
      * (device-BAQ mode; raises the BAQ phred = lowers the err prob, the
      * conservative direction for the candidate screen).  0 = exact. */
     int32_t baq_bias;
+    /* layout parity with ingest.c's icolconf_t (the ctypes struct is
+     * shared); the row path always emits ordered f64 probs and ignores
+     * this flag — only the fused sweep has a screening fast mode. */
+    int32_t screen_flat;
     double mq0_errprob;
 } colconf_t;
 

@@ -135,6 +135,66 @@ void lfq_pack_probs_batch(const double *flat, const int64_t *starts,
         }
 }
 
+/* f32 variant of the pack gather (screening mode, where the column sweep
+ * emits order-free float32 probs: they only feed the prescreen/screen
+ * lower bounds, never the exact DP, so no sort path exists here). */
+typedef struct {
+    const float *flat;
+    const int64_t *starts, *depths, *cols;
+    int64_t B, Dmax;
+    float *out;
+    int tid, nth;
+} pack32_job_t;
+
+static void *pack32_worker(void *arg)
+{
+    pack32_job_t *j = arg;
+    for (int64_t b = j->tid; b < j->B; b += j->nth) {
+        int64_t c = j->cols[b];
+        int64_t d = j->depths[c];
+        if (d > j->Dmax)
+            d = j->Dmax;
+        float *row = j->out + b * j->Dmax;
+        memcpy(row, j->flat + j->starts[c], (size_t)d * sizeof(float));
+        for (int64_t i = d; i < j->Dmax; i++)
+            row[i] = 2.0f;
+    }
+    return NULL;
+}
+
+void lfq_pack_probs_batch_f32(const float *flat, const int64_t *starts,
+                              const int64_t *depths, const int64_t *cols,
+                              int64_t B, int64_t Dmax, float *out)
+{
+    int nth = pack_threads();
+    if ((int64_t)nth > B)
+        nth = B > 0 ? (int)B : 1;
+    pack32_job_t base = {flat, starts, depths, cols, B, Dmax, out, 0, nth};
+    if (nth <= 1 || B < 32) {
+        base.nth = 1;
+        pack32_worker(&base);
+        return;
+    }
+    pthread_t tids[64];
+    pack32_job_t jobs[64];
+    for (int t = 0; t < nth; t++) {
+        jobs[t] = base;
+        jobs[t].tid = t;
+    }
+    for (int t = 1; t < nth; t++)
+        if (pthread_create(&tids[t], NULL, pack32_worker, &jobs[t]) != 0)
+            jobs[t].nth = 0;
+    pack32_worker(&jobs[0]);
+    for (int t = 1; t < nth; t++)
+        if (jobs[t].nth)
+            pthread_join(tids[t], NULL);
+    for (int t = 1; t < nth; t++)
+        if (!jobs[t].nth) {
+            jobs[t].nth = nth;
+            pack32_worker(&jobs[t]);
+        }
+}
+
 #define LOGZERO -1e100
 
 /* log(exp(a) + exp(b)), stable */

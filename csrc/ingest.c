@@ -1162,6 +1162,12 @@ typedef struct {
     int32_t min_plp_idq;
     int32_t max_depth;
     int32_t baq_bias;
+    /* screening mode: the prob CSR feeds ONLY the (permutation-
+     * invariant) prescreen/screen lower bounds, never the exact DP —
+     * emit order-free float32 probs and skip the per-column nt4
+     * regroup pass (halves the biggest write stream and drops a full
+     * reshuffle of it).  Candidate columns are re-derived exactly. */
+    int32_t screen_flat;
     double mq0_errprob;
 } icolconf_t;
 
@@ -1215,6 +1221,9 @@ typedef struct {
     int64_t *o_ins_ne_sum, *o_del_ne_sum, *o_ins_ev_max, *o_del_ev_max;
     double *bc;                   /* consensus accumulators [W*5] */
     const uint8_t *o_ref_nt4;     /* per-column ref codes (read-only) */
+    float *o_probs32;             /* screening mode: f32 probs, no tagbuf */
+    const double *mp_tab;         /* [(mq+1)*94] precomputed merged prob
+                                     (use_baq==0 && use_sq==0), or NULL */
     int64_t p_beg, p_end;         /* this stripe */
 } fusedctx_t;
 
@@ -1287,21 +1296,29 @@ static inline void fused_base_row(const fusedctx_t *fx, int64_t p,
     if (is_alt && cf->def_alt_bq > 0)
         use_b = cf->def_alt_bq;
     int32_t mqe = cf->use_mq ? (r->mq == 255 ? -1 : r->mq) : -1;
-    int32_t bqe = -1;
-    if (cf->use_baq && (pp->have[i] & 1)) {
-        bqe = (int32_t)pp->baq_all[pp->seq_start[i] + i + qp] - 33;
-        if (bqe >= 0 && cf->baq_bias)
-            bqe += cf->baq_bias;
-    } else if (cf->use_baq) {
-        bqe = -1;
+    double mp;
+    if (fx->mp_tab) {
+        /* use_baq==0 && use_sq==0: the merge collapses to a function of
+         * (mq, bq) alone — one table lookup, entries precomputed with
+         * the IDENTICAL expression below (bit-exact) */
+        mp = fx->mp_tab[(size_t)(mqe + 1) * 94 + use_b];
+    } else {
+        int32_t bqe = -1;
+        if (cf->use_baq && (pp->have[i] & 1)) {
+            bqe = (int32_t)pp->baq_all[pp->seq_start[i] + i + qp] - 33;
+            if (bqe >= 0 && cf->baq_bias)
+                bqe += cf->baq_bias;
+        } else if (cf->use_baq) {
+            bqe = -1;
+        }
+        int32_t sqe = cf->use_sq ? r->sq : -1;
+        double spv = iq2p_full(sqe);
+        double mpv = (mqe == 0) ? cf->mq0_errprob : iq2p_full(mqe);
+        double bav = iq2p_full(bqe);
+        double bpv = iq2p_full(use_b);
+        mp = mpv + (1.0 - mpv) * spv + (1 - mpv) * (1 - spv) * bav +
+            (1 - mpv) * (1 - spv) * (1 - bav) * bpv;
     }
-    int32_t sqe = cf->use_sq ? r->sq : -1;
-    double spv = iq2p_full(sqe);
-    double mpv = (mqe == 0) ? cf->mq0_errprob : iq2p_full(mqe);
-    double bav = iq2p_full(bqe);
-    double bpv = iq2p_full(use_b);
-    double mp = mpv + (1.0 - mpv) * spv + (1 - mpv) * (1 - spv) * bav +
-        (1 - mpv) * (1 - spv) * (1 - bav) * bpv;
     if (cf->min_jq > 0 || cf->min_alt_jq > 0) {
         int mqual = mp <= 0.0 ? 2147483647
             : (int)(-10.0L * log10l((long double)mp));
@@ -1315,8 +1332,12 @@ static inline void fused_base_row(const fusedctx_t *fx, int64_t p,
     if (is_alt)
         fx->o_alt_cnt[ci * 5 + n4]++;
     int64_t slot = fx->cur[p]++;
-    fx->tagbuf[slot] = n4;
-    fx->o_probs[slot] = mp;
+    if (fx->o_probs32) {
+        fx->o_probs32[slot] = (float)mp;
+    } else {
+        fx->tagbuf[slot] = n4;
+        fx->o_probs[slot] = mp;
+    }
 }
 
 static void fused_stripe(fusedctx_t *fx)
@@ -1448,27 +1469,32 @@ static void fused_stripe(fusedctx_t *fx)
             fused_indel_acct(fx, ci, iqv, dqv, 0, 0);
         }
     }
-    /* per-column: regroup probs by nt4 (stable), write cons argmax */
+    /* per-column: regroup probs by nt4 (stable), write cons argmax.
+     * Screening mode (o_probs32): the CSR is order-free — skip the
+     * regroup (a full extra read+scatter+copy of the biggest array);
+     * only the consensus argmax remains. */
     int64_t span = fx->offset[fx->p_end] - fx->offset[fx->p_beg];
     if (span < 1)
         span = 1;
-    double *scratch = malloc(span * sizeof(double));
+    double *scratch = fx->o_probs32 ? NULL : malloc(span * sizeof(double));
     for (int64_t p = fx->p_beg; p < fx->p_end; p++) {
         int64_t ci = fx->cols_before[p];
         if (fx->cols_before[p + 1] == ci)
             continue;  /* no coverage */
-        int64_t lo = fx->offset[p], hi = fx->cur[p];
-        int64_t np = hi - lo;
-        if (np > 1) {
-            int64_t cnt[4] = {0}, off4[4];
-            for (int64_t k = lo; k < hi; k++)
-                cnt[fx->tagbuf[k]]++;
-            off4[0] = 0;
-            for (int k2 = 1; k2 < 4; k2++)
-                off4[k2] = off4[k2 - 1] + cnt[k2 - 1];
-            for (int64_t k = lo; k < hi; k++)
-                scratch[off4[fx->tagbuf[k]]++] = fx->o_probs[k];
-            memcpy(fx->o_probs + lo, scratch, np * sizeof(double));
+        if (scratch) {
+            int64_t lo = fx->offset[p], hi = fx->cur[p];
+            int64_t np = hi - lo;
+            if (np > 1) {
+                int64_t cnt[4] = {0}, off4[4];
+                for (int64_t k = lo; k < hi; k++)
+                    cnt[fx->tagbuf[k]]++;
+                off4[0] = 0;
+                for (int k2 = 1; k2 < 4; k2++)
+                    off4[k2] = off4[k2 - 1] + cnt[k2 - 1];
+                for (int64_t k = lo; k < hi; k++)
+                    scratch[off4[fx->tagbuf[k]]++] = fx->o_probs[k];
+                memcpy(fx->o_probs + lo, scratch, np * sizeof(double));
+            }
         }
         int mx = 0;
         const double *bcp = fx->bc + p * 5;
@@ -1604,8 +1630,32 @@ int64_t lfq_ingest_columns(
     int64_t *cur = malloc(win_len * sizeof(int64_t));
     memcpy(cur, offset, win_len * sizeof(int64_t));
     int64_t *seen = calloc(win_len, sizeof(int64_t));
-    uint8_t *tagbuf = malloc((total ? total : 1));
+    uint8_t *tagbuf = cf->screen_flat ? NULL : malloc((total ? total : 1));
     double *bc = calloc((size_t)win_len * 5, sizeof(double));
+
+    /* merged-prob lookup table: with BAQ and SQ out of the merge the
+     * per-base prob depends on (mq, bq) alone — 256*94 doubles (192 KB,
+     * L2-resident) replace two decode lookups + the 4-term merge per
+     * base.  Entries are computed with the EXACT expression and operand
+     * order of the general path (spv = bav = 0.0), so results are
+     * bit-identical.  def_alt_bq > 93 would index past the bq axis. */
+    double *mp_tab = NULL;
+    if (!cf->use_baq && !cf->use_sq && cf->def_alt_bq <= 93) {
+        mp_tab = malloc((size_t)256 * 94 * sizeof(double));
+        if (mp_tab) {
+            for (int m = -1; m <= 254; m++) {
+                double mpv = (m == 0) ? cf->mq0_errprob : iq2p_full(m);
+                double *row = mp_tab + (size_t)(m + 1) * 94;
+                for (int b = 0; b <= 93; b++) {
+                    double spv = 0.0, bav = 0.0;
+                    double bpv = iq2p_full(b);
+                    row[b] = mpv + (1.0 - mpv) * spv
+                        + (1 - mpv) * (1 - spv) * bav
+                        + (1 - mpv) * (1 - spv) * (1 - bav) * bpv;
+                }
+            }
+        }
+    }
 
     fusedctx_t base = {
         .pp = &pp, .ri = ri, .iconf = iconf, .cf = cf,
@@ -1622,6 +1672,8 @@ int64_t lfq_ingest_columns(
         .o_ins_ne_sum = o_ins_ne_sum, .o_del_ne_sum = o_del_ne_sum,
         .o_ins_ev_max = o_ins_ev_max, .o_del_ev_max = o_del_ev_max,
         .bc = bc, .o_ref_nt4 = o_ref_nt4,
+        .o_probs32 = cf->screen_flat ? (float *)o_probs : NULL,
+        .mp_tab = mp_tab,
     };
 
     FPH("setup");
@@ -1672,6 +1724,8 @@ int64_t lfq_ingest_columns(
 
     FPH("stripes");
     /* compact per-position prob regions into a dense CSR */
+    size_t esz = cf->screen_flat ? sizeof(float) : sizeof(double);
+    char *pbytes = (char *)o_probs;
     int64_t dense = 0;
     for (int64_t p = 0; p < win_len; p++) {
         if (count[p + 1] == 0)
@@ -1679,8 +1733,9 @@ int64_t lfq_ingest_columns(
         int64_t ci = cols_before[p];
         int64_t np = cur[p] - offset[p];
         if (offset[p] != dense && np)
-            memmove(o_probs + dense, o_probs + offset[p],
-                    (size_t)np * sizeof(double));
+            memmove(pbytes + (size_t)dense * esz,
+                    pbytes + (size_t)offset[p] * esz,
+                    (size_t)np * esz);
         o_col_start[ci] = dense;
         dense += np;
     }
@@ -1688,7 +1743,7 @@ int64_t lfq_ingest_columns(
 
     FPH("compact");
     free(ri); free(count); free(offset); free(cols_before);
-    free(cur); free(seen); free(tagbuf); free(bc);
+    free(cur); free(seen); free(tagbuf); free(bc); free(mp_tab);
     prep_free(&pp);
     return C;
 }

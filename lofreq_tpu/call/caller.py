@@ -243,16 +243,28 @@ def pack_probs(flat_probs, starts, depths, cols, sort=True):
 
     sort=False skips the qsort: the device screen is permutation
     invariant, so the screened path packs unsorted and sorts only the
-    candidate rows that reach the exact DP (_snpcaller_with_screen)."""
+    candidate rows that reach the exact DP (_snpcaller_with_screen).
+
+    flat_probs may be float32 (screening mode, where the sweep emits
+    order-free f32 — icolconf_t screen_flat); the pack then stays f32
+    end to end, since those probs only feed the permutation-invariant
+    prescreen/screen lower bounds, never the exact DP."""
     from .. import native
 
+    f32 = flat_probs.dtype == np.float32
+    assert not (f32 and sort), "f32 probs never reach the exact-DP sort"
     d = depths[cols]
     Dmax = int(d.max()) if len(cols) else 0
-    probs = np.empty((len(cols), max(Dmax, 1)), dtype=np.float64)
+    probs = np.empty((len(cols), max(Dmax, 1)),
+                     dtype=np.float32 if f32 else np.float64)
     if len(cols):
         # native threaded gather (+ per-row reference qsort when sort=True)
-        native.pack_probs_batch(flat_probs, starts, depths, cols, probs,
-                                sort)
+        if f32:
+            native.pack_probs_batch_f32(flat_probs, starts, depths, cols,
+                                        probs)
+        else:
+            native.pack_probs_batch(flat_probs, starts, depths, cols,
+                                    probs, sort)
     else:
         probs.fill(2.0)
     return probs
@@ -320,6 +332,11 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                 "device-BAQ screening requires the fused column path "
                 "(its ep carries the deflated screening merge)")
         ep = snv_errprobs_for_batch(batch, conf)
+    if screen_ctx is None and ep["flat_probs"].dtype == np.float32:
+        raise RuntimeError(
+            "screening-mode err probs (order-free f32, screen_flat) "
+            "cannot feed the exact DP — pass screen_ctx or rebuild the "
+            "batch with the screening flags off")
     got_alt = ep["alt_counts"].sum(axis=1) > 0
     test = gate & got_alt
     n_test = int(test.sum())
@@ -469,7 +486,8 @@ def _host_candidate_mask(probs, depths, alt_counts, bonf,
         deep = depths > conf.approx_threshold_n
         if np.any(deep):
             valid = probs <= 1.0
-            mu = np.where(valid, probs, 0.0).sum(axis=1)
+            mu = np.where(valid, probs, 0.0).sum(axis=1,
+                                                 dtype=np.float64)
             approx = poisson.sf(np.maximum(ks, 1) - 1, mu)
             run_mask &= ~(deep & (approx * bonf > conf.sig))
     if B:
@@ -559,7 +577,9 @@ def _topk_prescreen(probs, ks, bonf, sig) -> np.ndarray:
         top = arr.copy()
     top.sort(axis=1)
     with np.errstate(divide="ignore"):
-        lg = np.log(top[:, ::-1])  # descending
+        # f64 log/cumsum even for f32 screening packs ([B, kmax] is tiny);
+        # the f32 storage rounding itself is absorbed by the 0.5 factor
+        lg = np.log(top[:, ::-1].astype(np.float64))  # descending
     csum = np.cumsum(lg, axis=1)
     k_idx = np.clip(np.minimum(ks, kmax) - 1, 0, csum.shape[1] - 1)
     lb_log = csum[np.arange(B), k_idx]

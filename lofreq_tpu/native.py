@@ -19,6 +19,7 @@ _lib = None
 
 _i64 = ctypes.POINTER(ctypes.c_int64)
 _f64 = ctypes.POINTER(ctypes.c_double)
+_f32 = ctypes.POINTER(ctypes.c_float)
 
 
 def get_lib():
@@ -43,6 +44,10 @@ def get_lib():
             lib.lfq_pack_probs_batch.argtypes = [
                 _f64, _i64, _i64, _i64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f64,
+            ]
+            lib.lfq_pack_probs_batch_f32.argtypes = [
+                _f32, _i64, _i64, _i64,
+                ctypes.c_int64, ctypes.c_int64, _f32,
             ]
             _lib = lib
     return _lib
@@ -132,6 +137,24 @@ def pack_probs_batch(flat_probs, starts, depths, cols, out, sort):
         lib.lfq_pack_probs_batch(
             _ptr(flat_probs, _f64), _ptr(starts, _i64), _ptr(depths, _i64),
             _ptr(cols, _i64), B, Dmax, 1 if sort else 0, _ptr(out, _f64),
+        )
+    return out
+
+
+def pack_probs_batch_f32(flat_probs, starts, depths, cols, out):
+    """f32 variant of pack_probs_batch (screening mode: order-free
+    probs that never reach the exact DP — no sort path)."""
+    lib = get_lib()
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    flat_probs = np.ascontiguousarray(flat_probs, dtype=np.float32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    depths = np.ascontiguousarray(depths, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    B, Dmax = out.shape
+    if B:
+        lib.lfq_pack_probs_batch_f32(
+            _ptr(flat_probs, _f32), _ptr(starts, _i64), _ptr(depths, _i64),
+            _ptr(cols, _i64), B, Dmax, _ptr(out, _f32),
         )
     return out
 

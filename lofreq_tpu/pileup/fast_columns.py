@@ -28,6 +28,7 @@ class _ColConf(ctypes.Structure):
         ("min_plp_idq", ctypes.c_int32),
         ("max_depth", ctypes.c_int32),
         ("baq_bias", ctypes.c_int32),
+        ("screen_flat", ctypes.c_int32),
         ("mq0_errprob", ctypes.c_double),
     ]
 
@@ -55,6 +56,14 @@ def colconf_struct(pconf: PileupConf, vconf) -> _ColConf:
         max_depth=pconf.max_depth if pconf.max_depth
         and pconf.max_depth < (1 << 30) else 0,
         baq_bias=getattr(vconf, "baq_screen_bias", 0),
+        # screening engines (host no-BAQ or device-BAQ): the prob CSR
+        # feeds only permutation-invariant lower bounds (prescreen /
+        # screen) — candidates re-derive exact probs from raw bytes
+        # (confirm_snv_candidates) — so the fused sweep may emit
+        # order-free f32 and skip the per-column nt4 regroup
+        screen_flat=1 if (getattr(vconf, "baq_screen_null", False)
+                          or getattr(vconf, "baq_screen_bias", 0) > 0)
+        else 0,
         mq0_errprob=D.MQ0_ERRPROB,
     )
 
