@@ -1354,6 +1354,34 @@ static void fused_stripe(fusedctx_t *fx)
         int64_t s0 = pp->seq_start[i];
         int64_t first_emit = r->pos;           /* head row position */
         int64_t last_emit = ri->endpos - 1;    /* tail row position */
+        /* fast path: one match op, no BI/BD, permissive min_plp_idq —
+         * every base row is kind-0 with iq=dq=0, so the whole defer
+         * machinery reduces to num_non_indels++ per surviving row.
+         * Most reads in real data are a single M op; bit-identical to
+         * the general walk below (checked by the fused-vs-row tests). */
+        if (r->n_cigar == 1 && !ri->bi && !ri->bd
+            && cf->min_plp_idq <= 0) {
+            int op0 = r->cigar[0] & 0xf;
+            if (op0 == OPM || op0 == OPEQ || op0 == OPX) {
+                int64_t l = r->cigar[0] >> 4;
+                int64_t j0 = 0, j1 = l;
+                if (r->pos < gp0)
+                    j0 = gp0 - r->pos;
+                if (r->pos + l > gp1)
+                    j1 = gp1 - r->pos;
+                for (int64_t j = j0; j < j1; j++) {
+                    int64_t gp = r->pos + j;
+                    int64_t p = gp - fx->win_beg;
+                    if (fx->seen[p] >= maxd)
+                        continue;
+                    fx->seen[p]++;
+                    fused_base_row(fx, p, i, j, gp == first_emit,
+                                   gp == last_emit);
+                    fx->o_num_non_indels[fx->cols_before[p]]++;
+                }
+                continue;
+            }
+        }
         int64_t x = r->pos;
         int64_t y = 0;
         int prev_aligned = 0, emitted = 0;
