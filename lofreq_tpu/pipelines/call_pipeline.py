@@ -24,7 +24,13 @@ from ..io.vcf import VcfWriter, new_header
 from ..pileup.engine import PileupConf, compile_columns, read_passes_filters, rows_from_reads
 from ..pileup.sourcequal import compute_source_quals
 
-WINDOW = 100_000
+#: position-window width of the streaming pileup.  25 kb measured fastest
+#: on the bench workload (interleaved sweep 6.25k/12.5k/25k/50k/100k, 4-core
+#: host): small windows pipeline deeper (more worker/consumer overlap),
+#: keep slab working sets cache-resident, and ride out hypervisor-steal
+#: bursts; below ~12 kb per-window fixed costs win.  Output is
+#: window-size-invariant (asserted in the sweep and by the differentials).
+WINDOW = int(__import__("os").environ.get("LOFREQ_TPU_WINDOW", "25000"))
 HEARTBEAT_COLS = 100_000  # progress log cadence (cf. plp.c:1434-1438)
 
 
@@ -124,13 +130,15 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    # depth 1 measured best on 4-core hosts: the device-BAQ wait is tiny
-    # once the runner is warm (~0.1s/window vs ~10s of sweep), while a
-    # second in-flight window doubles thread pressure on the sweep's
-    # pthread stripes (19.1s vs 15.2s of ingest.columns for the same
-    # work, BENCH r4 experiments)
+    # depth 2 measured best at the 25 kb window default (interleaved
+    # sweep 1/2/3/4 on the 4-core bench host: med 3.63/3.15-3.53/3.20-
+    # 3.73/3.85s): one extra in-flight window keeps the sweep's pthread
+    # stripes fed through the consumer's prescreen/confirm bursts, while
+    # deeper pipes oversubscribe the cores.  (The old 100 kb windows
+    # measured best at depth 1 — window size and pipe depth trade
+    # against the same core budget.)
     PIPE_DEPTH = int(__import__("os").environ.get(
-        "LOFREQ_TPU_PIPE_DEPTH", "1"))
+        "LOFREQ_TPU_PIPE_DEPTH", "2"))
     ex = ThreadPoolExecutor(PIPE_DEPTH)
     rdr_lock = threading.Lock()
 
