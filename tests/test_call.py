@@ -191,3 +191,28 @@ def test_indel_errprobs_bit_exact_vs_reference():
         # sorted (the eps ordering itself is exercised by the call_snvs
         # differential and the end-to-end identity tests)
         assert sorted(float(x) for x in got) == want, (c, got, want)
+
+
+def test_window_size_and_engine_invariance(tmp_path, monkeypatch):
+    """run_call output (records AND test counts) must be invariant to the
+    streaming window width and to the screening engine state: the window
+    is pure implementation geometry (25kb default, retuned r4), and every
+    screen is conservative + exact-confirmed.  Pins the invariants the
+    r4 window/pipe retune relies on."""
+    import lofreq_tpu.pipelines.call_pipeline as cp
+
+    art = simulate(str(tmp_path), genome_len=24_000, depth=200, seed=5)
+    vconf = VarcallConf()
+
+    def call_with(window, screen_env):
+        monkeypatch.setattr(cp, "WINDOW", window)
+        monkeypatch.setenv("LOFREQ_TPU_BAQ_SCREEN", screen_env)
+        res = cp.run_call(art["bam"], art["fa"], vconf=VarcallConf())
+        return ([(v.pos, v.ref, v.alt, v.qual, v.info) for v in res.vars],
+                res.stats.num_snv_tests)
+
+    base = call_with(25_000, "1")
+    assert base == call_with(7_000, "1")      # window partitions a call
+    assert base == call_with(100_000, "1")    # old default
+    assert base == call_with(25_000, "0")     # screening engine off
+    assert base[0], "simulation should yield calls for a meaningful test"
