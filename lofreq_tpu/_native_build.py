@@ -10,7 +10,8 @@ import threading
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CSRC = os.path.join(_ROOT, "csrc")
 _BUILD = os.path.join(_CSRC, "build")
-SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c", "columns.c"]
+SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c", "columns.c",
+        "bgzf.c"]
 # non-compiled inputs that must still invalidate the build cache
 DEPS = ["baq_glocal_xw.inc"]
 
@@ -79,7 +80,7 @@ def get_native_lib() -> ctypes.CDLL:
                 subprocess.run(
                     ["gcc", "-O3", "-march=native", "-ffp-contract=off",
                      "-shared", "-fPIC", "-o", tmp, *srcs,
-                     "-lm", "-lpthread"],
+                     "-lm", "-lpthread", "-lz"],
                     check=True, capture_output=True,
                 )
                 os.replace(tmp, out)

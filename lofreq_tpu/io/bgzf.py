@@ -386,3 +386,147 @@ def is_gzip(path) -> bool:
     with open(path, "rb") as fh:
         head = fh.read(2)
     return head == b"\x1f\x8b"
+
+
+# -- native multithreaded extraction -----------------------------------
+
+_NATIVE = None
+
+
+def _native_lib():
+    """csrc/bgzf.c via the shared native lib, or None (pure-Python
+    fallback stays available everywhere)."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    try:
+        import ctypes
+
+        from .._native_build import get_native_lib
+
+        lib = get_native_lib()
+        lib.lfq_bgzf_scan.restype = ctypes.c_int64
+        lib.lfq_bgzf_inflate_blocks.restype = ctypes.c_int32
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = False
+    return _NATIVE or None
+
+
+def _native_threads() -> int:
+    n = os.environ.get("LOFREQ_BGZF_THREADS")
+    if n is not None:
+        return max(1, int(n))
+    return min(4, os.cpu_count() or 1)
+
+
+def _block_bsize_at(fh, coffset: int):
+    """Compressed size (BSIZE+1) of the block starting at coffset, or
+    None when the header doesn't parse (caller falls back)."""
+    fh.seek(coffset)
+    head = fh.read(12)
+    if len(head) < 12 or head[0] != 0x1F or head[1] != 0x8B or \
+            head[2] != 8 or not (head[3] & 4):
+        return None
+    xlen = struct.unpack_from("<H", head, 10)[0]
+    extra = fh.read(xlen)
+    if len(extra) < xlen:
+        return None
+    off = 0
+    while off + 4 <= xlen:
+        si1, si2, slen = struct.unpack_from("<BBH", extra, off)
+        if si1 == 66 and si2 == 67 and slen == 2:
+            return struct.unpack_from("<H", extra, off + 4)[0] + 1
+        off += 4 + slen
+    return None
+
+
+def native_extract_voffsets(path, vbeg: int, vend=None) -> bytes | None:
+    """Inflate the payload between virtual offsets [vbeg, vend) of a BGZF
+    file with the native multithreaded inflater (csrc/bgzf.c).  vend=None
+    reads to EOF.  Returns None when the native lib is unavailable or the
+    stream doesn't parse cleanly (callers fall back to BgzfReader).
+
+    This is the hot data-loading path: BAM bytes for a call window are
+    BGZF blocks, independent gzip members that csrc/bgzf.c inflates on a
+    pthread pool straight into one buffer — the stage the reference gets
+    from htslib's bgzf_mt."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    cbeg, ubeg = vbeg >> 16, vbeg & 0xFFFF
+    try:
+        with open(path, "rb") as fh:
+            if vend is None:
+                fh.seek(0, 2)
+                span_end = fh.tell()
+                cut = None            # take everything past ubeg
+            else:
+                cendblk, uend = vend >> 16, vend & 0xFFFF
+                if cendblk < cbeg or (cendblk == cbeg and uend <= ubeg):
+                    return b""
+                if uend == 0:
+                    span_end = cendblk
+                    cut = None
+                else:
+                    bsize = _block_bsize_at(fh, cendblk)
+                    if bsize is None:
+                        return None
+                    span_end = cendblk + bsize
+                    cut = (cendblk - cbeg, uend)
+            if span_end <= cbeg:
+                return b""
+            fh.seek(cbeg)
+            comp = fh.read(span_end - cbeg)
+    except OSError:
+        return None
+    if len(comp) != span_end - cbeg:
+        return None
+    buf = np.frombuffer(comp, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    total = ctypes.c_int64(0)
+    n = lib.lfq_bgzf_scan(buf.ctypes.data_as(u8p),
+                          ctypes.c_int64(len(comp)),
+                          None, None, None, ctypes.c_int64(0),
+                          ctypes.byref(total))
+    if n < 0:
+        return None
+    if n == 0:
+        return b""
+    c_off = np.empty(n, np.int64)
+    c_size = np.empty(n, np.int64)
+    u_off = np.empty(n, np.int64)
+    n2 = lib.lfq_bgzf_scan(buf.ctypes.data_as(u8p),
+                           ctypes.c_int64(len(comp)),
+                           c_off.ctypes.data_as(i64p),
+                           c_size.ctypes.data_as(i64p),
+                           u_off.ctypes.data_as(i64p),
+                           ctypes.c_int64(n), ctypes.byref(total))
+    if n2 != n:
+        return None
+    out = np.empty(int(total.value), np.uint8)
+    rc = lib.lfq_bgzf_inflate_blocks(
+        buf.ctypes.data_as(u8p), c_off.ctypes.data_as(i64p),
+        c_size.ctypes.data_as(i64p), u_off.ctypes.data_as(i64p),
+        ctypes.c_int64(n), out.ctypes.data_as(u8p),
+        ctypes.c_int64(int(total.value)),
+        ctypes.c_int32(_native_threads()))
+    if rc != 0:
+        return None
+    end_u = int(total.value)
+    if cut is not None:
+        rel_coff, uend = cut
+        i = int(np.searchsorted(c_off, rel_coff))
+        if i >= n or c_off[i] != rel_coff:
+            return None
+        end_u = int(u_off[i]) + uend
+        if end_u > int(total.value):
+            return None
+    if ubeg > end_u:
+        return None
+    return out[ubeg:end_u].tobytes()

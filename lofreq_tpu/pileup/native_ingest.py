@@ -116,16 +116,30 @@ def _conf_struct(conf: PileupConf, tid: int, beg, end,
 
 def raw_records_for_region(rdr: BamReader, tid, beg, end) -> bytes:
     """Raw [size][record] bytes covering the region, via the BAI when
-    present (whole remaining stream otherwise)."""
+    present (whole remaining stream otherwise).
+
+    Fast path: the native multithreaded BGZF inflater (csrc/bgzf.c via
+    io.bgzf.native_extract_voffsets) — the per-window data-loading
+    bottleneck lives here, so blocks inflate on a pthread pool instead
+    of Python's per-block zlib loop.  Any parse anomaly falls back to
+    the Python BgzfReader (identical output, slower)."""
+    from ..io.bgzf import native_extract_voffsets
+
     bai_path = rdr.path + ".bai"
     if tid is not None and os.path.exists(bai_path):
         idx = BaiIndex.load(bai_path)
         chunks = idx.query(tid, beg or 0, end if end else 1 << 29)
         parts = []
         for cbeg, cend in chunks:
-            rdr._bgzf.seek_virtual(cbeg)
-            parts.append(rdr._bgzf.read_until_voffset(cend))
+            fast = native_extract_voffsets(rdr.path, cbeg, cend)
+            if fast is None:
+                rdr._bgzf.seek_virtual(cbeg)
+                fast = rdr._bgzf.read_until_voffset(cend)
+            parts.append(fast)
         return b"".join(parts)
+    fast = native_extract_voffsets(rdr.path, rdr._first_rec_voffset, None)
+    if fast is not None:
+        return fast
     rdr.rewind()
     return rdr._bgzf.read()
 
