@@ -121,26 +121,37 @@ def device_run(art):
     probe_device(wait_s=90)
     from lofreq_tpu.ops.screen import device_screen_default, screen_ready
 
+    compile_pending = False
     if device_screen_default():
-        # compile (or cache-hit) the screen now, blocking generously:
-        # tunneled remote compiles measured 30s-300s+ for the SAME
-        # program within minutes, and timed runs must not start with a
-        # half-compiled screen (its compile thread steals host CPU and
-        # every prescreen survivor lands on the exact confirm)
-        screen_ready(wait_s=600)
+        # compile the screen now with a BOUNDED budget.  The remote
+        # compile service's latency varies 1.4s-120s for the same
+        # program (load-dependent queueing); past the cap the bench
+        # proceeds on the host fallback, records compile_pending, and
+        # the screen may still adopt late mid-run (column batches are
+        # independent; adoption never changes output).  The r4 bench
+        # lost its entire 600s budget here — the bench must always
+        # terminate with a JSON (see test_bench_bounded.py).
+        wait = float(os.environ.get("LOFREQ_BENCH_COMPILE_WAIT", "180"))
+        compile_pending = not screen_ready(wait_s=wait)
     # warm-up: same depth/read-length -> compiles the same kernel buckets
     run_call(art["bam"], art["fa"], region=f"{chrom}:1-6000",
              vconf=VarcallConf())
     walls = []
     stage_reports = []
     res = None
-    for _ in range(NRUNS):
+    # adaptive run count: keep total timed wall ~bounded even when the
+    # host is degraded (steal) or a late compile thread is burning CPU
+    budget_s = float(os.environ.get("LOFREQ_BENCH_WALL_BUDGET", "120"))
+    for i in range(NRUNS):
         stagetimer.reset()
         t0 = time.time()
         res = run_call(art["bam"], art["fa"], vconf=VarcallConf())
         walls.append(time.time() - t0)
         stage_reports.append(stagetimer.report())
-    med_i = sorted(range(NRUNS), key=lambda i: walls[i])[NRUNS // 2]
+        if sum(walls) + walls[-1] > budget_s and len(walls) >= 3:
+            break
+    n_runs = len(walls)
+    med_i = sorted(range(n_runs), key=lambda i: walls[i])[n_runs // 2]
     stages = stage_reports[med_i]
     from lofreq_tpu.ops.screen import DISPATCH_STATS
 
@@ -152,6 +163,7 @@ def device_run(art):
         "screen_dispatches": DISPATCH_STATS["dispatched"],
         "screen_unavailable": DISPATCH_STATS["unavailable"],
         "device_baq": baq_s > 0.05,
+        "compile_pending": compile_pending,
     }
     try:
         import jax

@@ -238,6 +238,12 @@ _SCREEN_DEFAULT = None
 # quantization cut the per-column bytes 4x, lowering the bar from 200)
 MIN_SCREEN_LINK_MBS = 80.0
 
+# links at least this fast indicate a direct-attached chip whose local
+# Mosaic compile is seconds — try the pallas screen first there; below
+# it the compile service is remote/tunneled and the XLA screen leads
+# (_ScreenManager._modes auto ladder)
+PALLAS_FIRST_LINK_MBS = 4000.0
+
 
 def _mode_memo_path() -> str:
     import hashlib
@@ -322,7 +328,27 @@ class _ScreenManager:
         if jax.default_backend() == "cpu":
             # pallas interpret mode is far slower than the XLA scan
             return ["xla"]
-        return ["pallas", "xla"]
+        forced = os.environ.get("LOFREQ_TPU_SCREEN_MODE", "auto").lower()
+        if forced == "pallas":
+            return ["pallas", "xla"]
+        if forced == "xla":
+            return ["xla"]
+        if forced == "off":
+            return []
+        # auto: on tunneled/thin links the remote Mosaic (pallas) compile
+        # is the pathological one — the SAME (4096,128) kernel measured
+        # 30s and 600s+ within minutes, and it hogs the single in-flight
+        # compile slot that the reliable XLA screen needs (r4 bench: 600s
+        # spent waiting on pallas, screen never went live).  The XLA scan
+        # compiles dependably AND its executable lands in the persistent
+        # compile cache, so thin links run it first; direct-attached
+        # chips (fat link, local compile service) try pallas first.
+        from .probe import probe_device
+
+        res = probe_device(wait_s=0.0)
+        if res is not None and res.get("bw_mbs", 0.0) >= PALLAS_FIRST_LINK_MBS:
+            return ["pallas", "xla"]
+        return ["xla"]
 
     def _submit(self, key, modes):
         """Start compiling `key` at the current rank (no wait)."""
@@ -351,17 +377,25 @@ class _ScreenManager:
         self._inflight = (key, self._mode_rank, fut, time.time())
         return fut
 
-    def _adopt_or_degrade(self, modes):
+    def _adopt_or_degrade(self, modes, fut):
         """Resolve a finished (or hard-stale) in-flight compile.  Returns
-        the adopted fn, or None if still pending / degraded."""
+        the adopted fn, or None if still pending / degraded.  Caller holds
+        the lock; idempotent — a stale fut (already resolved by another
+        thread) is a no-op."""
         import time
 
+        if self._inflight is None or self._inflight[2] is not fut:
+            return None
         key, rank, fut, t0 = self._inflight
         if not fut.done():
             if time.time() - t0 < self.HARD_ABANDON_S:
                 return None
-            # stuck beyond any reasonable queueing: treat as failed (the
-            # thread is abandoned; a success after this point is ignored)
+            # stuck beyond any reasonable queueing: treat as failed FOR
+            # THIS PROCESS (the thread is abandoned; a success after this
+            # point is ignored).  No machine-wide memo write: one
+            # pathologically slow — but ultimately fine — remote compile
+            # must not blind every process on the box for the TTL; the
+            # memo is reserved for compiles that genuinely FAIL.
             log.warning(
                 "device screen: %s compile for shape %s still pending "
                 "after %ds; abandoning", modes[rank], key,
@@ -369,7 +403,6 @@ class _ScreenManager:
             self._inflight = None
             if rank == self._mode_rank:
                 self._mode_rank += 1
-                _mode_memo_write(self._mode_rank)
             return None
         self._inflight = None
         try:
@@ -392,61 +425,74 @@ class _ScreenManager:
         wait_s: block up to this long for the compile (warm-up callers,
         e.g. bench/screen_ready, pass a generous budget so timed runs
         start with a live screen); None = the per-rung deadline for a
-        fresh submit, a non-blocking poll for an in-flight one."""
+        fresh submit, a non-blocking poll for an in-flight one.
+
+        Locking: the manager lock guards only state transitions; the
+        blocking future waits happen OUTSIDE it, so a concurrent
+        dispatcher polling get() falls straight through to the host path
+        instead of queueing behind a warm-up caller's long wait."""
         from concurrent.futures import TimeoutError as _TO
 
-        with self._lock:
-            fn = self._fns.get((B, s))
-            if fn is not None:
-                return fn
-            modes = self._modes()
-            if self._mode_rank is None:
-                # the memoized degrade rank only transfers between
-                # processes with the same mode ladder (accelerator
-                # backends); the cpu test ladder is a different list, and
-                # tests pin the gate cache off anyway
-                self._mode_rank = (_mode_memo_read()
-                                   if len(modes) > 1 and os.environ.get(
-                                       "LOFREQ_TPU_GATE_CACHE", "1") != "0"
-                                   else 0)
-            while True:
+        while True:
+            with self._lock:
+                fn = self._fns.get((B, s))
+                if fn is not None:
+                    return fn
+                modes = self._modes()
+                if self._mode_rank is None:
+                    # the memoized degrade rank only transfers between
+                    # processes with the same mode ladder (accelerator
+                    # backends); the cpu test ladder is a different list,
+                    # and tests pin the gate cache off anyway
+                    self._mode_rank = (_mode_memo_read()
+                                       if len(modes) > 1 and os.environ.get(
+                                           "LOFREQ_TPU_GATE_CACHE",
+                                           "1") != "0"
+                                       else 0)
                 if self._inflight is not None:
-                    key_i = self._inflight[0]
-                    fut = self._inflight[2]
-                    if wait_s:
-                        try:
-                            fut.exception(timeout=wait_s)
-                        except _TO:
-                            pass
-                    got = self._adopt_or_degrade(modes)
-                    if got is not None and key_i == (B, s):
-                        return got
-                    if self._inflight is not None:
-                        # still pending: host path for now, poll next call
-                        return None
-                    continue  # resolved (other key / degraded): reassess
-                if self._mode_rank >= len(modes):
+                    key_i, _rank_i, fut, _t0 = self._inflight
+                    budget = wait_s if wait_s else 0.0
+                    fresh = False
+                elif self._mode_rank >= len(modes):
                     return None  # fully degraded: screen off
-                mode = modes[self._mode_rank]
-                fut = self._submit((B, s), modes)
-                # first-try budget: locally-attached chips compile in
-                # seconds, so a short wait catches them (and warm disk-
-                # cache hits); tunneled remote compiles can take minutes
-                # and ADOPT LATE instead of stalling a production call —
-                # warm-up callers (bench/screen_ready) pass wait_s to
-                # block through the whole compile deliberately
-                ddl = wait_s if wait_s else min(compile_deadline(), 10.0)
+                else:
+                    mode = modes[self._mode_rank]
+                    key_i = (B, s)
+                    fut = self._submit((B, s), modes)
+                    # first-try budget: locally-attached chips compile in
+                    # seconds, so a short wait catches them (and warm
+                    # disk-cache hits); tunneled remote compiles can take
+                    # minutes and ADOPT LATE instead of stalling a
+                    # production call — warm-up callers (bench/
+                    # screen_ready) pass wait_s to block through the
+                    # whole compile deliberately
+                    budget = wait_s if wait_s else min(compile_deadline(),
+                                                       10.0)
+                    fresh = True
+            if budget:
                 try:
-                    fut.exception(timeout=ddl)
+                    fut.exception(timeout=budget)
                 except _TO:
-                    log.warning(
-                        "device screen: %s compile for shape (%d, %d) "
-                        "still running after %ds; running the host path "
-                        "until it lands", mode, B, s, int(ddl))
-                    return None
-                got = self._adopt_or_degrade(modes)
-                if got is not None:
-                    return got
+                    if fresh:
+                        log.warning(
+                            "device screen: %s compile for shape "
+                            "(%d, %d) still running after %ds; running "
+                            "the host path until it lands", mode, B, s,
+                            int(budget))
+            with self._lock:
+                got = self._adopt_or_degrade(modes, fut)
+                pending = (self._inflight is not None
+                           and self._inflight[2] is fut)
+                if got is None and self._inflight is None:
+                    # resolved by us or another thread: reassess from the
+                    # top (the fn may be in _fns now, or a rung dropped)
+                    continue
+            if got is not None and key_i == (B, s):
+                return got
+            if pending:
+                # still compiling: host path for now, poll next call
+                return None
+            # adopted a different key's fn or lost a race: reassess
 
 
 _manager = _ScreenManager()
