@@ -11,7 +11,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CSRC = os.path.join(_ROOT, "csrc")
 _BUILD = os.path.join(_CSRC, "build")
 SRCS = ["ingest.c", "exact_stats.c", "baq.c", "realign.c", "columns.c",
-        "bgzf.c"]
+        "bgzf.c", "screen_pack.c"]
 # non-compiled inputs that must still invalidate the build cache
 DEPS = ["baq_glocal_xw.inc"]
 

@@ -274,6 +274,15 @@ PACK_BUDGET_BYTES = int(__import__("os").environ.get(
     "LOFREQ_TPU_PACK_BUDGET_MB", "256")) << 20
 PACK_MAX_COLS = 4096
 
+#: max in-flight device sub-screen dispatches per chunk loop.  The
+#: tunnel's per-RPC latency (~20ms) needs ~2-3 chunks of host work
+#: (pack + prescreen + exact DP, ~10ms each) queued between a chunk's
+#: dispatch and its fetch to fully hide; direct-attached chips hide at
+#: depth 1.  Output is order-independent (per-chunk masks/p-values
+#: scatter through index arrays), so depth only affects latency.
+SCREEN_PIPE = int(__import__("os").environ.get(
+    "LOFREQ_TPU_SCREEN_PIPE", "3"))
+
 
 def _depth_chunks(depths, max_cols: int = PACK_MAX_COLS,
                   budget: int = PACK_BUDGET_BYTES) -> list:
@@ -369,13 +378,30 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
         # the exact p-value, so discards are safe.  Candidates are recorded
         # (position, running bonf) and re-scored exactly later; nothing is
         # emitted here.
-        # software-pipelined: chunk N+1's screen is DISPATCHED before
-        # chunk N's mask is fetched, so device compute + transfers hide
-        # behind the host-side pack of the next chunk (jax dispatch is
-        # asynchronous; only the fetch blocks)
-        pending = None  # (sel, cols, host_mask, sub_handle)
+        # code-native front-end (csrc/screen_pack.c): the sweep's CSR
+        # f32 probs are top-S-selected + log-quantized to u8 codes in C
+        # (a counting pass, no numpy partition), the top-k prescreen
+        # becomes an integer cumsum over the codes, and only the
+        # survivors are shipped — one padded (4096, 128) dispatch per
+        # window instead of one per 4096-column chunk.  Exactness
+        # unchanged: codes decode to <= the true probs, every bound
+        # stays a lower bound, every discard stays provable.
+        if (ep["flat_probs"].dtype == np.float32
+                and conf.approx_threshold_n <= 0
+                and _screen_codes_flow(batch, ep, order_idx, running_bonf,
+                                       conf, screen_ctx)):
+            return
+        # software-pipelined: up to SCREEN_PIPE chunks' screens are in
+        # flight before chunk N's mask is fetched, so device compute +
+        # transfers + the tunnel's per-RPC latency hide behind the
+        # host-side pack/prescreen of the NEXT FEW chunks (jax dispatch
+        # is asynchronous; only the fetch blocks).  Depth 1 measured
+        # ~18ms exposed per fetch on the 1.4 GB/s tunnel (the pack+
+        # prescreen between dispatch and fetch is only ~9ms).
+        from collections import deque
+
+        q = deque()  # (sel, cols, host_mask, sub_handle) FIFO
         for sel in _depth_chunks(d_tested) + [None]:
-            nxt = None
             if sel is not None:
                 cols = order_idx[sel]
                 bonf_f = running_bonf[sel].astype(np.float64)
@@ -390,15 +416,14 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                     sub = _screen_dispatch_sub(
                         probs, ep["depths"][cols], ep["alt_counts"][cols],
                         bonf_f, conf, host_mask)
-                nxt = (sel, cols, host_mask, sub)
-            if pending is not None:
-                psel, pcols, pmask, psub = pending
+                q.append((sel, cols, host_mask, sub))
+            while q and (len(q) > SCREEN_PIPE or sel is None):
+                psel, pcols, pmask, psub = q.popleft()
                 with stagetimer.stage("screen"):
                     cand = _screen_apply(pmask, psub)
                 for j in np.nonzero(cand)[0]:
                     screen_ctx.append((int(batch.positions[pcols[j]]),
                                        int(running_bonf[psel[j]])))
-            pending = nxt
         return
 
     pvalues = np.full((n_test, 3), PH.LDBL_MAX, dtype=np.longdouble)
@@ -408,11 +433,13 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
     # the reference's eps-comparator qsort is only observable through
     # the exact DP — so the qsort runs on the (few) surviving candidate
     # rows inside _snpcaller_with_screen instead of every tested column.
-    # Software-pipelined: chunk N+1's screen is in flight while chunk N
-    # runs its exact host DP.
-    pending = None
+    # Software-pipelined: up to SCREEN_PIPE chunks' screens are in
+    # flight while chunk N runs its exact host DP (see the screening
+    # loop above for the depth rationale).
+    from collections import deque
+
+    q = deque()  # (sel, cols, probs, host_mask, sub_handle) FIFO
     for sel in _depth_chunks(d_tested) + [None]:
-        nxt = None
         if sel is not None:
             cols = order_idx[sel]
             bonf_f = running_bonf[sel].astype(np.float64)
@@ -427,9 +454,9 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                 sub = _screen_dispatch_sub(
                     probs, ep["depths"][cols], ep["alt_counts"][cols],
                     bonf_f, conf, host_mask)
-            nxt = (sel, cols, probs, host_mask, sub)
-        if pending is not None:
-            psel, pcols, pprobs, pmask, psub = pending
+            q.append((sel, cols, probs, host_mask, sub))
+        while q and (len(q) > SCREEN_PIPE or sel is None):
+            psel, pcols, pprobs, pmask, psub = q.popleft()
             with stagetimer.stage("screen"):
                 run_mask = _screen_apply(pmask, psub)
             pvalues[psel] = _snpcaller_with_screen(
@@ -437,7 +464,6 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                 running_bonf[psel].astype(np.float64), conf,
                 presorted=False, precomputed_mask=run_mask,
             )
-        pending = nxt
 
     _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf)
 
@@ -469,6 +495,66 @@ def _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf):
                 0, 0, dp4, int(batch.coverage_plp[c]),
                 int(batch.hrun[c]), alt_count,
             )
+
+
+def _screen_codes_flow(batch, ep, order_idx, running_bonf, conf,
+                       screen_ctx) -> bool:
+    """Code-native screening for the whole batch: C-side top-S u8 codes
+    (ops.screen.screen_codes_for), integer-cumsum top-k prescreen, one
+    survivors-only device dispatch (host clipped-K DP fallback), append
+    candidates.  Returns False when the native kernel is unavailable
+    (caller falls back to the prob-pack loop).
+
+    Not used when conf.approx_threshold_n > 0: the Poisson approximation
+    needs the FULL prob sum (mu), which the top-S subset understates —
+    an understated mu would over-discard, breaking conservativeness."""
+    from ..core import stagetimer
+    from ..ops.screen import (
+        host_screen_tail_codes,
+        prescreen_codes,
+        screen_codes_for,
+        screen_dispatch_codes,
+        screen_fetch,
+    )
+
+    with stagetimer.stage("pack_sort"):
+        codes = screen_codes_for(ep["flat_probs"], ep["starts"], order_idx)
+    if codes is None:
+        return False
+    ks_t = ep["alt_counts"][order_idx].max(axis=1)
+    with stagetimer.stage("prescreen"):
+        keep = prescreen_codes(codes, ks_t, running_bonf, conf.sig,
+                               topk_max=_TOPK_MAX)
+    surv = np.nonzero(keep)[0]
+    if not len(surv):
+        return True
+    # survivors-only sub-screen, <= PACK_MAX_COLS per dispatch (reuses
+    # the production (4096, TOP_S) compile); dispatches issue first
+    # (async), fetches after — device latency overlaps the later issues
+    handles = []
+    dev_on = conf.device_screen_on()
+    for lo in range(0, len(surv), PACK_MAX_COLS):
+        ch = surv[lo:lo + PACK_MAX_COLS]
+        sub = None
+        if dev_on:
+            with stagetimer.stage("screen"):
+                sub = screen_dispatch_codes(
+                    codes[ch], ks_t[ch],
+                    running_bonf[ch].astype(np.float64), conf.sig)
+        handles.append((ch, sub))
+    for ch, sub in handles:
+        with stagetimer.stage("screen"):
+            if sub is not None:
+                cand = screen_fetch(sub)
+            else:
+                cand = host_screen_tail_codes(
+                    codes[ch], ks_t[ch],
+                    running_bonf[ch].astype(np.float64), conf.sig)
+        for j in np.nonzero(cand)[0]:
+            t = int(ch[j])
+            screen_ctx.append((int(batch.positions[order_idx[t]]),
+                               int(running_bonf[t])))
+    return True
 
 
 def _host_candidate_mask(probs, depths, alt_counts, bonf,

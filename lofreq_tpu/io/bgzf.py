@@ -441,6 +441,137 @@ def _block_bsize_at(fh, coffset: int):
     return None
 
 
+def _inflate_span_fresh(path, cbeg: int, span_end: int):
+    """Scan + parallel-inflate every whole BGZF block in file byte range
+    [cbeg, span_end).  Returns (payload u8 array, abs c_off[n+1] array
+    incl. the end sentinel, u_off[n+1] array incl. total) or None."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(cbeg)
+            comp = fh.read(span_end - cbeg)
+    except OSError:
+        return None
+    if len(comp) != span_end - cbeg:
+        return None
+    buf = np.frombuffer(comp, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    total = ctypes.c_int64(0)
+    n = lib.lfq_bgzf_scan(buf.ctypes.data_as(u8p),
+                          ctypes.c_int64(len(comp)),
+                          None, None, None, ctypes.c_int64(0),
+                          ctypes.byref(total))
+    if n < 0:
+        return None
+    c_off = np.empty(n + 1, np.int64)
+    c_size = np.empty(max(n, 1), np.int64)
+    u_off = np.empty(n + 1, np.int64)
+    if n == 0:
+        c_off[0] = cbeg
+        u_off[0] = 0
+        return np.empty(0, np.uint8), c_off, u_off
+    n2 = lib.lfq_bgzf_scan(buf.ctypes.data_as(u8p),
+                           ctypes.c_int64(len(comp)),
+                           c_off.ctypes.data_as(i64p),
+                           c_size.ctypes.data_as(i64p),
+                           u_off.ctypes.data_as(i64p),
+                           ctypes.c_int64(n), ctypes.byref(total))
+    if n2 != n:
+        return None
+    out = np.empty(int(total.value), np.uint8)
+    rc = lib.lfq_bgzf_inflate_blocks(
+        buf.ctypes.data_as(u8p), c_off.ctypes.data_as(i64p),
+        c_size.ctypes.data_as(i64p), u_off.ctypes.data_as(i64p),
+        ctypes.c_int64(n), out.ctypes.data_as(u8p),
+        ctypes.c_int64(int(total.value)),
+        ctypes.c_int32(_native_threads()))
+    if rc != 0:
+        return None
+    c_off[:n] += cbeg
+    c_off[n] = span_end
+    u_off[n] = int(total.value)
+    return out, c_off, u_off
+
+
+# one cached inflated span per path: consecutive call windows overlap at
+# the BAI-chunk granularity (~1.6x total re-inflation measured on the
+# bench workload), and window N+1's span prefix is window N's suffix —
+# so the cache reuses already-inflated blocks and only the new tail hits
+# zlib.  Guarded by a lock (pipelined window workers fetch concurrently).
+_SPAN_CACHE: dict = {}
+_SPAN_LOCK = None
+
+
+def _span_cache_lock():
+    global _SPAN_LOCK
+    if _SPAN_LOCK is None:
+        import threading
+
+        _SPAN_LOCK = threading.Lock()
+    return _SPAN_LOCK
+
+
+def _inflate_span(path, cbeg: int, span_end: int):
+    """_inflate_span_fresh with the per-path last-span block cache.
+    Returned arrays must be treated as read-only (they may alias the
+    cache)."""
+    import numpy as np
+
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return None
+    with _span_cache_lock():
+        ent = _SPAN_CACHE.get(path)
+        if ent is not None and ent["mtime"] != mtime:
+            ent = None
+    reuse = None
+    if ent is not None:
+        co, uo, out = ent["c_off"], ent["u_off"], ent["out"]
+        lo, hi = int(co[0]), int(co[-1])
+        if lo <= cbeg < hi:
+            i0 = int(np.searchsorted(co, cbeg))
+            if i0 < len(co) - 1 and co[i0] == cbeg:
+                if span_end <= hi:
+                    # fully inside the cached span
+                    i1 = int(np.searchsorted(co, span_end))
+                    if co[i1] == span_end:
+                        return (out[uo[i0]:uo[i1]],
+                                co[i0:i1 + 1], uo[i0:i1 + 1] - uo[i0])
+                else:
+                    reuse = (i0, co, uo, out)
+    if reuse is not None:
+        i0, co, uo, out = reuse
+        tail = _inflate_span_fresh(path, int(co[-1]), span_end)
+        if tail is None:
+            return None
+        t_out, t_co, t_uo = tail
+        n_keep = len(co) - 1 - i0
+        out2 = np.concatenate([out[uo[i0]:], t_out])
+        co2 = np.concatenate([co[i0:-1], t_co])
+        uo2 = np.concatenate([uo[i0:-1] - uo[i0],
+                              t_uo + (uo[-1] - uo[i0])])
+        res = (out2, co2, uo2)
+    else:
+        res = _inflate_span_fresh(path, cbeg, span_end)
+        if res is None:
+            return None
+    with _span_cache_lock():
+        _SPAN_CACHE[path] = dict(mtime=mtime, c_off=res[1], u_off=res[2],
+                                 out=res[0])
+        # bound: keep only the latest span per path, and only a few paths
+        if len(_SPAN_CACHE) > 4:
+            _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
+    return res
+
+
 def native_extract_voffsets(path, vbeg: int, vend=None) -> bytes | None:
     """Inflate the payload between virtual offsets [vbeg, vend) of a BGZF
     file with the native multithreaded inflater (csrc/bgzf.c).  vend=None
@@ -450,13 +581,11 @@ def native_extract_voffsets(path, vbeg: int, vend=None) -> bytes | None:
     This is the hot data-loading path: BAM bytes for a call window are
     BGZF blocks, independent gzip members that csrc/bgzf.c inflates on a
     pthread pool straight into one buffer — the stage the reference gets
-    from htslib's bgzf_mt."""
-    import ctypes
-
+    from htslib's bgzf_mt.  Overlapping sequential requests reuse the
+    last inflated span (_inflate_span)."""
     import numpy as np
 
-    lib = _native_lib()
-    if lib is None:
+    if _native_lib() is None:
         return None
     cbeg, ubeg = vbeg >> 16, vbeg & 0xFFFF
     try:
@@ -477,55 +606,23 @@ def native_extract_voffsets(path, vbeg: int, vend=None) -> bytes | None:
                     if bsize is None:
                         return None
                     span_end = cendblk + bsize
-                    cut = (cendblk - cbeg, uend)
-            if span_end <= cbeg:
-                return b""
-            fh.seek(cbeg)
-            comp = fh.read(span_end - cbeg)
+                    cut = (cendblk, uend)
     except OSError:
         return None
-    if len(comp) != span_end - cbeg:
-        return None
-    buf = np.frombuffer(comp, dtype=np.uint8)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    total = ctypes.c_int64(0)
-    n = lib.lfq_bgzf_scan(buf.ctypes.data_as(u8p),
-                          ctypes.c_int64(len(comp)),
-                          None, None, None, ctypes.c_int64(0),
-                          ctypes.byref(total))
-    if n < 0:
-        return None
-    if n == 0:
+    if span_end <= cbeg:
         return b""
-    c_off = np.empty(n, np.int64)
-    c_size = np.empty(n, np.int64)
-    u_off = np.empty(n, np.int64)
-    n2 = lib.lfq_bgzf_scan(buf.ctypes.data_as(u8p),
-                           ctypes.c_int64(len(comp)),
-                           c_off.ctypes.data_as(i64p),
-                           c_size.ctypes.data_as(i64p),
-                           u_off.ctypes.data_as(i64p),
-                           ctypes.c_int64(n), ctypes.byref(total))
-    if n2 != n:
+    res = _inflate_span(path, cbeg, span_end)
+    if res is None:
         return None
-    out = np.empty(int(total.value), np.uint8)
-    rc = lib.lfq_bgzf_inflate_blocks(
-        buf.ctypes.data_as(u8p), c_off.ctypes.data_as(i64p),
-        c_size.ctypes.data_as(i64p), u_off.ctypes.data_as(i64p),
-        ctypes.c_int64(n), out.ctypes.data_as(u8p),
-        ctypes.c_int64(int(total.value)),
-        ctypes.c_int32(_native_threads()))
-    if rc != 0:
-        return None
-    end_u = int(total.value)
+    out, c_off, u_off = res
+    end_u = int(u_off[-1])
     if cut is not None:
-        rel_coff, uend = cut
-        i = int(np.searchsorted(c_off, rel_coff))
-        if i >= n or c_off[i] != rel_coff:
+        abs_coff, uend = cut
+        i = int(np.searchsorted(c_off, abs_coff))
+        if i >= len(c_off) or c_off[i] != abs_coff:
             return None
         end_u = int(u_off[i]) + uend
-        if end_u > int(total.value):
+        if end_u > int(u_off[-1]):
             return None
     if ubeg > end_u:
         return None

@@ -647,3 +647,118 @@ def screen_candidates(probs, depths, ks, bonf, sig) -> np.ndarray:
     if handle is None:
         return np.ones(probs.shape[0], dtype=bool)
     return screen_fetch(handle)
+
+
+# -- code-native screening (csrc/screen_pack.c) -------------------------
+#
+# The fused sweep's CSR f32 probs are quantized/top-S-selected in C —
+# per column, sorted ascending, 255-padded — so the whole screening
+# front-end (prescreen bound + device/host sub-screen) runs on u8 codes
+# with no per-chunk numpy partition/quantize pass at all.
+
+LN2_8 = float(np.log(2.0)) / 8.0
+
+
+def screen_codes_for(flat_probs, starts, cols) -> np.ndarray | None:
+    """[len(cols), TOP_S] u8 top-S codes via the native kernel, or None
+    when the native lib is unavailable (callers use the prob path)."""
+    import ctypes
+
+    if flat_probs.dtype != np.float32:
+        return None
+    try:
+        from .._native_build import get_native_lib
+
+        lib = get_native_lib()
+    except Exception:
+        return None
+    n = len(cols)
+    out = np.empty((n, TOP_S), np.uint8)
+    if n == 0:
+        return out
+    flat = np.ascontiguousarray(flat_probs)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    nthreads = int(os.environ.get("LOFREQ_NATIVE_THREADS",
+                                  min(4, os.cpu_count() or 1)))
+    lib.lfq_screen_codes(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n), ctypes.c_int32(TOP_S),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(nthreads))
+    return out
+
+
+def prescreen_codes(codes, ks, bonf, sig,
+                    topk_max: int = 64) -> np.ndarray:
+    """Top-k product lower bound straight from the codes: the product of
+    the k largest decoded probs is exp(-(ln2/8) * sum of the k smallest
+    codes) — an integer cumsum instead of a partition+log pass.  Decodes
+    are <= the true probs, so the bound is a lower bound of the true
+    top-k product, itself a lower bound of the Poisson-binomial tail:
+    discarding on (bound * bonf > sig) is provably output-identical
+    (same argument as caller._topk_prescreen; the 0.5 slack is kept for
+    uniformity although the code sum is exact integer math).  Rows with
+    ks outside [1, topk_max] or whose k-th code is padding (255 = a
+    zero prob: the bound degenerates) are kept.  Returns keep mask."""
+    B = codes.shape[0]
+    if B == 0:
+        return np.ones(0, bool)
+    ks = np.asarray(ks, dtype=np.int64)
+    kmax = int(min(max(int(ks.max(initial=1)), 1), topk_max))
+    csum = np.cumsum(codes[:, :kmax].astype(np.int64), axis=1)
+    k_idx = np.clip(np.minimum(ks, kmax) - 1, 0, kmax - 1)
+    rows = np.arange(B)
+    code_sum = csum[rows, k_idx]
+    kth = codes[rows, k_idx]
+    lb_log = -LN2_8 * code_sum.astype(np.float64)
+    bounded = (ks >= 1) & (ks <= topk_max) & (kth < 255)
+    with np.errstate(divide="ignore"):
+        discard = bounded & (
+            lb_log + np.log(np.asarray(bonf, dtype=np.float64))
+            + np.log(0.5) > np.log(np.float64(sig)))
+    return ~discard
+
+
+def screen_dispatch_codes(codes, ks, bonf, sig):
+    """screen_dispatch for pre-quantized top-S codes: no partition, no
+    quantize — pad to the production (Bp, TOP_S) bucket and issue.  The
+    255 padding decodes to 0.0 (a DP identity), so depths are simply S
+    for every row.  Returns an opaque handle for screen_fetch, or None
+    (screen unavailable)."""
+    _jax, jnp = _get_jax()
+    B, s0 = codes.shape
+    s = TOP_S
+    Bp = _bucket_b(B)
+    if _jax.default_backend() != "cpu":
+        Bp = max(Bp, 4096)
+    fn = _manager.get(Bp, s)
+    if fn is None:
+        DISPATCH_STATS["unavailable"] += 1
+        return None
+    DISPATCH_STATS["dispatched"] += 1
+    codes_p = np.full((Bp, s), 255, dtype=np.uint8)
+    codes_p[:B, :s0] = codes
+    depths_p = np.full(Bp, s, dtype=np.int32)
+    ks_p = np.ones(Bp, dtype=np.int32)
+    ks_p[:B] = np.maximum(np.asarray(ks, dtype=np.int32), 1)
+    bonf = np.broadcast_to(np.asarray(bonf, dtype=np.float64), (B,))
+    log_thresh = np.full(Bp, np.float32(np.log(sig * MARGIN)))
+    log_thresh[:B] = np.log(sig * MARGIN / bonf).astype(np.float32)
+    mask = fn(
+        jnp.asarray(codes_p), jnp.asarray(depths_p), jnp.asarray(ks_p),
+        jnp.asarray(log_thresh), s=s,
+    )
+    return (mask, B)
+
+
+def host_screen_tail_codes(codes, ks, bonf, sig) -> np.ndarray:
+    """Host fallback of the code sub-screen: the same clipped-K partial
+    tail DP as host_screen_tail, over the decoded codes (f64)."""
+    dec = np.zeros(256)
+    dec[:255] = np.exp2(-np.arange(255, dtype=np.float64) / 8.0)
+    return host_screen_tail(dec[codes], np.full(codes.shape[0],
+                                                codes.shape[1]),
+                            ks, bonf, sig)

@@ -405,44 +405,77 @@ def run_call(
                     sweep_pconf.use_baq = False
                     engaged = True
                 screen_ctx = []
-            for batch in _native_window_batches(rdr, tid, chrom, ref,
-                                                sweep_pconf,
-                                                rstart, rend, window=WINDOW,
-                                                vconf=vconf,
-                                                ign_pos=chrom_ign,
-                                                device_baq=device_baq,
-                                                keep_raw=screen_ctx
-                                                is not None):
-                vs = call_vars_batch(batch, vconf, res.stats,
-                                     screen_ctx=screen_ctx)
-                if screen_ctx:
-                    # exact confirmation per window, while the window's
-                    # raw record bytes are still in memory (no BAM
-                    # re-reads, no BAI queries)
-                    from ..call.caller import confirm_snv_candidates
-                    from ..core import stagetimer
+            # window confirms run CONCURRENTLY with later windows'
+            # ingest/screen: each window's candidates + raw bytes are
+            # self-contained (confirm re-ingests clusters from the
+            # immutable raw buffer into fresh arrays), so the exact
+            # C-BAQ re-score — the biggest consumer-side stage — hides
+            # under the next windows' sweeps.  Results drain FIFO, so
+            # res.vars stays in window order.
+            from collections import deque as _deque
+            from concurrent.futures import ThreadPoolExecutor as _TPE
 
-                    with stagetimer.stage("confirm"):
-                        confirmed = confirm_snv_candidates(
-                            rdr, tid, chrom, ref, pconf, vconf, screen_ctx,
-                            ign_pos=chrom_ign,
-                            raw=getattr(batch, "raw", None))
-                    screen_ctx.clear()
+            from ..call.caller import confirm_snv_candidates
+            from ..core import stagetimer
+
+            CONF_PIPE = int(os.environ.get("LOFREQ_TPU_CONFIRM_PIPE",
+                                           "2"))
+            conf_ex = _TPE(max(CONF_PIPE, 1)) if screen_ctx is not None \
+                else None
+
+            def _timed_confirm(cands, raw):
+                with stagetimer.stage("confirm"):
+                    return confirm_snv_candidates(
+                        rdr, tid, chrom, ref, pconf, vconf, cands,
+                        ign_pos=chrom_ign, raw=raw)
+
+            pending = _deque()  # (vs, fut|None, n_cols, last_pos)
+
+            def _drain_one():
+                nonlocal n_cols, next_beat
+                vs, fut, ncols_b, last_pos = pending.popleft()
+                if fut is not None:
+                    with stagetimer.stage("confirm_wait"):
+                        confirmed = fut.result()
                     # interleave with this batch's indel vars to match
-                    # the reference's per-column emission (indels before
-                    # SNVs at one position, lofreq_call.c:887): both
-                    # lists are position-sorted and the stable sort
-                    # keeps vs (indels) first at equal positions
+                    # the reference's per-column emission (indels
+                    # before SNVs at one position, lofreq_call.c:887):
+                    # both lists are position-sorted and the stable
+                    # sort keeps vs (indels) first at equal positions
                     vs = sorted(vs + confirmed, key=lambda v: v.pos)
                 res.vars.extend(vs)
-                n_cols += len(batch.positions)
+                n_cols += ncols_b
                 if n_cols >= next_beat:
                     print(f"Alive and happily crunching away on pos "
-                          f"{int(batch.positions[-1]) + 1} of {chrom}...",
+                          f"{last_pos + 1} of {chrom}...",
                           file=sys.stderr)
                     next_beat += HEARTBEAT_COLS
                 if progress:
-                    progress(chrom, int(batch.positions[-1]))
+                    progress(chrom, last_pos)
+
+            try:
+                for batch in _native_window_batches(
+                        rdr, tid, chrom, ref, sweep_pconf,
+                        rstart, rend, window=WINDOW, vconf=vconf,
+                        ign_pos=chrom_ign, device_baq=device_baq,
+                        keep_raw=screen_ctx is not None):
+                    vs = call_vars_batch(batch, vconf, res.stats,
+                                         screen_ctx=screen_ctx)
+                    fut = None
+                    if screen_ctx:
+                        fut = conf_ex.submit(_timed_confirm,
+                                             list(screen_ctx),
+                                             getattr(batch, "raw", None))
+                        screen_ctx.clear()
+                    pending.append((vs, fut, len(batch.positions),
+                                    int(batch.positions[-1])))
+                    while len(pending) > CONF_PIPE:
+                        _drain_one()
+                while pending:
+                    _drain_one()
+            finally:
+                if conf_ex is not None:
+                    conf_ex.shutdown(wait=True)
             continue
 
         if region:

@@ -139,3 +139,40 @@ def test_region_pipeline_uses_native_and_matches(tmp_path):
         rdr._bgzf.seek_virtual(cbeg)
         parts.append(rdr._bgzf.read_until_voffset(cend))
     assert got == b"".join(parts)
+
+
+def test_span_cache_sequential_overlapping_windows(bgzf_file):
+    """The last-span cache must be invisible: random overlapping
+    ascending (and some backward) voffset ranges give byte-identical
+    results to the Python reader."""
+    import numpy as np
+
+    from lofreq_tpu.io import bgzf as B
+
+    path, _ = bgzf_file
+    blocks = _block_voffsets(path)
+    rdr = BgzfReader(path)
+    rng = np.random.default_rng(3)
+    B._SPAN_CACHE.clear()
+    nb = len(blocks)
+    total = bgzf_file[1]
+    sizes = [blocks[k + 1][1] - blocks[k][1] for k in range(nb - 1)]
+    sizes.append(len(total) - blocks[-1][1])
+    for _ in range(60):
+        i = int(rng.integers(0, nb - 1))
+        j = int(rng.integers(i, nb))
+        # valid voffsets only: uoffset must lie within the block payload
+        # (a real BAI never emits otherwise; native returns None there
+        # and callers fall back to the Python reader)
+        ub = int(rng.integers(0, 40)) % max(sizes[i], 1)
+        ue = int(rng.integers(0, 40)) % max(sizes[j], 1)
+        if j == i and ue < ub:
+            ub, ue = ue, ub
+        vbeg = (blocks[i][0] << 16) | ub
+        vend = (blocks[j][0] << 16) | ue
+        got = B.native_extract_voffsets(path, vbeg, vend)
+        rdr.seek_virtual(vbeg)
+        want = rdr.read_until_voffset(vend)
+        assert got == want, (i, j, ub, ue)
+    # whole-stream after cache is warm
+    assert B.native_extract_voffsets(path, 0, None) == bgzf_file[1]
