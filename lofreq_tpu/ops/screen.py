@@ -95,7 +95,15 @@ def _build_screen_fn(use_pallas=False, mesh=None):
         state0 = jnp.where(cell == 0, 1.0, 0.0).astype(jnp.float32)
         state0 = jnp.broadcast_to(state0, (B, kmax + 1))
         in_depth = jnp.arange(s)[None, :] < depths[:, None]
-        probs = jnp.asarray(dec)[codes.astype(jnp.int32)]
+        # decode arithmetically, NOT via a 256-entry table gather: the
+        # gather lowers to scalar loads and measured 4.3ms of the
+        # kernel's 4.4ms on v5e (the whole DP scan is 0.02ms) — exp2 on
+        # the VPU is effectively free.  f32 exp2 rounds within ~1 ulp of
+        # the f64-built table; either decode is a per-element lower-
+        # bound approximation whose rounding MARGIN absorbs (see module
+        # docstring) — conservativeness does not depend on which.
+        cf = codes.astype(jnp.float32)
+        probs = jnp.where(codes == 255, 0.0, jnp.exp2(-cf / 8.0))
         p_all = jnp.where(in_depth, probs, 0.0)
         # tie the scan carry to a batch-varying input so shard_map's
         # varying-axis tracking accepts it (same trick as
