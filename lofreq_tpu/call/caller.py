@@ -566,7 +566,15 @@ def _host_candidate_mask(probs, depths, alt_counts, bonf,
     B = probs.shape[0]
     ks = alt_counts.max(axis=1)
     run_mask = ks > 0
-    if conf.approx_threshold_n > 0 and B:
+    # the Poisson approximation branch mirrors the reference's double-
+    # precision mu (snpcaller.c:1128-1142) and is only applied to f64
+    # packs: a screening-engine f32 pack rounds each prob either way,
+    # so its mu could exceed the exact sum and discard a column the
+    # reference would test (ADVICE r4) — those packs keep the column
+    # and let the exact confirm pass (f64 rebuild) apply the branch
+    # bit-exactly instead
+    if (conf.approx_threshold_n > 0 and B
+            and probs.dtype != np.float32):
         from scipy.stats import poisson
 
         deep = depths > conf.approx_threshold_n

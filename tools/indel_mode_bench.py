@@ -71,11 +71,15 @@ def main():
             walls.append(time.time() - t0)
         stages = stagetimer.report()
 
-        # identity oracle: all-exact path (screening engine off)
+        # identity oracle: all-exact path (screening engine off);
+        # try/finally so a raising oracle run can't leak the override
+        # and silently disable the screening engine process-wide
         os.environ["LOFREQ_TPU_BAQ_SCREEN"] = "0"
-        vconf, pconf = confs()
-        exact = run_call(iq_bam, art["fa"], vconf=vconf, pconf=pconf)
-        del os.environ["LOFREQ_TPU_BAQ_SCREEN"]
+        try:
+            vconf, pconf = confs()
+            exact = run_call(iq_bam, art["fa"], vconf=vconf, pconf=pconf)
+        finally:
+            del os.environ["LOFREQ_TPU_BAQ_SCREEN"]
         a = [(v.pos, v.ref, v.alt, v.qual, v.info) for v in res.vars]
         b = [(v.pos, v.ref, v.alt, v.qual, v.info) for v in exact.vars]
         ok = (a == b and res.stats.num_snv_tests == exact.stats.num_snv_tests
