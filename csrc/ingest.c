@@ -33,6 +33,9 @@ void lfq_baq_batch(
     uint8_t *baq_out, uint8_t *iaq_out, uint8_t *daq_out,
     uint8_t *flags_out);
 
+/* from screen_pack.c */
+uint8_t lfq_u8code_f64(double p);
+
 /* from exact_stats.c */
 void lfq_poissbin_dp_batch(
     const double *probs, const int64_t *depths, const int64_t *ks,
@@ -1221,7 +1224,11 @@ typedef struct {
     int64_t *o_ins_ne_sum, *o_del_ne_sum, *o_ins_ev_max, *o_del_ev_max;
     double *bc;                   /* consensus accumulators [W*5] */
     const uint8_t *o_ref_nt4;     /* per-column ref codes (read-only) */
-    float *o_probs32;             /* screening mode: f32 probs, no tagbuf */
+    float *o_probs32;             /* screening mode 1: f32 probs, no tagbuf */
+    uint8_t *o_codes8;            /* screening mode 2: u8 log-quantized
+                                     codes straight from the sweep (1 B/row
+                                     instead of 4 — the CSR only feeds the
+                                     code-native prescreen/screen) */
     const double *mp_tab;         /* [(mq+1)*94] precomputed merged prob
                                      (use_baq==0 && use_sq==0), or NULL */
     int64_t p_beg, p_end;         /* this stripe */
@@ -1332,7 +1339,9 @@ static inline void fused_base_row(const fusedctx_t *fx, int64_t p,
     if (is_alt)
         fx->o_alt_cnt[ci * 5 + n4]++;
     int64_t slot = fx->cur[p]++;
-    if (fx->o_probs32) {
+    if (fx->o_codes8) {
+        fx->o_codes8[slot] = lfq_u8code_f64(mp);
+    } else if (fx->o_probs32) {
         fx->o_probs32[slot] = (float)mp;
     } else {
         fx->tagbuf[slot] = n4;
@@ -1504,7 +1513,8 @@ static void fused_stripe(fusedctx_t *fx)
     int64_t span = fx->offset[fx->p_end] - fx->offset[fx->p_beg];
     if (span < 1)
         span = 1;
-    double *scratch = fx->o_probs32 ? NULL : malloc(span * sizeof(double));
+    double *scratch = (fx->o_probs32 || fx->o_codes8)
+        ? NULL : malloc(span * sizeof(double));
     for (int64_t p = fx->p_beg; p < fx->p_end; p++) {
         int64_t ci = fx->cols_before[p];
         if (fx->cols_before[p + 1] == ci)
@@ -1700,7 +1710,8 @@ int64_t lfq_ingest_columns(
         .o_ins_ne_sum = o_ins_ne_sum, .o_del_ne_sum = o_del_ne_sum,
         .o_ins_ev_max = o_ins_ev_max, .o_del_ev_max = o_del_ev_max,
         .bc = bc, .o_ref_nt4 = o_ref_nt4,
-        .o_probs32 = cf->screen_flat ? (float *)o_probs : NULL,
+        .o_probs32 = cf->screen_flat == 1 ? (float *)o_probs : NULL,
+        .o_codes8 = cf->screen_flat == 2 ? (uint8_t *)o_probs : NULL,
         .mp_tab = mp_tab,
     };
 
@@ -1752,7 +1763,8 @@ int64_t lfq_ingest_columns(
 
     FPH("stripes");
     /* compact per-position prob regions into a dense CSR */
-    size_t esz = cf->screen_flat ? sizeof(float) : sizeof(double);
+    size_t esz = cf->screen_flat == 2 ? 1
+        : cf->screen_flat ? sizeof(float) : sizeof(double);
     char *pbytes = (char *)o_probs;
     int64_t dense = 0;
     for (int64_t p = 0; p < win_len; p++) {

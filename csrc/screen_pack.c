@@ -42,6 +42,30 @@ static void lut_init(void)
         CEIL8LUT[m] = (int8_t)ceil(-8.0 * log2(1.0 + m / 256.0));
 }
 
+/* double-precision variant, exported for the fused sweep (ingest.c
+ * screen_flat==2 emits codes directly, skipping the f32 CSR entirely):
+ * p >= p_low = 2^e * (1+m/256) by mantissa truncation, so
+ * 2^(-code/8) <= p_low <= p — strictly conservative, no intermediate
+ * f32 rounding. */
+uint8_t lfq_u8code_f64(double p)
+{
+    pthread_once(&lut_once, lut_init);
+    if (!(p > 0.0))
+        return 255;
+    if (p >= 1.0)
+        return 0;
+    uint64_t u;
+    memcpy(&u, &p, 8);
+    int e = (int)((u >> 52) & 0x7FF) - 1023; /* subnormal -> -1023 */
+    if (e <= -32)
+        return 255;
+    int m = (int)((u >> 44) & 0xFF);
+    int c = -8 * e + CEIL8LUT[m];
+    if (c > 254)
+        return 255;
+    return (uint8_t)(c < 0 ? 0 : c);
+}
+
 static inline int code_of(float p)
 {
     if (!(p > 0.0f))
@@ -62,6 +86,7 @@ static inline int code_of(float p)
 
 typedef struct {
     const float *flat;
+    const uint8_t *flat8;     /* pre-quantized CSR (screen_flat==2) */
     const int64_t *starts;
     const int64_t *cols;
     int64_t n;
@@ -76,13 +101,20 @@ static void *scodes_worker(void *arg)
     int32_t S = t->S;
     for (int64_t i = t->lo; i < t->hi; i++) {
         int64_t c = t->cols[i];
-        const float *p = t->flat + t->starts[c];
-        int64_t d = t->starts[c + 1] - t->starts[c];
+        int64_t s0 = t->starts[c];
+        int64_t d = t->starts[c + 1] - s0;
         uint8_t *o = t->out + i * S;
         int32_t hist[256];
         memset(hist, 0, sizeof hist);
-        for (int64_t j = 0; j < d; j++)
-            hist[code_of(p[j])]++;
+        if (t->flat8) {
+            const uint8_t *p = t->flat8 + s0;
+            for (int64_t j = 0; j < d; j++)
+                hist[p[j]]++;
+        } else {
+            const float *p = t->flat + s0;
+            for (int64_t j = 0; j < d; j++)
+                hist[code_of(p[j])]++;
+        }
         int32_t k = 0;
         for (int cc = 0; cc < 255 && k < S; cc++) {
             int32_t take = hist[cc];
@@ -100,9 +132,10 @@ static void *scodes_worker(void *arg)
 /* Fill out[n*S] with each selected column's top-S codes (ascending,
  * 255-padded).  flat/starts: the CSR from the fused column sweep
  * (screen_flat f32 probs); cols[n]: selected column ids. */
-void lfq_screen_codes(const float *flat, const int64_t *starts,
-                      const int64_t *cols, int64_t n, int32_t S,
-                      uint8_t *out, int32_t nthreads)
+static void run_scodes(const float *flat, const uint8_t *flat8,
+                       const int64_t *starts, const int64_t *cols,
+                       int64_t n, int32_t S, uint8_t *out,
+                       int32_t nthreads)
 {
     pthread_once(&lut_once, lut_init);
     if (n <= 0)
@@ -117,7 +150,7 @@ void lfq_screen_codes(const float *flat, const int64_t *starts,
     pthread_t tids[8];
     int started[8];
     for (int32_t t = 0; t < nthreads; t++) {
-        tasks[t] = (scodes_task_t){ flat, starts, cols, n, S, out,
+        tasks[t] = (scodes_task_t){ flat, flat8, starts, cols, n, S, out,
                                     n * t / nthreads,
                                     n * (t + 1) / nthreads };
         started[t] = (t > 0) && pthread_create(&tids[t], NULL,
@@ -131,4 +164,20 @@ void lfq_screen_codes(const float *flat, const int64_t *starts,
         else
             scodes_worker(&tasks[t]);
     }
+}
+
+void lfq_screen_codes(const float *flat, const int64_t *starts,
+                      const int64_t *cols, int64_t n, int32_t S,
+                      uint8_t *out, int32_t nthreads)
+{
+    run_scodes(flat, NULL, starts, cols, n, S, out, nthreads);
+}
+
+/* CSR already quantized by the fused sweep (screen_flat==2): pure
+ * counting select, no per-prob arithmetic at all. */
+void lfq_screen_codes_u8(const uint8_t *flat8, const int64_t *starts,
+                         const int64_t *cols, int64_t n, int32_t S,
+                         uint8_t *out, int32_t nthreads)
+{
+    run_scodes(NULL, flat8, starts, cols, n, S, out, nthreads);
 }

@@ -341,9 +341,9 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
                 "device-BAQ screening requires the fused column path "
                 "(its ep carries the deflated screening merge)")
         ep = snv_errprobs_for_batch(batch, conf)
-    if screen_ctx is None and ep["flat_probs"].dtype == np.float32:
+    if screen_ctx is None and ep["flat_probs"].dtype != np.float64:
         raise RuntimeError(
-            "screening-mode err probs (order-free f32, screen_flat) "
+            "screening-mode err probs (order-free f32/u8, screen_flat) "
             "cannot feed the exact DP — pass screen_ctx or rebuild the "
             "batch with the screening flags off")
     got_alt = ep["alt_counts"].sum(axis=1) > 0
@@ -386,11 +386,16 @@ def call_snvs_batch(batch: ColumnBatch, conf: VarcallConf, stats: CallStats,
         # window instead of one per 4096-column chunk.  Exactness
         # unchanged: codes decode to <= the true probs, every bound
         # stays a lower bound, every discard stays provable.
-        if (ep["flat_probs"].dtype == np.float32
+        if (ep["flat_probs"].dtype in (np.float32, np.uint8)
                 and conf.approx_threshold_n <= 0
                 and _screen_codes_flow(batch, ep, order_idx, running_bonf,
                                        conf, screen_ctx)):
             return
+        if ep["flat_probs"].dtype == np.uint8:
+            raise RuntimeError(
+                "u8 code CSR (screen_flat==2) requires the native "
+                "screen-codes kernel — it produced the CSR, so this is "
+                "unreachable unless the lib was unloaded mid-process")
         # software-pipelined: up to SCREEN_PIPE chunks' screens are in
         # flight before chunk N's mask is fetched, so device compute +
         # transfers + the tunnel's per-RPC latency hide behind the

@@ -669,10 +669,14 @@ LN2_8 = float(np.log(2.0)) / 8.0
 
 def screen_codes_for(flat_probs, starts, cols) -> np.ndarray | None:
     """[len(cols), TOP_S] u8 top-S codes via the native kernel, or None
-    when the native lib is unavailable (callers use the prob path)."""
+    when the native lib is unavailable (callers use the prob path).
+
+    flat_probs may be f32 probs (quantize + counting select) or a
+    pre-quantized u8 code CSR straight from the fused sweep
+    (screen_flat==2 — pure counting select, the cheapest path)."""
     import ctypes
 
-    if flat_probs.dtype != np.float32:
+    if flat_probs.dtype not in (np.float32, np.uint8):
         return None
     try:
         from .._native_build import get_native_lib
@@ -689,13 +693,21 @@ def screen_codes_for(flat_probs, starts, cols) -> np.ndarray | None:
     cols = np.ascontiguousarray(cols, dtype=np.int64)
     nthreads = int(os.environ.get("LOFREQ_NATIVE_THREADS",
                                   min(4, os.cpu_count() or 1)))
-    lib.lfq_screen_codes(
-        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ctypes.c_int64(n), ctypes.c_int32(TOP_S),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int32(nthreads))
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    if flat.dtype == np.uint8:
+        lib.lfq_screen_codes_u8(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            starts.ctypes.data_as(i64p), cols.ctypes.data_as(i64p),
+            ctypes.c_int64(n), ctypes.c_int32(TOP_S),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(nthreads))
+    else:
+        lib.lfq_screen_codes(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            starts.ctypes.data_as(i64p), cols.ctypes.data_as(i64p),
+            ctypes.c_int64(n), ctypes.c_int32(TOP_S),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(nthreads))
     return out
 
 

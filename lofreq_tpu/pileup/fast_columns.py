@@ -60,10 +60,16 @@ def colconf_struct(pconf: PileupConf, vconf) -> _ColConf:
         # feeds only permutation-invariant lower bounds (prescreen /
         # screen) — candidates re-derive exact probs from raw bytes
         # (confirm_snv_candidates) — so the fused sweep may emit
-        # order-free f32 and skip the per-column nt4 regroup
-        screen_flat=1 if (getattr(vconf, "baq_screen_null", False)
-                          or getattr(vconf, "baq_screen_bias", 0) > 0)
-        else 0,
+        # order-free values and skip the per-column nt4 regroup.
+        # Mode 2 emits u8 log-quantized codes straight from the sweep
+        # (1 B/row: kills the biggest write stream AND the separate
+        # quantize pass); mode 1 keeps f32 for the Poisson-approx conf
+        # (its mu needs real prob sums, caller._host_candidate_mask).
+        screen_flat=(
+            (2 if getattr(vconf, "approx_threshold_n", -1) <= 0 else 1)
+            if (getattr(vconf, "baq_screen_null", False)
+                or getattr(vconf, "baq_screen_bias", 0) > 0)
+            else 0),
         mq0_errprob=D.MQ0_ERRPROB,
     )
 

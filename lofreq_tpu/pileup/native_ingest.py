@@ -421,10 +421,14 @@ def ingest_columns(rdr: BamReader, pconf: PileupConf, colconf_struct,
         alt_cnt=tk(gen, "alt_cnt", W * 5, np.int64),
         alt_raw=tk(gen, "alt_raw", W * 5, np.int64),
         col_start=tk(gen, "col_start", W + 1, np.int64),
-        # screening mode emits order-free f32 probs (see icolconf_t
-        # screen_flat); the same buffer pointer is passed either way
+        # screening mode emits order-free f32 probs (screen_flat==1) or
+        # u8 log-quantized codes (==2, see icolconf_t); the same buffer
+        # pointer is passed either way
         probs=tk(gen, "probs", n_rows,
-                 np.float32 if getattr(colconf_struct, "screen_flat", 0)
+                 np.uint8
+                 if getattr(colconf_struct, "screen_flat", 0) == 2
+                 else np.float32
+                 if getattr(colconf_struct, "screen_flat", 0)
                  else np.float64),
         num_ins=tk(gen, "num_ins", W, np.int64),
         num_dels=tk(gen, "num_dels", W, np.int64),
