@@ -572,6 +572,82 @@ def _inflate_span(path, cbeg: int, span_end: int):
     return res
 
 
+def native_extract_multi(path, chunks) -> bytes | None:
+    """Concatenated payloads of several [vbeg, vend) chunk ranges.
+
+    The BAI's per-window chunk lists are one near-contiguous run (the
+    window's reads) plus a few far-flung outlier chunks from coarse
+    bins.  Chunks are clustered by compressed-offset gap: big clusters
+    inflate as ONE span through the sequential last-span cache (so
+    consecutive windows extend it), while small/outlier clusters
+    inflate directly WITHOUT touching the cache — a 100 KB stray chunk
+    must not evict the 15 MB window span the next window will extend
+    (observed: exactly that eviction forced full re-inflation of every
+    window).  Returns None on any parse anomaly (callers fall back)."""
+    import numpy as np
+
+    if not chunks or _native_lib() is None:
+        return None
+    GAP = 1 << 20       # new cluster when compressed gap > 1 MiB
+    CACHE_MIN = 4 << 20  # only spans >= 4 MiB go through the cache
+    try:
+        with open(path, "rb") as fh:
+            spans = []  # per chunk: (cb, ub, ce, ue, end_byte)
+            end_cache = {}
+            for vb, ve in chunks:
+                cb, ub = vb >> 16, vb & 0xFFFF
+                ce, ue = ve >> 16, ve & 0xFFFF
+                if ue == 0:
+                    eb = ce
+                else:
+                    if ce not in end_cache:
+                        bs = _block_bsize_at(fh, ce)
+                        if bs is None:
+                            return None
+                        end_cache[ce] = bs
+                    eb = ce + end_cache[ce]
+                spans.append((cb, ub, ce, ue, eb))
+    except OSError:
+        return None
+    # cluster in compressed-offset order, remembering input positions
+    order = sorted(range(len(spans)), key=lambda i: spans[i][0])
+    clusters = []  # (beg, end, [chunk indices])
+    for i in order:
+        cb, _ub, _ce, _ue, eb = spans[i]
+        if clusters and cb <= clusters[-1][1] + GAP:
+            c = clusters[-1]
+            clusters[-1] = (c[0], max(c[1], eb), c[2] + [i])
+        else:
+            clusters.append((cb, eb, [i]))
+    parts = [None] * len(spans)
+    for beg, end, idxs in clusters:
+        if end <= beg:
+            for i in idxs:
+                parts[i] = b""
+            continue
+        if end - beg >= CACHE_MIN:
+            res = _inflate_span(path, beg, end)
+        else:
+            res = _inflate_span_fresh(path, beg, end)
+        if res is None:
+            return None
+        out, c_off, u_off = res
+        for i in idxs:
+            cb, ub, ce, ue, _eb = spans[i]
+            a = int(np.searchsorted(c_off, cb))
+            b = int(np.searchsorted(c_off, ce))
+            if a >= len(c_off) or c_off[a] != cb or b >= len(c_off) \
+                    or c_off[b] != ce:
+                return None
+            lo = int(u_off[a]) + ub
+            hi = int(u_off[b]) + ue
+            if hi < lo or hi > int(u_off[-1]):
+                return None
+            parts[i] = out[lo:hi]
+    return b"".join(p.tobytes() if not isinstance(p, bytes) else p
+                    for p in parts)
+
+
 def native_extract_voffsets(path, vbeg: int, vend=None) -> bytes | None:
     """Inflate the payload between virtual offsets [vbeg, vend) of a BGZF
     file with the native multithreaded inflater (csrc/bgzf.c).  vend=None

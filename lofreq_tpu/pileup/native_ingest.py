@@ -123,12 +123,15 @@ def raw_records_for_region(rdr: BamReader, tid, beg, end) -> bytes:
     bottleneck lives here, so blocks inflate on a pthread pool instead
     of Python's per-block zlib loop.  Any parse anomaly falls back to
     the Python BgzfReader (identical output, slower)."""
-    from ..io.bgzf import native_extract_voffsets
+    from ..io.bgzf import native_extract_multi, native_extract_voffsets
 
     bai_path = rdr.path + ".bai"
     if tid is not None and os.path.exists(bai_path):
         idx = BaiIndex.load(bai_path)
         chunks = idx.query(tid, beg or 0, end if end else 1 << 29)
+        merged = native_extract_multi(rdr.path, chunks)
+        if merged is not None:
+            return merged
         parts = []
         for cbeg, cend in chunks:
             fast = native_extract_voffsets(rdr.path, cbeg, cend)

@@ -176,3 +176,30 @@ def test_span_cache_sequential_overlapping_windows(bgzf_file):
         assert got == want, (i, j, ub, ue)
     # whole-stream after cache is warm
     assert B.native_extract_voffsets(path, 0, None) == bgzf_file[1]
+
+
+def test_native_extract_multi_matches_per_chunk(tmp_path):
+    """Window-style multi-chunk extraction == per-chunk Python reads."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from simulate_fast import simulate_fast
+
+    from lofreq_tpu.io import bgzf as B
+    from lofreq_tpu.io.bai import BaiIndex
+    from lofreq_tpu.io.bam import BamReader
+
+    art = simulate_fast(str(tmp_path), genome_len=30_000, depth=120,
+                        seed=13)
+    rdr = BamReader(art["bam"])
+    idx = BaiIndex.load(art["bam"] + ".bai")
+    B._SPAN_CACHE.clear()
+    for b, e in [(0, 8000), (5000, 14000), (12000, 30000), (100, 300)]:
+        chunks = idx.query(0, b, e)
+        got = B.native_extract_multi(art["bam"], chunks)
+        parts = []
+        for cbeg, cend in chunks:
+            rdr._bgzf.seek_virtual(cbeg)
+            parts.append(rdr._bgzf.read_until_voffset(cend))
+        want = b"".join(parts)
+        assert got == want, (b, e)
