@@ -324,6 +324,61 @@ int64_t lfq_ingest_count(const uint8_t *buf, int64_t buflen,
     return 0;
 }
 
+/* Byte ranges of records possibly overlapping any [beg, end) interval
+ * of reg[2*n_reg] (sorted, non-overlapping) on tid, over a pos-sorted
+ * raw [size][record] stream.  Emits merged (start, end) byte-range
+ * pairs into ranges (capacity max_ranges pairs); returns the pair
+ * count, or -1 on a corrupt stream / capacity overflow (callers fall
+ * back to the full blob).  The selection is a conservative SUPERSET —
+ * later passes re-apply read filters and the interval check — so the
+ * exact-confirm re-ingest (confirm_snv_candidates) can parse ~the
+ * cluster reads instead of re-walking the whole window's records. */
+int64_t lfq_raw_ranges(const uint8_t *buf, int64_t buflen, int32_t tid,
+                       const int64_t *reg, int64_t n_reg,
+                       int64_t *ranges, int64_t max_ranges)
+{
+    if (n_reg <= 0)
+        return 0;
+    int64_t hi = reg[2 * n_reg - 1];
+    int64_t off = 0, nr = 0, ri = 0;
+    const int64_t MERGE_GAP = 65536; /* few skipped records re-parse
+                                        cheaper than extra ranges */
+    while (off + 4 <= buflen) {
+        int64_t rec_start = off;
+        int32_t sz = *(int32_t *)(buf + off);
+        off += 4;
+        if (sz < 0 || off + sz > buflen)
+            return -1;
+        rec_t r;
+        int keep = 0;
+        if (parse_rec(buf + off, sz, &r) == 0 && r.tid == tid) {
+            if (r.pos >= hi)
+                break;  /* pos-sorted: nothing later can overlap */
+            int64_t ep = rec_endpos(&r);
+            /* intervals ending at or before pos can't overlap this or
+             * any later (pos-nondecreasing) record */
+            while (ri < n_reg && reg[2 * ri + 1] <= r.pos)
+                ri++;
+            if (ri >= n_reg)
+                break;
+            keep = ep > reg[2 * ri];
+        }
+        off += sz;
+        if (keep) {
+            if (nr && rec_start - ranges[2 * nr - 1] <= MERGE_GAP) {
+                ranges[2 * nr - 1] = off;
+            } else {
+                if (nr >= max_ranges)
+                    return -1;
+                ranges[2 * nr] = rec_start;
+                ranges[2 * nr + 1] = off;
+                nr++;
+            }
+        }
+    }
+    return nr;
+}
+
 /* source qual for one read (plp.c:427-593 semantics incl. ign-list) */
 static int source_qual_one(const rec_t *r, const char *ref, int64_t ref_len,
                            int def_nm_q, int min_bq,

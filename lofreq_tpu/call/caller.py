@@ -790,6 +790,15 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
         ign_arr = np.asarray(sorted(ign_pos), dtype=np.int64)
     reg_list = np.asarray(intervals, dtype=np.int64).ravel()
     lo, hi = cands[0][0], cands[-1][0] + 1
+    if raw is not None:
+        # parse only the records near the candidate intervals: the
+        # native trim returns a conservative superset and the ingest's
+        # interval filter re-applies exactly, so output is unchanged
+        from ..pileup.native_ingest import trim_raw_to_regions
+
+        trimmed = trim_raw_to_regions(raw, tid, reg_list)
+        if trimmed is not None:
+            raw = trimmed
     rows = ingest_region(rdr, pconf, ref, tid, beg=lo, end=hi,
                          ign_pos=ign_arr, raw=raw, reg_list=reg_list)
     if not len(rows.pos):

@@ -176,8 +176,14 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
         reg = _np.empty(2 * len(starts), dtype=_np.int64)
         reg[0::2] = starts
         reg[1::2] = ends
+        from ..pileup.native_ingest import trim_raw_to_regions
+
+        raw_ev = batch.raw
+        trimmed = trim_raw_to_regions(raw_ev, tid, reg)
+        if trimmed is not None:
+            raw_ev = trimmed
         rows = ingest_region(rdr, pconf, ref, tid, beg=b, end=e,
-                             raw=batch.raw, ign_pos=ign_arr, reg_list=reg,
+                             raw=raw_ev, ign_pos=ign_arr, reg_list=reg,
                              pool=row_pool)
         _attach_indels(batch, rows, pconf, ref)
 
