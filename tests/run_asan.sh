@@ -6,7 +6,7 @@ set -e
 cd "$(dirname "$0")/.."
 BUILD=$(mktemp -d)
 gcc -O1 -g -march=native -ffp-contract=off -fsanitize=address \
-    -shared -fPIC -o "$BUILD/liblofreq_native.so" csrc/*.c -lm -lpthread
+    -shared -fPIC -o "$BUILD/liblofreq_native.so" csrc/*.c -lm -lpthread -lz
 LIBASAN=$(gcc -print-file-name=libasan.so)
 LD_PRELOAD="$LIBASAN" ASAN_OPTIONS=detect_leaks=0 python - "$@" <<EOF
 import ctypes, sys
@@ -21,5 +21,8 @@ import pytest
 sys.exit(pytest.main(["-q", "tests/test_baq_x4.py", "tests/test_baq.py",
                       "tests/test_viterbi.py", "tests/test_poissbin.py",
                       "tests/test_native_ingest.py",
+                      "tests/test_native_bgzf.py",
+                      "tests/test_prescreen_bound.py",
+                      "tests/test_fused_ingest.py",
                       "-p", "no:cacheprovider"] + sys.argv[1:]))
 EOF
