@@ -20,6 +20,17 @@
 #include <string.h>
 #include <zlib.h>
 
+/* libdeflate's raw inflate is ~2-3x zlib's; the builder passes
+ * -DLOFREQ_HAVE_LIBDEFLATE (and -ldeflate) only after probing that both
+ * the header and the shared lib exist (_native_build.py) — zlib is the
+ * fallback everywhere else. */
+#if defined(LOFREQ_HAVE_LIBDEFLATE) && defined(__has_include)
+#  if __has_include(<libdeflate.h>)
+#    include <libdeflate.h>
+#    define USE_LIBDEFLATE 1
+#  endif
+#endif
+
 /* Walk BGZF block headers in comp[0..len).  Every block must be complete
  * (the Python caller reads whole-block spans).  When the arrays are
  * non-NULL (capacity max_blocks) fills, per block i:
@@ -80,9 +91,14 @@ typedef struct {
 static void *inflate_worker(void *arg)
 {
     bgzf_task_t *t = (bgzf_task_t *)arg;
+#ifdef USE_LIBDEFLATE
+    struct libdeflate_decompressor *ld = libdeflate_alloc_decompressor();
+    if (!ld) { t->rc = -1; return NULL; }
+#else
     z_stream zs;
     memset(&zs, 0, sizeof zs);
     if (inflateInit2(&zs, -15) != Z_OK) { t->rc = -1; return NULL; }
+#endif
     for (int64_t i = t->lo; i < t->hi; i++) {
         int64_t isize = ((i + 1 < t->n) ? t->u_off[i + 1] : t->out_len)
                         - t->u_off[i];
@@ -95,6 +111,16 @@ static void *inflate_worker(void *arg)
             if (cdata_len > 2) { t->rc = -1; break; } /* EOF marker block */
             continue;
         }
+#ifdef USE_LIBDEFLATE
+        size_t got = 0;
+        enum libdeflate_result r = libdeflate_deflate_decompress(
+            ld, h + 12 + xlen, (size_t)cdata_len,
+            t->out + t->u_off[i], (size_t)isize, &got);
+        if (r != LIBDEFLATE_SUCCESS || got != (size_t)isize) {
+            t->rc = -1;
+            break;
+        }
+#else
         zs.next_in = (Bytef *)(h + 12 + xlen);
         zs.avail_in = (uInt)cdata_len;
         zs.next_out = (Bytef *)(t->out + t->u_off[i]);
@@ -102,8 +128,13 @@ static void *inflate_worker(void *arg)
         int zrc = inflate(&zs, Z_FINISH);
         if (zrc != Z_STREAM_END || zs.avail_out != 0) { t->rc = -1; break; }
         inflateReset(&zs);
+#endif
     }
+#ifdef USE_LIBDEFLATE
+    libdeflate_free_decompressor(ld);
+#else
     inflateEnd(&zs);
+#endif
     return NULL;
 }
 

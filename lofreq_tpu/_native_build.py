@@ -77,10 +77,18 @@ def get_native_lib() -> ctypes.CDLL:
                 # rounding and break bit-identity with the reference kernels
                 # (goldens in tests/golden/); -march=native only vectorizes,
                 # which keeps per-lane IEEE semantics.
+                # libdeflate (2-3x zlib inflate) is optional: probe for
+                # header + lib, fall back to plain zlib otherwise
+                import ctypes.util as _cu
+
+                extra = []
+                if (os.path.exists("/usr/include/libdeflate.h")
+                        and _cu.find_library("deflate")):
+                    extra = ["-DLOFREQ_HAVE_LIBDEFLATE", "-ldeflate"]
                 subprocess.run(
                     ["gcc", "-O3", "-march=native", "-ffp-contract=off",
                      "-shared", "-fPIC", "-o", tmp, *srcs,
-                     "-lm", "-lpthread", "-lz"],
+                     "-lm", "-lpthread", "-lz", *extra],
                     check=True, capture_output=True,
                 )
                 os.replace(tmp, out)
