@@ -72,6 +72,7 @@ typedef struct {
      * shared); the row path always emits ordered f64 probs and ignores
      * this flag — only the fused sweep has a screening fast mode. */
     int32_t screen_flat;
+    int32_t skip_emit_counts;  /* layout parity; row path ignores it */
     double mq0_errprob;
 } colconf_t;
 

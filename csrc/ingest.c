@@ -1226,6 +1226,13 @@ typedef struct {
      * regroup pass (halves the biggest write stream and drops a full
      * reshuffle of it).  Candidate columns are re-derived exactly. */
     int32_t screen_flat;
+    /* screening SNV-only mode: the emission-side per-column counters
+     * (fw/rv strand counts, raw alt counts, consensus accumulation)
+     * are consumed only by the exact-confirm rebuild / indel emission,
+     * never by the screening pass — skip their per-row scatter RMWs
+     * (the sweep's hottest memory traffic).  cons_nt4 is reported as
+     * the reference base in this mode. */
+    int32_t skip_emit_counts;
     double mq0_errprob;
 } icolconf_t;
 
@@ -1338,19 +1345,21 @@ static inline void fused_base_row(const fusedctx_t *fx, int64_t p,
     int bb = b > 93 ? 93 : b;
     char qc = pp->seqs[pp->seq_start[i] + qp];
     uint8_t n4 = CODE256[(uint8_t)qc];
-    if (r->strand)
-        fx->o_rv[ci * 5 + n4]++;
-    else
-        fx->o_fw[ci * 5 + n4]++;
-    double incr = 1.0 - iq2p8(bb);
-    if (incr == 0.0)
-        incr = DBL_MIN;
-    fx->bc[p * 5 + n4] += incr;
+    if (!cf->skip_emit_counts) {
+        if (r->strand)
+            fx->o_rv[ci * 5 + n4]++;
+        else
+            fx->o_fw[ci * 5 + n4]++;
+        double incr = 1.0 - iq2p8(bb);
+        if (incr == 0.0)
+            incr = DBL_MIN;
+        fx->bc[p * 5 + n4] += incr;
+    }
     if (n4 == 4)
         return;
     uint8_t ref4 = fx->o_ref_nt4[ci];
     int is_alt = n4 != ref4;
-    if (is_alt)
+    if (is_alt && !cf->skip_emit_counts)
         fx->o_alt_raw[ci * 5 + n4]++;
     if (bb < cf->min_bq || (is_alt && bb < cf->min_alt_bq))
         return;
@@ -1589,12 +1598,16 @@ static void fused_stripe(fusedctx_t *fx)
                 memcpy(fx->o_probs + lo, scratch, np * sizeof(double));
             }
         }
-        int mx = 0;
-        const double *bcp = fx->bc + p * 5;
-        for (int k2 = 1; k2 < 5; k2++)
-            if (bcp[k2] > bcp[mx])
-                mx = k2;
-        fx->o_cons_nt4[ci] = (uint8_t)mx;
+        if (fx->cf->skip_emit_counts) {
+            fx->o_cons_nt4[ci] = fx->o_ref_nt4[ci];
+        } else {
+            int mx = 0;
+            const double *bcp = fx->bc + p * 5;
+            for (int k2 = 1; k2 < 5; k2++)
+                if (bcp[k2] > bcp[mx])
+                    mx = k2;
+            fx->o_cons_nt4[ci] = (uint8_t)mx;
+        }
     }
     free(scratch);
 }

@@ -29,6 +29,7 @@ class _ColConf(ctypes.Structure):
         ("max_depth", ctypes.c_int32),
         ("baq_bias", ctypes.c_int32),
         ("screen_flat", ctypes.c_int32),
+        ("skip_emit_counts", ctypes.c_int32),
         ("mq0_errprob", ctypes.c_double),
     ]
 
@@ -70,6 +71,14 @@ def colconf_struct(pconf: PileupConf, vconf) -> _ColConf:
             if (getattr(vconf, "baq_screen_null", False)
                 or getattr(vconf, "baq_screen_bias", 0) > 0)
             else 0),
+        # screening SNV-only mode: fw/rv, raw alt counts and the
+        # consensus accumulation feed only indel emission and the
+        # exact-confirm rebuild (which recomputes them exactly) — skip
+        # their per-row scatter RMWs, the sweep's hottest traffic
+        skip_emit_counts=1 if (
+            (getattr(vconf, "baq_screen_null", False)
+             or getattr(vconf, "baq_screen_bias", 0) > 0)
+            and (vconf.no_indels or not pconf.collect_indels)) else 0,
         mq0_errprob=D.MQ0_ERRPROB,
     )
 
