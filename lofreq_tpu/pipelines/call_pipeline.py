@@ -24,13 +24,14 @@ from ..io.vcf import VcfWriter, new_header
 from ..pileup.engine import PileupConf, compile_columns, read_passes_filters, rows_from_reads
 from ..pileup.sourcequal import compute_source_quals
 
-#: position-window width of the streaming pileup.  25 kb measured fastest
-#: on the bench workload (interleaved sweep 6.25k/12.5k/25k/50k/100k, 4-core
-#: host): small windows pipeline deeper (more worker/consumer overlap),
-#: keep slab working sets cache-resident, and ride out hypervisor-steal
-#: bursts; below ~12 kb per-window fixed costs win.  Output is
-#: window-size-invariant (asserted in the sweep and by the differentials).
-WINDOW = int(__import__("os").environ.get("LOFREQ_TPU_WINDOW", "25000"))
+#: position-window width of the streaming pileup.  12.5 kb measured
+#: fastest after the r5 pipeline changes (rotated-order sweep
+#: 6.25k/8k/12.5k/25k/37.5k/50k on the 4-core host: the cheaper sweeps +
+#: executor confirms + span-cached inflation made deeper pipelining win —
+#: 25 kb had been optimal before; med 4.9s -> 3.2s, best 1.76s at the
+#: bench workload).  Output is window-size-invariant (asserted in the
+#: invariance test and by the differentials).
+WINDOW = int(__import__("os").environ.get("LOFREQ_TPU_WINDOW", "12500"))
 HEARTBEAT_COLS = 100_000  # progress log cadence (cf. plp.c:1434-1438)
 
 
