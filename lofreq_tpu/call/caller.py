@@ -502,6 +502,35 @@ def _emit_snvs(out_vars, batch, ep, order_idx, pvalues, running_bonf, conf):
             )
 
 
+class LazyCandidates:
+    """Deferred screen-fetch marker appended to screen_ctx by the
+    code-native screening flow: resolve() blocks on the in-flight
+    device masks and returns the [(position, bonf)] candidate list.
+    Consumers (confirm_snv_candidates via the pipeline's confirm
+    executor) resolve it off the consumer thread, hiding the tunnel's
+    per-RPC latency under later windows' sweeps."""
+
+    __slots__ = ("_resolve",)
+
+    def __init__(self, resolve):
+        self._resolve = resolve
+
+    def resolve(self):
+        return self._resolve()
+
+
+def resolve_candidates(cands):
+    """Flatten a screen_ctx list that may hold LazyCandidates markers
+    and/or plain (position, bonf) tuples."""
+    out = []
+    for c in cands:
+        if isinstance(c, LazyCandidates):
+            out.extend(c.resolve())
+        else:
+            out.append(c)
+    return out
+
+
 def _screen_codes_flow(batch, ep, order_idx, running_bonf, conf,
                        screen_ctx) -> bool:
     """Code-native screening for the whole batch: C-side top-S u8 codes
@@ -534,8 +563,12 @@ def _screen_codes_flow(batch, ep, order_idx, running_bonf, conf,
     if not len(surv):
         return True
     # survivors-only sub-screen, <= PACK_MAX_COLS per dispatch (reuses
-    # the production (4096, TOP_S) compile); dispatches issue first
-    # (async), fetches after — device latency overlaps the later issues
+    # the production (4096, TOP_S) compile).  Dispatches issue NOW
+    # (async); the blocking fetches are deferred into a LAZY resolver
+    # that the pipeline's confirm executor calls — so the tunnel's
+    # ~30ms-per-RPC round trip overlaps the next windows' sweeps
+    # instead of stalling the consumer (measured ~0.5s/run of screen
+    # wall at 16 windows).
     handles = []
     dev_on = conf.device_screen_on()
     for lo in range(0, len(surv), PACK_MAX_COLS):
@@ -547,18 +580,25 @@ def _screen_codes_flow(batch, ep, order_idx, running_bonf, conf,
                     codes[ch], ks_t[ch],
                     running_bonf[ch].astype(np.float64), conf.sig)
         handles.append((ch, sub))
-    for ch, sub in handles:
-        with stagetimer.stage("screen"):
-            if sub is not None:
-                cand = screen_fetch(sub)
-            else:
-                cand = host_screen_tail_codes(
-                    codes[ch], ks_t[ch],
-                    running_bonf[ch].astype(np.float64), conf.sig)
-        for j in np.nonzero(cand)[0]:
-            t = int(ch[j])
-            screen_ctx.append((int(batch.positions[order_idx[t]]),
-                               int(running_bonf[t])))
+    positions = batch.positions
+
+    def _resolve():
+        cands = []
+        for ch, sub in handles:
+            with stagetimer.stage("screen"):
+                if sub is not None:
+                    cand = screen_fetch(sub)
+                else:
+                    cand = host_screen_tail_codes(
+                        codes[ch], ks_t[ch],
+                        running_bonf[ch].astype(np.float64), conf.sig)
+            for j in np.nonzero(cand)[0]:
+                t = int(ch[j])
+                cands.append((int(positions[order_idx[t]]),
+                              int(running_bonf[t])))
+        return cands
+
+    screen_ctx.append(LazyCandidates(_resolve))
     return True
 
 
@@ -767,6 +807,7 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
     from ..pileup.native_ingest import ingest_region
 
     out: list = []
+    cands = resolve_candidates(cands)  # blocks on in-flight screen masks
     if not cands:
         return out
     vc = copy.copy(conf)
