@@ -1629,8 +1629,14 @@ int64_t lfq_ingest_columns(
     int64_t *o_col_start, double *o_probs,
     int64_t *o_num_ins, int64_t *o_num_dels, int64_t *o_num_non_indels,
     int64_t *o_num_ign, int64_t *o_ins_ne_sum, int64_t *o_del_ne_sum,
-    int64_t *o_ins_ev_max, int64_t *o_del_ev_max)
+    int64_t *o_ins_ev_max, int64_t *o_del_ev_max,
+    int64_t probs_cap, int64_t *need_rows)
 {
+    /* probs_cap: capacity (elements) of o_probs; when the window needs
+     * more, *need_rows is set and -2 returned BEFORE the expensive
+     * stripe pass — callers grow the slab and retry, which removes the
+     * separate Python-level counting call entirely (probs_cap <= 0
+     * keeps the legacy contract: caller pre-counted, no check). */
     int64_t win_len = win_end - win_beg;
     if (win_len <= 0)
         return 0;
@@ -1702,6 +1708,13 @@ int64_t lfq_ingest_columns(
         free(ri); free(count); free(offset); free(cols_before);
         prep_free(&pp);
         return 0;
+    }
+    if (probs_cap > 0 && total > probs_cap) {
+        if (need_rows)
+            *need_rows = total;
+        free(ri); free(count); free(offset); free(cols_before);
+        prep_free(&pp);
+        return -2;
     }
 
     /* per-column setup + zero the accumulated outputs */

@@ -179,6 +179,24 @@ def trim_raw_to_regions(raw, tid: int, reg_list) -> bytes | None:
                     for i in range(n))
 
 
+# rows-per-raw-byte estimate for the countless fused path: monotone max
+# of observed ratios (over-allocating a grow-only slab is cheap; a retry
+# costs one extra prep+count inside C)
+_ROWS_RATIO = 1.0
+
+
+def _rows_estimate(raw) -> int:
+    return int(len(raw) * _ROWS_RATIO) + 4096
+
+
+def _note_rows_ratio(rows: int, raw_len: int) -> None:
+    global _ROWS_RATIO
+    if raw_len > 0:
+        r = rows / raw_len * 1.1
+        if r > _ROWS_RATIO:
+            _ROWS_RATIO = r
+
+
 _extract_scratch = None
 
 
@@ -423,22 +441,26 @@ def ingest_columns(rdr: BamReader, pconf: PileupConf, colconf_struct,
     cs = _conf_struct(pconf, tid, beg, end, ign_arr=ign_arr,
                       reg_list=reg_list)
     cs._ign_keepalive = ign_arr
-    counts = np.zeros(5, dtype=np.int64)
     buf = np.frombuffer(raw, dtype=np.uint8)
-    with stagetimer.stage("ingest.count"):
-        rc = lib.lfq_ingest_count(
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_int64(len(raw)), ctypes.byref(cs),
-            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        )
-    if rc != 0:
-        raise IOError("native ingest: corrupt BAM record stream")
-    n_reads, n_rows = int(counts[0]), int(counts[1])
-    if n_rows == 0:
-        return None, 0, raw
-    if device_baq is not None and pconf.use_baq and n_reads > 0:
-        cs._pre_keepalive = _splice_device_baq(lib, buf, raw, cs, ref,
-                                               n_reads, device_baq)
+    n_rows = None
+    if device_baq is not None:
+        # the device-BAQ splice needs the read count up front; keep the
+        # separate counting pass for that mode only
+        counts = np.zeros(5, dtype=np.int64)
+        with stagetimer.stage("ingest.count"):
+            rc = lib.lfq_ingest_count(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(len(raw)), ctypes.byref(cs),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        if rc != 0:
+            raise IOError("native ingest: corrupt BAM record stream")
+        n_reads, n_rows = int(counts[0]), int(counts[1])
+        if n_rows == 0:
+            return None, 0, raw
+        if pconf.use_baq and n_reads > 0:
+            cs._pre_keepalive = _splice_device_baq(lib, buf, raw, cs, ref,
+                                                   n_reads, device_baq)
 
     W = int(end - beg)
     gen = pool.next_gen() if pool is not None else None
@@ -458,8 +480,13 @@ def ingest_columns(rdr: BamReader, pconf: PileupConf, colconf_struct,
         col_start=tk(gen, "col_start", W + 1, np.int64),
         # screening mode emits order-free f32 probs (screen_flat==1) or
         # u8 log-quantized codes (==2, see icolconf_t); the same buffer
-        # pointer is passed either way
-        probs=tk(gen, "probs", n_rows,
+        # pointer is passed either way.  Capacity-sized when the count
+        # pass was skipped: the C sweep reports the needed row count
+        # (-2) before its expensive stripes and we grow + retry — one
+        # cheap retry on the first window, none in steady state.
+        probs=tk(gen, "probs",
+                 n_rows if n_rows is not None
+                 else max(_rows_estimate(raw), 4096),
                  np.uint8
                  if getattr(colconf_struct, "screen_flat", 0) == 2
                  else np.float32
@@ -481,23 +508,39 @@ def ingest_columns(rdr: BamReader, pconf: PileupConf, colconf_struct,
     u8 = ctypes.POINTER(ctypes.c_uint8)
     f64 = ctypes.POINTER(ctypes.c_double)
     lib.lfq_ingest_columns.restype = ctypes.c_int64
+    need = ctypes.c_int64(0)
     with stagetimer.stage("ingest.columns"):
-        C = lib.lfq_ingest_columns(
-            buf.ctypes.data_as(u8), ctypes.c_int64(len(raw)),
-            ctypes.byref(cs), ctypes.byref(colconf_struct),
-            ctypes.c_int64(beg), ctypes.c_int64(end),
-            ref, ctypes.c_int64(len(ref)),
-            i64(out["positions"]), i64(out["coverage"]),
-            i64(out["num_bases"]), i64(out["heads"]), i64(out["tails"]),
-            out["ref_nt4"].ctypes.data_as(u8),
-            out["cons_nt4"].ctypes.data_as(u8),
-            i64(out["fw"]), i64(out["rv"]),
-            i64(out["alt_cnt"]), i64(out["alt_raw"]),
-            i64(out["col_start"]), out["probs"].ctypes.data_as(f64),
-            i64(out["num_ins"]), i64(out["num_dels"]), i64(out["num_non"]),
-            i64(out["num_ign"]), i64(out["ins_ne"]), i64(out["del_ne"]),
-            i64(out["ins_ev"]), i64(out["del_ev"]),
-        )
+        while True:
+            # cap check only when the count pass was skipped (n_rows
+            # unknown); with an exact count the legacy contract holds
+            cap = 0 if n_rows is not None else len(out["probs"])
+            C = lib.lfq_ingest_columns(
+                buf.ctypes.data_as(u8), ctypes.c_int64(len(raw)),
+                ctypes.byref(cs), ctypes.byref(colconf_struct),
+                ctypes.c_int64(beg), ctypes.c_int64(end),
+                ref, ctypes.c_int64(len(ref)),
+                i64(out["positions"]), i64(out["coverage"]),
+                i64(out["num_bases"]), i64(out["heads"]),
+                i64(out["tails"]),
+                out["ref_nt4"].ctypes.data_as(u8),
+                out["cons_nt4"].ctypes.data_as(u8),
+                i64(out["fw"]), i64(out["rv"]),
+                i64(out["alt_cnt"]), i64(out["alt_raw"]),
+                i64(out["col_start"]), out["probs"].ctypes.data_as(f64),
+                i64(out["num_ins"]), i64(out["num_dels"]),
+                i64(out["num_non"]),
+                i64(out["num_ign"]), i64(out["ins_ne"]),
+                i64(out["del_ne"]),
+                i64(out["ins_ev"]), i64(out["del_ev"]),
+                ctypes.c_int64(cap), ctypes.byref(need),
+            )
+            if C != -2:
+                break
+            _note_rows_ratio(int(need.value), len(raw))
+            out["probs"] = SlabPool.take(gen, "probs", int(need.value),
+                                         out["probs"].dtype)
     if C < 0:
         raise IOError("native fused ingest failed")
+    if C > 0 and n_rows is None:
+        _note_rows_ratio(int(out["col_start"][C]), len(raw))
     return (out if C else None), int(C), raw
