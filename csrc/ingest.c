@@ -1293,6 +1293,10 @@ typedef struct {
                                      code-native prescreen/screen) */
     const double *mp_tab;         /* [(mq+1)*94] precomputed merged prob
                                      (use_baq==0 && use_sq==0), or NULL */
+    const uint8_t *code_tab;      /* [(mq+1)*94] u8 screen code of mp_tab
+                                     (codes mode, min_jq==0, def_alt_jq==0:
+                                     the per-row emit is then ONE L1 byte
+                                     lookup); NULL otherwise */
     int64_t p_beg, p_end;         /* this stripe */
 } fusedctx_t;
 
@@ -1367,6 +1371,16 @@ static inline void fused_base_row(const fusedctx_t *fx, int64_t p,
     if (is_alt && cf->def_alt_bq > 0)
         use_b = cf->def_alt_bq;
     int32_t mqe = cf->use_mq ? (r->mq == 255 ? -1 : r->mq) : -1;
+    if (fx->code_tab) {
+        /* codes mode with default joint-qual config: mp itself is
+         * unused — emit its precomputed u8 code directly (bit-identical
+         * to lfq_u8code_f64(mp_tab[...]) by construction) */
+        if (is_alt)
+            fx->o_alt_cnt[ci * 5 + n4]++;
+        int64_t slot = fx->cur[p]++;
+        fx->o_codes8[slot] = fx->code_tab[(size_t)(mqe + 1) * 94 + use_b];
+        return;
+    }
     double mp;
     if (fx->mp_tab) {
         /* use_baq==0 && use_sq==0: the merge collapses to a function of
@@ -1776,6 +1790,15 @@ int64_t lfq_ingest_columns(
         }
     }
 
+    uint8_t *code_tab = NULL;
+    if (mp_tab && cf->screen_flat == 2 && cf->min_jq <= 0
+        && cf->min_alt_jq <= 0 && cf->def_alt_jq <= 0) {
+        code_tab = malloc((size_t)256 * 94);
+        if (code_tab)
+            for (size_t k = 0; k < (size_t)256 * 94; k++)
+                code_tab[k] = lfq_u8code_f64(mp_tab[k]);
+    }
+
     fusedctx_t base = {
         .pp = &pp, .ri = ri, .iconf = iconf, .cf = cf,
         .win_beg = win_beg, .win_len = win_len,
@@ -1794,6 +1817,7 @@ int64_t lfq_ingest_columns(
         .o_probs32 = cf->screen_flat == 1 ? (float *)o_probs : NULL,
         .o_codes8 = cf->screen_flat == 2 ? (uint8_t *)o_probs : NULL,
         .mp_tab = mp_tab,
+        .code_tab = code_tab,
     };
 
     FPH("setup");
@@ -1865,6 +1889,7 @@ int64_t lfq_ingest_columns(
     FPH("compact");
     free(ri); free(count); free(offset); free(cols_before);
     free(cur); free(seen); free(tagbuf); free(bc); free(mp_tab);
+    free(code_tab);
     prep_free(&pp);
     return C;
 }
