@@ -40,7 +40,10 @@ import time
 GENOME = int(os.environ.get("LOFREQ_BENCH_GENOME", 200_000))
 DEPTH = int(os.environ.get("LOFREQ_BENCH_DEPTH", 800))
 READLEN = 100
-NRUNS = int(os.environ.get("LOFREQ_BENCH_RUNS", 5))
+# 7 runs: each timed run is only ~2-5s and this host's hypervisor-steal
+# bursts can eat 1-2 of them; a median over 7 is robust to two outliers
+# while the adaptive wall budget still bounds the total
+NRUNS = int(os.environ.get("LOFREQ_BENCH_RUNS", 7))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
