@@ -563,38 +563,35 @@ def _screen_codes_flow(batch, ep, order_idx, running_bonf, conf,
     if not len(surv):
         return True
     # survivors-only sub-screen, <= PACK_MAX_COLS per dispatch (reuses
-    # the production (4096, TOP_S) compile).  Dispatches issue NOW
-    # (async); the blocking fetches are deferred into a LAZY resolver
-    # that the pipeline's confirm executor calls — so the tunnel's
-    # ~30ms-per-RPC round trip overlaps the next windows' sweeps
-    # instead of stalling the consumer (measured ~0.5s/run of screen
-    # wall at 16 windows).
-    handles = []
+    # the production (4096, TOP_S) compile).  The WHOLE sub-screen —
+    # pad + host->device transfers + kernel + mask fetch — runs inside
+    # a LAZY resolver on the pipeline's confirm executor: on a tunneled
+    # link every transfer/fetch is an RPC (~10-30ms each), and doing
+    # them on the consumer thread measured ~0.5-0.8s/run of critical-
+    # path wall; on the executor they overlap later windows' sweeps.
+    # Survivor positions are COPIED now: batch.positions is slab-pooled
+    # and its generation can be recycled before the resolver runs.
+    positions = np.asarray(batch.positions)[order_idx[surv]].copy()
     dev_on = conf.device_screen_on()
-    for lo in range(0, len(surv), PACK_MAX_COLS):
-        ch = surv[lo:lo + PACK_MAX_COLS]
-        sub = None
-        if dev_on:
-            with stagetimer.stage("screen"):
-                sub = screen_dispatch_codes(
-                    codes[ch], ks_t[ch],
-                    running_bonf[ch].astype(np.float64), conf.sig)
-        handles.append((ch, sub))
-    positions = batch.positions
 
     def _resolve():
         cands = []
-        for ch, sub in handles:
+        for lo in range(0, len(surv), PACK_MAX_COLS):
+            ch = surv[lo:lo + PACK_MAX_COLS]
+            bonf_f = running_bonf[ch].astype(np.float64)
             with stagetimer.stage("screen"):
+                sub = None
+                if dev_on:
+                    sub = screen_dispatch_codes(codes[ch], ks_t[ch],
+                                                bonf_f, conf.sig)
                 if sub is not None:
                     cand = screen_fetch(sub)
                 else:
-                    cand = host_screen_tail_codes(
-                        codes[ch], ks_t[ch],
-                        running_bonf[ch].astype(np.float64), conf.sig)
+                    cand = host_screen_tail_codes(codes[ch], ks_t[ch],
+                                                  bonf_f, conf.sig)
             for j in np.nonzero(cand)[0]:
                 t = int(ch[j])
-                cands.append((int(positions[order_idx[t]]),
+                cands.append((int(positions[lo + int(j)]),
                               int(running_bonf[t])))
         return cands
 
