@@ -425,8 +425,12 @@ def run_call(
             from ..call.caller import confirm_snv_candidates
             from ..core import stagetimer
 
+            # 3 executor threads: with the device sub-screen's RPCs now
+            # resolved here too (LazyCandidates), 2 threads measured as
+            # the straggler (consumer confirm_wait 0.6s); 3 drains both
+            # the exact C-BAQ confirms and the screen round trips
             CONF_PIPE = int(os.environ.get("LOFREQ_TPU_CONFIRM_PIPE",
-                                           "2"))
+                                           "3"))
             conf_ex = _TPE(max(CONF_PIPE, 1)) if screen_ctx is not None \
                 else None
 
