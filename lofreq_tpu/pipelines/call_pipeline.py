@@ -188,12 +188,49 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
                              pool=row_pool)
         _attach_indels(batch, rows, pconf, ref)
 
+    # dedicated raw prefetcher: ONE thread fetches window raws in
+    # ascending order (the native BGZF span cache extends sequentially,
+    # so in-order fetches re-inflate ~nothing) up to PIPE_DEPTH+1 ahead,
+    # decoupling the fetch chain from worker scheduling — a worker no
+    # longer waits on the rdr lock before it can start a sweep
+    raw_q: dict = {}
+    raw_cv = threading.Condition()
+    raw_stop = [False]
+    PREFETCH_AHEAD = PIPE_DEPTH + 1
+
+    def _prefetcher(windows):
+        for w in windows:
+            if raw_stop[0]:
+                return
+            b, e = max(w, lo), min(w + window, hi)
+            with stagetimer.stage("ingest.raw"):
+                try:
+                    r = raw_records_for_region(rdr, tid, b, e)
+                except Exception as exc:  # surface in the consumer
+                    r = exc
+            with raw_cv:
+                raw_q[w] = r
+                raw_cv.notify_all()
+                while len(raw_q) > PREFETCH_AHEAD and not raw_stop[0]:
+                    raw_cv.wait()
+
+    def _take_raw(w):
+        with raw_cv:
+            while w not in raw_q:
+                raw_cv.wait()
+            r = raw_q.pop(w)
+            raw_cv.notify_all()
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+    from ..core import stagetimer
+
     def _fused_window(w):
         from ..core import stagetimer
 
         b, e = max(w, lo), min(w + window, hi)
-        with rdr_lock, stagetimer.stage("ingest.raw"):
-            raw = raw_records_for_region(rdr, tid, b, e)
+        raw = _take_raw(w)
         if not raw:
             return None
         with stagetimer.stage("ingest_columns"):
@@ -235,6 +272,10 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
         if fused_snv:
             from collections import deque
 
+            windows = list(range(win, hi, window))
+            pf = threading.Thread(target=_prefetcher, args=(windows,),
+                                  name="raw-prefetch", daemon=True)
+            pf.start()
             futs = deque()
             w = win
             while w < hi and len(futs) < PIPE_DEPTH:
@@ -250,6 +291,7 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
                     w += window
                 if batch is not None:
                     yield batch
+            pf.join()
             return
         fut = _submit(win) if win < hi else None
         if True:
@@ -259,6 +301,11 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
                 yield _batch
     finally:
         ex.shutdown(wait=True)
+        # stop + unblock a parked prefetcher on abnormal exit
+        with raw_cv:
+            raw_stop[0] = True
+            raw_q.clear()
+            raw_cv.notify_all()
 
 
 def _native_window_loop(fut, submit, win, hi, window, lo, fused, rdr, tid,
