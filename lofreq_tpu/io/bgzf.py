@@ -644,6 +644,11 @@ def native_extract_multi(path, chunks) -> bytes | None:
             if hi < lo or hi > int(u_off[-1]):
                 return None
             parts[i] = out[lo:hi]
+    if len(parts) == 1 and not isinstance(parts[0], bytes):
+        # zero-copy: the common one-cluster window returns a view of
+        # the cached span (ndarray slices hold a reference, and cache
+        # replacement never mutates old arrays in place)
+        return memoryview(parts[0])
     return b"".join(p.tobytes() if not isinstance(p, bytes) else p
                     for p in parts)
 
