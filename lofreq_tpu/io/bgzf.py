@@ -572,7 +572,7 @@ def _inflate_span(path, cbeg: int, span_end: int):
     return res
 
 
-def native_extract_multi(path, chunks) -> bytes | None:
+def native_extract_multi(path, chunks, inflate_hint=None) -> bytes | None:
     """Concatenated payloads of several [vbeg, vend) chunk ranges.
 
     The BAI's per-window chunk lists are one near-contiguous run (the
@@ -583,7 +583,13 @@ def native_extract_multi(path, chunks) -> bytes | None:
     inflate directly WITHOUT touching the cache — a 100 KB stray chunk
     must not evict the 15 MB window span the next window will extend
     (observed: exactly that eviction forced full re-inflation of every
-    window).  Returns None on any parse anomaly (callers fall back)."""
+    window).  Returns None on any parse anomaly (callers fall back).
+
+    inflate_hint: a virtual offset a few windows AHEAD — the largest
+    cluster's inflation span extends to it, so the NEXT windows' fetches
+    land fully inside the cached span and become pure zero-copy slices
+    (no inflate, no concat).  Only inflation extends; returned payloads
+    still cover exactly the requested chunks."""
     import numpy as np
 
     if not chunks or _native_lib() is None:
@@ -619,16 +625,36 @@ def native_extract_multi(path, chunks) -> bytes | None:
             clusters[-1] = (c[0], max(c[1], eb), c[2] + [i])
         else:
             clusters.append((cb, eb, [i]))
+    hint_end = None
+    if inflate_hint is not None and clusters:
+        hc = inflate_hint >> 16
+        hu = inflate_hint & 0xFFFF
+        try:
+            with open(path, "rb") as fh:
+                if hu == 0:
+                    hint_end = hc
+                else:
+                    bs = _block_bsize_at(fh, hc)
+                    hint_end = hc + bs if bs is not None else None
+        except OSError:
+            hint_end = None
+    biggest = max(range(len(clusters)),
+                  key=lambda i: clusters[i][1] - clusters[i][0]) \
+        if clusters else -1
     parts = [None] * len(spans)
-    for beg, end, idxs in clusters:
+    for ci_, (beg, end, idxs) in enumerate(clusters):
         if end <= beg:
             for i in idxs:
                 parts[i] = b""
             continue
-        if end - beg >= CACHE_MIN:
-            res = _inflate_span(path, beg, end)
+        infl_end = end
+        if (ci_ == biggest and hint_end is not None
+                and end < hint_end <= end + (64 << 20)):
+            infl_end = hint_end
+        if infl_end - beg >= CACHE_MIN:
+            res = _inflate_span(path, beg, infl_end)
         else:
-            res = _inflate_span_fresh(path, beg, end)
+            res = _inflate_span_fresh(path, beg, infl_end)
         if res is None:
             return None
         out, c_off, u_off = res

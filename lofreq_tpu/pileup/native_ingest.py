@@ -129,7 +129,14 @@ def raw_records_for_region(rdr: BamReader, tid, beg, end) -> bytes:
     if tid is not None and os.path.exists(bai_path):
         idx = BaiIndex.load(bai_path)
         chunks = idx.query(tid, beg or 0, end if end else 1 << 29)
-        merged = native_extract_multi(rdr.path, chunks)
+        # inflate ~2 windows ahead so the next sequential fetches land
+        # fully inside the cached span (pure zero-copy slices)
+        hint = None
+        if beg is not None and end is not None and end > beg:
+            ahead = idx.query(tid, end, end + 2 * (end - beg))
+            if ahead:
+                hint = max(c[1] for c in ahead)
+        merged = native_extract_multi(rdr.path, chunks, inflate_hint=hint)
         if merged is not None:
             return merged
         parts = []
