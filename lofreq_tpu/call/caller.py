@@ -815,8 +815,14 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
     # merge candidates into one interval only when they can share reads
     # (~read length apart); all intervals go into ONE native ingest pass
     # (csrc/ingest.c in_region interval list), so the window's raw bytes
-    # are parsed once and the exact C BAQ runs only on overlapping reads
-    GAP = 300
+    # are parsed once and the exact C BAQ runs only on overlapping reads.
+    # 150 ~ max short-read reference span: a wider gap only pulls in
+    # reads that cover NO candidate column — they'd be BAQ'd for nothing
+    # (the old 300 measured ~2x the necessary confirm BAQ work); a read
+    # genuinely covering two candidates implies they are < read-length
+    # apart, which 150 preserves.  Correctness is GAP-independent: each
+    # candidate's interval keeps every read overlapping that column.
+    GAP = 150
     intervals = [[cands[0][0], cands[0][0] + 1]]
     for p, _bf in cands[1:]:
         if p - intervals[-1][1] > GAP:
