@@ -1297,6 +1297,9 @@ typedef struct {
                                      (codes mode, min_jq==0, def_alt_jq==0:
                                      the per-row emit is then ONE L1 byte
                                      lookup); NULL otherwise */
+    int cap_possible;             /* any position's raw count > max_depth
+                                     (when 0, seen[] bookkeeping and the
+                                     depth-cap check are skippable) */
     int64_t p_beg, p_end;         /* this stripe */
 } fusedctx_t;
 
@@ -1456,6 +1459,53 @@ static void fused_stripe(fusedctx_t *fx)
                     j0 = gp0 - r->pos;
                 if (r->pos + l > gp1)
                     j1 = gp1 - r->pos;
+                if (cf->skip_emit_counts && fx->code_tab
+                    && !fx->cap_possible) {
+                    /* screening SNV-only + code-table + no depth cap in
+                     * this window: the row work collapses to qual
+                     * check, num_bases++, (rare) alt_cnt++, one code
+                     * byte.  heads/tails, seen[], num_non and the
+                     * +=0 ne-sums are all provably unconsumed here
+                     * (emission counters rebuild exactly in confirm;
+                     * the cons-indel gate compares ev>ne sums, which
+                     * zero-iq/dq fast-path rows never change). */
+                    const uint8_t *qrow = fx->pp->quals
+                        + fx->pp->seq_start[i];
+                    const char *srow = fx->pp->seqs
+                        + fx->pp->seq_start[i];
+                    int32_t mqe = cf->use_mq
+                        ? (ri->mq == 255 ? -1 : ri->mq) : -1;
+                    const uint8_t *ctab = fx->code_tab
+                        + (size_t)(mqe + 1) * 94;
+                    const int min_plp = cf->min_plp_bq;
+                    const int min_bq = cf->min_bq;
+                    const int min_abq = cf->min_alt_bq;
+                    const int dab = cf->def_alt_bq;
+                    for (int64_t j = j0; j < j1; j++) {
+                        int64_t p = r->pos + j - fx->win_beg;
+                        int b = qrow[j];
+                        if (b < min_plp)
+                            continue;
+                        int64_t ci = fx->cols_before[p];
+                        fx->o_num_bases[ci]++;
+                        int bb = b > 93 ? 93 : b;
+                        uint8_t n4 = CODE256[(uint8_t)srow[j]];
+                        if (n4 == 4)
+                            continue;
+                        int use_b = bb;
+                        if (n4 != fx->o_ref_nt4[ci]) {
+                            if (bb < min_bq || bb < min_abq)
+                                continue;
+                            if (dab > 0)
+                                use_b = dab;
+                            fx->o_alt_cnt[ci * 5 + n4]++;
+                        } else if (bb < min_bq) {
+                            continue;
+                        }
+                        fx->o_codes8[fx->cur[p]++] = ctab[use_b];
+                    }
+                    continue;
+                }
                 for (int64_t j = j0; j < j1; j++) {
                     int64_t gp = r->pos + j;
                     int64_t p = gp - fx->win_beg;
@@ -1708,10 +1758,13 @@ int64_t lfq_ingest_columns(
     int64_t *cols_before = malloc((win_len + 1) * sizeof(int64_t));
     offset[0] = 0;
     cols_before[0] = 0;
+    int cap_hit = 0;
     for (int64_t p = 0; p < win_len; p++) {
         int64_t c = count[p + 1];
-        if (c > maxd)
+        if (c > maxd) {
             c = maxd;
+            cap_hit = 1;
+        }
         offset[p + 1] = offset[p] + c;
         cols_before[p + 1] = cols_before[p] + (count[p + 1] > 0);
     }
@@ -1818,6 +1871,7 @@ int64_t lfq_ingest_columns(
         .o_codes8 = cf->screen_flat == 2 ? (uint8_t *)o_probs : NULL,
         .mp_tab = mp_tab,
         .code_tab = code_tab,
+        .cap_possible = cap_hit,
     };
 
     FPH("setup");
