@@ -1444,16 +1444,47 @@ static void fused_stripe(fusedctx_t *fx)
         int64_t s0 = pp->seq_start[i];
         int64_t first_emit = r->pos;           /* head row position */
         int64_t last_emit = ri->endpos - 1;    /* tail row position */
-        /* fast path: one match op, no BI/BD, permissive min_plp_idq —
-         * every base row is kind-0 with iq=dq=0, so the whole defer
-         * machinery reduces to num_non_indels++ per surviving row.
-         * Most reads in real data are a single M op; bit-identical to
-         * the general walk below (checked by the fused-vs-row tests). */
-        if (r->n_cigar == 1 && !ri->bi && !ri->bd
-            && cf->min_plp_idq <= 0) {
-            int op0 = r->cigar[0] & 0xf;
-            if (op0 == OPM || op0 == OPEQ || op0 == OPX) {
-                int64_t l = r->cigar[0] >> 4;
+        /* fast path: one match op (optionally soft/hard-clipped at
+         * either end — S shifts the query offset, H consumes nothing),
+         * no BI/BD, permissive min_plp_idq — every base row is kind-0
+         * with iq=dq=0, so the whole defer machinery reduces to
+         * num_non_indels++ per surviving row.  Most reads in real data
+         * are [S]M[S]; bit-identical to the general walk below
+         * (checked by the fused-vs-row tests). */
+        int fp_ok = 0;
+        int64_t fp_l = 0, fp_qoff = 0;
+        if (!ri->bi && !ri->bd && cf->min_plp_idq <= 0
+            && r->n_cigar >= 1 && r->n_cigar <= 3) {
+            int k0 = 0, k1 = r->n_cigar;
+            while (k0 < k1) {
+                int op = r->cigar[k0] & 0xf;
+                if (op == OPS) {
+                    fp_qoff += r->cigar[k0] >> 4;
+                    k0++;
+                } else if (op == OPH) {
+                    k0++;
+                } else {
+                    break;
+                }
+            }
+            while (k1 - 1 > k0) {
+                int op = r->cigar[k1 - 1] & 0xf;
+                if (op == OPS || op == OPH)
+                    k1--;
+                else
+                    break;
+            }
+            if (k1 - k0 == 1) {
+                int opm = r->cigar[k0] & 0xf;
+                if (opm == OPM || opm == OPEQ || opm == OPX) {
+                    fp_ok = 1;
+                    fp_l = r->cigar[k0] >> 4;
+                }
+            }
+        }
+        if (fp_ok) {
+            {
+                int64_t l = fp_l;
                 int64_t j0 = 0, j1 = l;
                 if (r->pos < gp0)
                     j0 = gp0 - r->pos;
@@ -1483,13 +1514,13 @@ static void fused_stripe(fusedctx_t *fx)
                     const int dab = cf->def_alt_bq;
                     for (int64_t j = j0; j < j1; j++) {
                         int64_t p = r->pos + j - fx->win_beg;
-                        int b = qrow[j];
+                        int b = qrow[fp_qoff + j];
                         if (b < min_plp)
                             continue;
                         int64_t ci = fx->cols_before[p];
                         fx->o_num_bases[ci]++;
                         int bb = b > 93 ? 93 : b;
-                        uint8_t n4 = CODE256[(uint8_t)srow[j]];
+                        uint8_t n4 = CODE256[(uint8_t)srow[fp_qoff + j]];
                         if (n4 == 4)
                             continue;
                         int use_b = bb;
@@ -1512,8 +1543,8 @@ static void fused_stripe(fusedctx_t *fx)
                     if (fx->seen[p] >= maxd)
                         continue;
                     fx->seen[p]++;
-                    fused_base_row(fx, p, i, j, gp == first_emit,
-                                   gp == last_emit);
+                    fused_base_row(fx, p, i, fp_qoff + j,
+                                   gp == first_emit, gp == last_emit);
                     fx->o_num_non_indels[fx->cols_before[p]]++;
                 }
                 continue;
