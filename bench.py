@@ -10,17 +10,21 @@ value      = pileup columns/sec through the COMPLETE default `call`
              confirmation -> VCF records) on a synthetic BAM.  MEDIAN of
              N timed runs after a warm-up region (kernel compiles
              amortized); the min/max spread is reported in "unit".
-vs_baseline = value / measured single-core reference-C columns/sec: the
-             reference's OWN kernels (snpcaller.c plp_to_errprobs+qsort+
-             snpcaller per column, bam_md_ext.c/kprobaln_ext.c BAQ per
-             read), compiled unmodified from /root/reference and timed
-             on this machine at the same workload shape
-             (tests/oracle/bench_ref.c).  That denominator EXCLUDES the
-             reference's BAM decode/pileup/VCF costs, so the ratio
-             understates the true end-to-end speedup.  When the
-             reference checkout is absent the fallback denominator is
-             this repo's own single-thread no-device path (reported in
-             "unit").  Correctness: the device run's VCF records must be
+vs_baseline = median over runs of (cols_i / ref_i), where ref_i is a
+             single-core reference-C measurement INTERLEAVED right
+             after timed run i — the reference's OWN kernels
+             (snpcaller.c plp_to_errprobs+qsort+snpcaller per column,
+             bam_md_ext.c/kprobaln_ext.c BAQ per read), compiled
+             unmodified from /root/reference (tests/oracle/
+             bench_ref.c).  Pairwise co-sampling matters on this host:
+             hypervisor-steal bursts last minutes, so a denominator
+             measured before the runs can see a different machine than
+             they do.  The denominator EXCLUDES the reference's BAM
+             decode/pileup/VCF costs, so the ratio understates the
+             true end-to-end speedup.  When the reference checkout is
+             absent the fallback denominator is this repo's own
+             single-thread no-device path (reported in "unit").
+             Correctness: the device run's VCF records must be
              identical to the single-core no-device run's.
 
 BASELINE.md driver metric: "pileup columns/sec; end-to-end wall-clock vs
@@ -54,10 +58,10 @@ def simulate(tmpdir):
     return simulate_fast(tmpdir, genome_len=GENOME, depth=DEPTH, seed=3)
 
 
-def reference_c_cols_per_sec(tmpdir):
-    """Median-of-3 single-core reference-C throughput at this workload
-    shape (tests/oracle/bench_ref.c over the reference's own kernels).
-    None when the reference checkout isn't available."""
+def build_bench_ref(tmpdir):
+    """Compile the single-core reference-C kernel bench
+    (tests/oracle/bench_ref.c over the reference's own kernels).
+    Returns the exe path, or None when the checkout is absent."""
     if not os.path.isdir("/root/reference/src/lofreq"):
         return None
     exe = os.path.join(tmpdir, "bench_ref")
@@ -66,13 +70,18 @@ def reference_c_cols_per_sec(tmpdir):
             [os.path.join(REPO, "tests", "oracle", "build_bench_ref.sh"),
              exe],
             capture_output=True, check=True, timeout=120)
-        rates = []
-        for _ in range(3):
-            out = subprocess.run(
-                [exe, str(DEPTH), str(READLEN), str(GENOME), "4000"],
-                capture_output=True, text=True, check=True, timeout=120)
-            rates.append(json.loads(out.stdout)["ref_cols_per_sec"])
-        return statistics.median(rates)
+        return exe
+    except Exception:
+        return None
+
+
+def reference_c_once(exe):
+    """One reference-C measurement (cols/s), or None on failure."""
+    try:
+        out = subprocess.run(
+            [exe, str(DEPTH), str(READLEN), str(GENOME), "4000"],
+            capture_output=True, text=True, check=True, timeout=120)
+        return float(json.loads(out.stdout)["ref_cols_per_sec"])
     except Exception:
         return None
 
@@ -102,7 +111,7 @@ def baseline_single_core(art):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def device_run(art):
+def device_run(art, ref_exe=None):
     """Default call (TPU engine), warmed then timed NRUNS times.
 
     Records, per run, the wall AND the stagetimer breakdown; the engine
@@ -140,6 +149,7 @@ def device_run(art):
     run_call(art["bam"], art["fa"], region=f"{chrom}:1-6000",
              vconf=VarcallConf())
     walls = []
+    ref_rates = []
     stage_reports = []
     res = None
     # adaptive run count: keep total timed wall ~bounded even when the
@@ -151,6 +161,14 @@ def device_run(art):
         res = run_call(art["bam"], art["fa"], vconf=VarcallConf())
         walls.append(time.time() - t0)
         stage_reports.append(stagetimer.report())
+        # co-sampled denominator: hypervisor-steal bursts last minutes,
+        # so a reference-C measurement taken minutes before the timed
+        # runs can see a different machine than they do — interleave
+        # one single-core reference run after each timed run and use
+        # PAIRWISE ratios (median over i of cols_i / ref_i)
+        if ref_exe is not None:
+            r = reference_c_once(ref_exe)
+            ref_rates.append(r if r else None)
         if sum(walls) + walls[-1] > budget_s and len(walls) >= 3:
             break
     n_runs = len(walls)
@@ -181,7 +199,8 @@ def device_run(art):
     except Exception:
         pass
     # lists, not tuples: the baseline's came through a JSON round-trip
-    return dict(walls=walls, stages=stages, engine=engine,
+    return dict(walls=walls, ref_rates=ref_rates, stages=stages,
+                engine=engine,
                 vars=[[v.pos, v.ref, v.alt, v.qual, v.info]
                       for v in res.vars],
                 tests=res.stats.num_snv_tests)
@@ -204,9 +223,9 @@ def main():
         pass
     with tempfile.TemporaryDirectory() as td:
         art = simulate(td)
-        ref_rate = reference_c_cols_per_sec(td)
+        ref_exe = build_bench_ref(td)
         base = baseline_single_core(art)
-        dev = device_run(art)
+        dev = device_run(art, ref_exe=ref_exe)
         if base["vars"] != dev["vars"] or base["tests"] != dev["tests"]:
             print(json.dumps({"metric": "end_to_end_call_columns_per_sec",
                               "value": 0, "unit": "MISMATCH vs baseline",
@@ -214,12 +233,18 @@ def main():
             return 1
         wall = statistics.median(dev["walls"])
         cols_per_sec = GENOME / wall
-        if ref_rate:
-            vs = cols_per_sec / ref_rate
-            denom = (f"measured single-core reference-C kernels "
-                     f"({ref_rate:.0f} cols/s, tests/oracle/bench_ref.c "
-                     "— excludes ref BAM/pileup/VCF costs, so the ratio "
-                     "understates)")
+        pairs = [(GENOME / w, r) for w, r in
+                 zip(dev["walls"], dev["ref_rates"]) if r]
+        if pairs:
+            ratios = sorted(c / r for c, r in pairs)
+            vs = ratios[len(ratios) // 2]
+            med_ref = statistics.median(r for _c, r in pairs)
+            denom = (f"PAIRWISE co-sampled single-core reference-C "
+                     f"kernels (one ref run interleaved after each "
+                     f"timed run, median ratio; ref median "
+                     f"{med_ref:.0f} cols/s, tests/oracle/bench_ref.c "
+                     "— excludes ref BAM/pileup/VCF costs, so the "
+                     "ratio understates)")
         else:
             vs = base["wall"] / wall
             denom = ("repo's own single-thread no-device path "
@@ -242,6 +267,8 @@ def main():
                      f"{engine_s}; vs_baseline = value / {denom}"),
             "vs_baseline": round(vs, 2),
             "runs_wall_s": [round(w, 3) for w in dev["walls"]],
+            "ref_rates_cols_s": [round(r, 1) if r else None
+                                 for r in dev["ref_rates"]],
             "median_run_stages_s": dev["stages"],
             "engine": eng,
         })
