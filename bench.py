@@ -211,14 +211,19 @@ def main():
     # service's queue time — the dominant, wildly variable cost (1.4s to
     # 200s+ for the same program) — then overlaps artifact generation,
     # the reference-C build and the baseline run instead of eating the
-    # bounded warm-up budget in device_run
+    # bounded warm-up budget in device_run.  GATED on the subprocess
+    # probe answering within a short window: touching the device client
+    # in-process on a dead tunnel can hang, and the probe is the only
+    # hang-safe way to know (device_run re-checks under its own gates
+    # either way, so skipping here only costs overlap).
     try:
         from lofreq_tpu.ops.probe import probe_device
 
-        probe_device(wait_s=0)
-        from lofreq_tpu.ops.screen import screen_ready
+        res = probe_device(wait_s=15)
+        if res is not None and res.get("backend") not in ("cpu", "none"):
+            from lofreq_tpu.ops.screen import screen_ready
 
-        screen_ready(wait_s=0.01)
+            screen_ready(wait_s=0.01)
     except Exception:
         pass
     with tempfile.TemporaryDirectory() as td:
