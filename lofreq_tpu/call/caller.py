@@ -843,14 +843,33 @@ def confirm_snv_candidates(rdr, tid: int, chrom: str, ref: bytes,
         trimmed = trim_raw_to_regions(raw, tid, reg_list)
         if trimmed is not None:
             raw = trimmed
-    rows = ingest_region(rdr, pconf, ref, tid, beg=lo, end=hi,
-                         ign_pos=ign_arr, raw=raw, reg_list=reg_list)
-    if not len(rows.pos):
-        return out
-    batch = build_snv_batch(rows, rows.raw_flags, lo, hi, ref, chrom,
-                            pconf, vc)
-    if batch is None:
-        return out
+    # recycled slab pool: cluster re-ingests run once per window on the
+    # confirm executor; without pooling they fresh-allocated (and page-
+    # faulted) hundreds of MB of row/column arrays per whole-genome run.
+    # One generation is enough — rows and batch share it via disjoint
+    # slab names, and everything extracted below is scalar
+    from ..pileup.native_ingest import SlabPool
+
+    cpool = SlabPool.acquire(1)
+    rows = batch = None
+    try:
+        rows = ingest_region(rdr, pconf, ref, tid, beg=lo, end=hi,
+                             ign_pos=ign_arr, raw=raw, reg_list=reg_list,
+                             pool=cpool)
+        if not len(rows.pos):
+            return out
+        batch = build_snv_batch(rows, rows.raw_flags, lo, hi, ref, chrom,
+                                pconf, vc, pool=cpool)
+        if batch is None:
+            return out
+        return _confirm_score(out, batch, cands, vc)
+    finally:
+        rows = batch = None
+        SlabPool.release(cpool)
+
+
+def _confirm_score(out, batch, cands, vc):
+    """Exact DP + emission over the confirmed candidate columns."""
     pos_to_col = {int(p): i for i, p in enumerate(batch.positions)}
     cols, bonfs = [], []
     for p, bf in cands:

@@ -441,17 +441,31 @@ def _block_bsize_at(fh, coffset: int):
     return None
 
 
-def _inflate_span_fresh(path, cbeg: int, span_end: int):
-    """Scan + parallel-inflate every whole BGZF block in file byte range
-    [cbeg, span_end).  Returns (payload u8 array, abs c_off[n+1] array
-    incl. the end sentinel, u_off[n+1] array incl. total) or None."""
-    import ctypes
+_MMAP_CACHE: dict = {}   # path -> (mtime_ns, np.memmap) — one live
+                         # mapping per input keeps its page-table
+                         # entries warm across windows and runs
 
+
+def _comp_view(path, cbeg: int, span_end: int):
+    """Read-only u8 view of file bytes [cbeg, span_end).  Prefers an
+    mmap (page-cache-backed, shared, never charged as fresh anonymous
+    memory — re-reading the same BAM costs no page zeroing), falling
+    back to a plain read()."""
     import numpy as np
 
-    lib = _native_lib()
-    if lib is None:
-        return None
+    try:
+        mtime = os.stat(path).st_mtime_ns
+        ent = _MMAP_CACHE.get(path)
+        if ent is None or ent[0] != mtime:
+            mm = np.memmap(path, dtype=np.uint8, mode="r")
+            _MMAP_CACHE[path] = ent = (mtime, mm)
+            while len(_MMAP_CACHE) > 4:
+                _MMAP_CACHE.pop(next(iter(_MMAP_CACHE)))
+        mm = ent[1]
+        if span_end <= mm.shape[0]:
+            return mm[cbeg:span_end]
+    except (OSError, ValueError):
+        pass
     try:
         with open(path, "rb") as fh:
             fh.seek(cbeg)
@@ -460,12 +474,21 @@ def _inflate_span_fresh(path, cbeg: int, span_end: int):
         return None
     if len(comp) != span_end - cbeg:
         return None
-    buf = np.frombuffer(comp, dtype=np.uint8)
+    return np.frombuffer(comp, dtype=np.uint8)
+
+
+def _scan_span(lib, buf, cbeg: int, span_end: int):
+    """lfq_bgzf_scan over buf (count + fill passes).  Returns
+    (c_off abs[n+1], c_size[n], u_off rel[n+1], total) or None."""
+    import ctypes
+
+    import numpy as np
+
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     total = ctypes.c_int64(0)
     n = lib.lfq_bgzf_scan(buf.ctypes.data_as(u8p),
-                          ctypes.c_int64(len(comp)),
+                          ctypes.c_int64(len(buf)),
                           None, None, None, ctypes.c_int64(0),
                           ctypes.byref(total))
     if n < 0:
@@ -476,50 +499,134 @@ def _inflate_span_fresh(path, cbeg: int, span_end: int):
     if n == 0:
         c_off[0] = cbeg
         u_off[0] = 0
-        return np.empty(0, np.uint8), c_off, u_off
+        return c_off, c_size[:0], u_off, 0
     n2 = lib.lfq_bgzf_scan(buf.ctypes.data_as(u8p),
-                           ctypes.c_int64(len(comp)),
+                           ctypes.c_int64(len(buf)),
                            c_off.ctypes.data_as(i64p),
                            c_size.ctypes.data_as(i64p),
                            u_off.ctypes.data_as(i64p),
                            ctypes.c_int64(n), ctypes.byref(total))
     if n2 != n:
         return None
-    out = np.empty(int(total.value), np.uint8)
-    rc = lib.lfq_bgzf_inflate_blocks(
-        buf.ctypes.data_as(u8p), c_off.ctypes.data_as(i64p),
-        c_size.ctypes.data_as(i64p), u_off.ctypes.data_as(i64p),
-        ctypes.c_int64(n), out.ctypes.data_as(u8p),
-        ctypes.c_int64(int(total.value)),
-        ctypes.c_int32(_native_threads()))
-    if rc != 0:
-        return None
     c_off[:n] += cbeg
     c_off[n] = span_end
     u_off[n] = int(total.value)
+    return c_off, c_size, u_off, int(total.value)
+
+
+def _inflate_into(lib, buf, c_off, c_size, u_off, out):
+    """Parallel-inflate the scanned blocks into out (length = total).
+    c_off is absolute; the C call wants buf-relative offsets."""
+    import ctypes
+
+    import numpy as np
+
+    n = len(c_size)
+    if n == 0:
+        return True
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    c_rel = np.ascontiguousarray(c_off[:n] - int(c_off[0]))
+    rc = lib.lfq_bgzf_inflate_blocks(
+        buf.ctypes.data_as(u8p), c_rel.ctypes.data_as(i64p),
+        c_size.ctypes.data_as(i64p), u_off.ctypes.data_as(i64p),
+        ctypes.c_int64(n), out.ctypes.data_as(u8p),
+        ctypes.c_int64(len(out)), ctypes.c_int32(_native_threads()))
+    return rc == 0
+
+
+def _inflate_span_fresh(path, cbeg: int, span_end: int):
+    """Scan + parallel-inflate every whole BGZF block in file byte range
+    [cbeg, span_end).  Returns (payload u8 array, abs c_off[n+1] array
+    incl. the end sentinel, u_off[n+1] array incl. total) or None."""
+    import numpy as np
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    buf = _comp_view(path, cbeg, span_end)
+    if buf is None:
+        return None
+    scan = _scan_span(lib, buf, cbeg, span_end)
+    if scan is None:
+        return None
+    c_off, c_size, u_off, total = scan
+    out = np.empty(total, np.uint8)
+    if not _inflate_into(lib, buf, c_off, c_size, u_off, out):
+        return None
     return out, c_off, u_off
 
 
-# one cached inflated span per path: consecutive call windows overlap at
-# the BAI-chunk granularity (~1.6x total re-inflation measured on the
-# bench workload), and window N+1's span prefix is window N's suffix —
-# so the cache reuses already-inflated blocks and only the new tail hits
-# zlib.  Guarded by a lock (pipelined window workers fetch concurrently).
+# One cached inflated span per path: consecutive call windows overlap at
+# the BAI-chunk granularity, and window N+1's span prefix is window N's
+# suffix — so the cache reuses already-inflated blocks and only the new
+# tail hits the inflater.  The span lives inside a PERSISTENT capacity
+# buffer: sequential extensions inflate the tail IN PLACE into spare
+# capacity (prefix drops just advance an offset), and when capacity runs
+# out the live suffix moves into a buffer recycled from _SPAN_FREE.
+# Without this, every window extension re-allocated (concatenate) and
+# freed a multi-MB span — ~1 GB/run of fresh page faults, 2 MB-folio
+# zeroing (numpy madvises THP) and munmap TLB shootdowns, measured as
+# multi-second kernel-time stalls on the 4-core bench host.
+# Entry: dict(mtime, base u8 capacity buffer, beg int offset of the
+# span's first payload byte in base, c_off abs[n+1], u_off rel[n+1]).
+# Guarded by _SPAN_LOCK (pipelined window workers fetch concurrently);
+# extensions serialize on _SPAN_EXTEND and mutate only spare capacity,
+# so handed-out views stay valid.
 _SPAN_CACHE: dict = {}
+_SPAN_FREE: list = []       # retired base buffers awaiting reuse
 _SPAN_LOCK = None
+_SPAN_EXTEND = None
 
 
 def _span_cache_lock():
-    global _SPAN_LOCK
+    global _SPAN_LOCK, _SPAN_EXTEND
     if _SPAN_LOCK is None:
         import threading
 
         _SPAN_LOCK = threading.Lock()
+        _SPAN_EXTEND = threading.Lock()
     return _SPAN_LOCK
 
 
+def _take_base(need: int):
+    """A u8 buffer of capacity >= need: recycled from _SPAN_FREE when a
+    retired buffer is big enough and no outside views keep it pinned
+    (views of handed-out span slices hold a reference to their base —
+    reusing such a buffer would corrupt live windows), else fresh with
+    2x headroom so the next few extensions append in place."""
+    import sys
+
+    import numpy as np
+
+    with _span_cache_lock():
+        for i, arr in enumerate(_SPAN_FREE):
+            # refs when free: the list entry + this loop's `arr` local
+            # + getrefcount's argument == 3
+            if arr.size >= need and sys.getrefcount(arr) <= 3:
+                return _SPAN_FREE.pop(i)
+    return np.empty(max(int(need * 2), 8 << 20), np.uint8)
+
+
+def _retire_base(arr):
+    """Park a replaced capacity buffer for reuse (newest first, keep 3;
+    pinned buffers age out once their views die)."""
+    if arr is None or arr.size < (4 << 20):
+        return
+    _SPAN_FREE.insert(0, arr)
+    del _SPAN_FREE[3:]
+
+
+def _span_slices(ent, i0: int, i1: int):
+    """(payload view, abs c_off, rel u_off) for block range [i0, i1)."""
+    co, uo = ent["c_off"], ent["u_off"]
+    beg = ent["beg"]
+    return (ent["base"][beg + uo[i0]:beg + uo[i1]],
+            co[i0:i1 + 1], uo[i0:i1 + 1] - uo[i0])
+
+
 def _inflate_span(path, cbeg: int, span_end: int):
-    """_inflate_span_fresh with the per-path last-span block cache.
+    """_inflate_span_fresh with the persistent per-path span cache.
     Returned arrays must be treated as read-only (they may alias the
     cache)."""
     import numpy as np
@@ -528,48 +635,108 @@ def _inflate_span(path, cbeg: int, span_end: int):
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         return None
-    with _span_cache_lock():
+    lock = _span_cache_lock()
+
+    def _try_cached():
+        """Serve from the current entry; 'extend' when cbeg is inside
+        but span_end is past the cached end."""
         ent = _SPAN_CACHE.get(path)
-        if ent is not None and ent["mtime"] != mtime:
-            ent = None
-    reuse = None
-    if ent is not None:
-        co, uo, out = ent["c_off"], ent["u_off"], ent["out"]
+        if ent is None or ent["mtime"] != mtime:
+            return None
+        co = ent["c_off"]
         lo, hi = int(co[0]), int(co[-1])
-        if lo <= cbeg < hi:
-            i0 = int(np.searchsorted(co, cbeg))
-            if i0 < len(co) - 1 and co[i0] == cbeg:
-                if span_end <= hi:
-                    # fully inside the cached span
-                    i1 = int(np.searchsorted(co, span_end))
-                    if co[i1] == span_end:
-                        return (out[uo[i0]:uo[i1]],
-                                co[i0:i1 + 1], uo[i0:i1 + 1] - uo[i0])
-                else:
-                    reuse = (i0, co, uo, out)
-    if reuse is not None:
-        i0, co, uo, out = reuse
-        tail = _inflate_span_fresh(path, int(co[-1]), span_end)
-        if tail is None:
+        if not (lo <= cbeg < hi):
             return None
-        t_out, t_co, t_uo = tail
-        n_keep = len(co) - 1 - i0
-        out2 = np.concatenate([out[uo[i0]:], t_out])
-        co2 = np.concatenate([co[i0:-1], t_co])
-        uo2 = np.concatenate([uo[i0:-1] - uo[i0],
-                              t_uo + (uo[-1] - uo[i0])])
-        res = (out2, co2, uo2)
-    else:
-        res = _inflate_span_fresh(path, cbeg, span_end)
-        if res is None:
+        i0 = int(np.searchsorted(co, cbeg))
+        if i0 >= len(co) - 1 or co[i0] != cbeg:
             return None
-    with _span_cache_lock():
-        _SPAN_CACHE[path] = dict(mtime=mtime, c_off=res[1], u_off=res[2],
-                                 out=res[0])
-        # bound: keep only the latest span per path, and only a few paths
-        if len(_SPAN_CACHE) > 4:
-            _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
-    return res
+        if span_end <= hi:
+            i1 = int(np.searchsorted(co, span_end))
+            if co[i1] == span_end:
+                return _span_slices(ent, i0, i1)
+            return None
+        return ("extend", ent, i0)
+
+    with lock:
+        got = _try_cached()
+    if got is not None and not isinstance(got[0], str):
+        return got
+    lib = _native_lib()
+    if lib is None:
+        return None
+    with _SPAN_EXTEND:
+        # re-check under the extension lock: another worker may have
+        # extended past span_end while this one waited
+        with lock:
+            got = _try_cached()
+        if got is not None and not isinstance(got[0], str):
+            return got
+        if got is None:
+            # fresh span into a (recycled) capacity buffer
+            buf = _comp_view(path, cbeg, span_end)
+            if buf is None:
+                return None
+            scan = _scan_span(lib, buf, cbeg, span_end)
+            if scan is None:
+                return None
+            co, cs, uo, total = scan
+            base = _take_base(total)
+            if not _inflate_into(lib, buf, co, cs, uo, base[:total]):
+                return None
+            ent = dict(mtime=mtime, base=base, beg=0, c_off=co, u_off=uo)
+            with lock:
+                old = _SPAN_CACHE.pop(path, None)
+                _SPAN_CACHE[path] = ent
+                if old is not None:
+                    _retire_base(old.get("base"))
+                while len(_SPAN_CACHE) > 4:
+                    ev = _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
+                    _retire_base(ev.get("base"))
+            return _span_slices(ent, 0, len(co) - 1)
+        # extension: inflate [hi, span_end) and append to the live span
+        _tag, ent, i0 = got
+        co, uo = ent["c_off"], ent["u_off"]
+        base, beg = ent["base"], ent["beg"]
+        hi = int(co[-1])
+        live = int(uo[-1])
+        buf = _comp_view(path, hi, span_end)
+        if buf is None:
+            return None
+        scan = _scan_span(lib, buf, hi, span_end)
+        if scan is None:
+            return None
+        t_co, t_cs, t_uo, t_total = scan
+        if beg + live + t_total <= base.size:
+            # in place: spare capacity was never handed out, so live
+            # views (slices of [beg, beg+live)) are untouched
+            dst = base[beg + live:beg + live + t_total]
+            if not _inflate_into(lib, buf, t_co, t_cs, t_uo, dst):
+                return None
+            co2 = np.concatenate([co[:-1], t_co])
+            uo2 = np.concatenate([uo[:-1], t_uo + live])
+            ent2 = dict(mtime=mtime, base=base, beg=beg,
+                        c_off=co2, u_off=uo2)
+            j0 = i0
+        else:
+            # capacity exhausted: move the still-needed suffix
+            # [cbeg, hi) + the new tail into a recycled buffer
+            keep = live - int(uo[i0])
+            base2 = _take_base(keep + t_total)
+            base2[:keep] = base[beg + uo[i0]:beg + live]
+            dst = base2[keep:keep + t_total]
+            if not _inflate_into(lib, buf, t_co, t_cs, t_uo, dst):
+                return None
+            co2 = np.concatenate([co[i0:-1], t_co])
+            uo2 = np.concatenate([uo[i0:-1] - uo[i0], t_uo + keep])
+            ent2 = dict(mtime=mtime, base=base2, beg=0,
+                        c_off=co2, u_off=uo2)
+            j0 = 0
+        with lock:
+            _SPAN_CACHE.pop(path, None)
+            _SPAN_CACHE[path] = ent2
+            if ent2["base"] is not base:
+                _retire_base(base)
+        return _span_slices(ent2, j0, len(co2) - 1)
 
 
 def native_extract_multi(path, chunks, inflate_hint=None) -> bytes | None:

@@ -78,9 +78,70 @@ class SlabPool:
             return np.empty(int(n), dt)
         a = gen.get(name)
         if a is None or a.nbytes < need:
-            a = np.empty(max(int(need * 1.25), 256), np.uint8)
+            # 2x headroom: window/cluster sizes bounce run to run, and a
+            # tight fit re-allocates (and re-faults) the slab every time
+            # the need crosses the previous high-water mark
+            a = np.empty(max(int(need * 2), 256), np.uint8)
             gen[name] = a
         return a[:need].view(dt)
+
+    # -- cross-run recycling ------------------------------------------
+    # A run_call allocates ~tens of MB of slabs and drops them on exit;
+    # repeated calls in one process (call-parallel workers, benches, a
+    # chromosome loop) would re-fault those pages every run.  Finished
+    # pools are parked here and handed back to the next acquire() when
+    # no outside views pin their slabs (a live view chain keeps a slab's
+    # refcount above the parked baseline).
+    _park: list = []
+    _park_lock = None
+    _PARK_MAX_BYTES = 512 << 20
+
+    @classmethod
+    def _plock(cls):
+        if cls._park_lock is None:
+            import threading
+
+            cls._park_lock = threading.Lock()
+        return cls._park_lock
+
+    @classmethod
+    def acquire(cls, generations: int = 2) -> "SlabPool":
+        """A recycled pool with this generation count, else a fresh one."""
+        import sys
+
+        with cls._plock():
+            best, best_bytes = -1, -1
+            for i, p in enumerate(cls._park):
+                if len(p._gens) != generations:
+                    continue
+                # slab refs when free: gen dict + the genexp's `a` local
+                # + getrefcount's argument == 3
+                if all(sys.getrefcount(a) <= 3
+                       for g in p._gens for a in g.values()):
+                    nb = sum(a.nbytes for g in p._gens
+                             for a in g.values())
+                    if nb > best_bytes:
+                        best, best_bytes = i, nb
+            if best >= 0:
+                p = cls._park.pop(best)
+                p._i = 0
+                return p
+        return cls(generations)
+
+    @classmethod
+    def release(cls, pool: "SlabPool") -> None:
+        """Park a pool for reuse (newest first, bounded total bytes)."""
+        if pool is None:
+            return
+        with cls._plock():
+            cls._park.insert(0, pool)
+            total = 0
+            keep = []
+            for p in cls._park:
+                total += sum(a.nbytes for g in p._gens for a in g.values())
+                if total <= cls._PARK_MAX_BYTES and len(keep) < 6:
+                    keep.append(p)
+            cls._park[:] = keep
 
 
 def _conf_struct(conf: PileupConf, tid: int, beg, end,

@@ -152,9 +152,11 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     from ..pileup.fast_columns import _attach_indels, build_snv_batch_fused
     from ..pileup.native_ingest import SlabPool, raw_records_for_region
 
-    # generations: one consumed + PIPE_DEPTH in flight
-    row_pool = SlabPool(PIPE_DEPTH + 1)
-    col_pool = SlabPool(PIPE_DEPTH + 1)
+    # generations: one consumed + PIPE_DEPTH in flight; recycled across
+    # runs (SlabPool.acquire/release) so repeated calls in one process
+    # don't re-fault tens of MB of slab pages every run
+    row_pool = SlabPool.acquire(PIPE_DEPTH + 1)
+    col_pool = SlabPool.acquire(PIPE_DEPTH + 1)
     # fully-fused ingest->columns path (no row materialization).  Indel
     # mode runs it too: the per-event rows are re-ingested SPARSELY from
     # the window's raw bytes at event columns only (interval-list filter),
@@ -306,6 +308,8 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
             raw_stop[0] = True
             raw_q.clear()
             raw_cv.notify_all()
+        SlabPool.release(row_pool)
+        SlabPool.release(col_pool)
 
 
 def _native_window_loop(fut, submit, win, hi, window, lo, fused, rdr, tid,
