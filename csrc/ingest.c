@@ -759,15 +759,31 @@ typedef struct {
     int64_t i0, i1;
 } prep_decode_job_t;
 
+/* two decoded base chars per packed byte (little-endian: first base in
+ * the low byte) — halves the iterations of the inner decode loop */
+static uint16_t NT16_PAIR[256];
+static pthread_once_t nt16pair_once = PTHREAD_ONCE_INIT;
+static void nt16pair_init(void)
+{
+    for (int b = 0; b < 256; b++)
+        NT16_PAIR[b] = (uint16_t)((uint8_t)NT16_CHR[b >> 4]
+                       | ((uint16_t)(uint8_t)NT16_CHR[b & 0xf] << 8));
+}
+
 static void *prep_decode_worker(void *arg)
 {
     prep_decode_job_t *j = arg;
     for (int64_t i = j->i0; i < j->i1; i++) {
         const rec_t *r = &j->recs[i];
         int64_t s0 = j->seq_start[i];
-        for (int k = 0; k < r->l_qseq; k++)
-            j->seqs[s0 + k] =
-                NT16_CHR[(r->seq4[k >> 1] >> ((~k & 1) << 2)) & 0xf];
+        int64_t l = r->l_qseq;
+        char *dst = j->seqs + s0;
+        const uint8_t *s4 = r->seq4;
+        int64_t k = 0;
+        for (; k + 1 < l; k += 2)
+            memcpy(dst + k, &NT16_PAIR[s4[k >> 1]], 2);
+        if (k < l)
+            dst[k] = NT16_CHR[(s4[k >> 1] >> 4) & 0xf];
         if (j->illumina13) {
             for (int k = 0; k < r->l_qseq; k++) {
                 uint8_t q = r->qual[k];
@@ -806,28 +822,41 @@ static int prep_build(const uint8_t *buf, int64_t buflen,
 {
     static _Thread_local arena_t ar_recs, ar_seqs, ar_quals, ar_ss, ar_cs,
         ar_rp, ar_cig, ar_baq, ar_iaq, ar_daq, ar_have;
+    struct timespec _ts; double _t0, _t1;
+    const char *_dbg = getenv("LOFREQ_PREP_PHASE");
+    clock_gettime(CLOCK_MONOTONIC, &_ts);
+    _t0 = _ts.tv_sec + 1e-9 * _ts.tv_nsec;
+    #define PPH(name) do { if (_dbg) { \
+        clock_gettime(CLOCK_MONOTONIC, &_ts); \
+        _t1 = _ts.tv_sec + 1e-9 * _ts.tv_nsec; \
+        fprintf(stderr, "PREP%d%d %s: %.4f\n", conf->use_baq, conf->use_idaq, name, _t1 - _t0); \
+        _t0 = _t1; } } while (0)
     memset(pp, 0, sizeof(*pp));
-    /* first collect kept reads (pointers) so BAQ can run as one batch */
-    int64_t nrec_max = 0;
-    for (int64_t o = 0; o + 4 <= buflen;) {
-        int32_t sz = *(int32_t *)(buf + o);
-        o += 4 + sz;
-        nrec_max++;
-    }
-    rec_t *recs = arena_get(&ar_recs, (nrec_max + 1) * sizeof(rec_t));
+    /* first collect kept reads (pointers) so BAQ can run as one batch.
+     * One streaming pass: the recs arena is sized by the minimum BAM
+     * record size (32-byte fixed header + 4-byte length prefix), which
+     * skips a separate counting walk over the raw bytes.  (A striped
+     * parallel parse was tried here and measured 2x SLOWER on the
+     * 4-core bench host — the scan is memory-bound and the temp-array
+     * staging tripled the traffic.) */
+    rec_t *recs = arena_get(&ar_recs,
+                            (buflen / 36 + 2) * sizeof(rec_t));
     int64_t nreads = 0;
-    int64_t off = 0;
-    int64_t regcur = 0;
-    while (off + 4 <= buflen) {
-        int32_t sz = *(int32_t *)(buf + off);
-        off += 4;
-        rec_t r;
-        if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
-            if (in_region(conf, &regcur, r.pos, rec_endpos(&r)))
-                recs[nreads++] = r;
+    {
+        int64_t off = 0;
+        int64_t regcur = 0;
+        while (off + 4 <= buflen) {
+            int32_t sz = *(int32_t *)(buf + off);
+            off += 4;
+            rec_t r;
+            if (parse_rec(buf + off, sz, &r) == 0 && read_kept(&r, conf)) {
+                if (in_region(conf, &regcur, r.pos, rec_endpos(&r)))
+                    recs[nreads++] = r;
+            }
+            off += sz;
         }
-        off += sz;
     }
+    PPH("scan");
 
     /* per-read scratch: decoded seq chars + (possibly rescaled) quals.
      * Prefix sums serial; the byte-level decode striped across threads. */
@@ -851,7 +880,9 @@ static int prep_build(const uint8_t *buf, int64_t buflen,
     }
     uint32_t *cigars = arena_get(&ar_cig,
                                  (ncig_tot + 1) * sizeof(uint32_t));
+    PPH("alloc");
     {
+        pthread_once(&nt16pair_once, nt16pair_init);
         prep_decode_job_t jobs[64];
         pthread_t tids[64];
         int nth = ingest_threads();
@@ -875,6 +906,7 @@ static int prep_build(const uint8_t *buf, int64_t buflen,
         }
     }
 
+    PPH("decode");
     /* BAQ/IDAQ: reuse tags when present, compute otherwise */
     /* values only read under the matching have[] bit, which implies the
      * producer wrote the full read -> no zeroing of the big buffers */
@@ -934,6 +966,8 @@ static int prep_build(const uint8_t *buf, int64_t buflen,
         free(flags);
     }
 
+    PPH("baqtags");
+    #undef PPH
     pp->recs = recs;
     pp->nreads = nreads;
     pp->seqtot = seqtot;

@@ -106,6 +106,45 @@ def _window_batches(reads_iter, chrom, ref, pconf: PileupConf,
             buf = [b for b in buf if b.endpos() > win_start]
 
 
+_EX_POOL: dict = {}     # workers -> [idle executors]; threads (and their
+_EX_LOCK = None         # native thread-local arenas) survive across runs
+_EX_PID = None          # fork guard: a child inherits executor OBJECTS
+                        # but not their threads — borrowing one would
+                        # hang, so each process starts a fresh pool
+
+
+def _borrow_executor(workers: int):
+    """An exclusive ThreadPoolExecutor with `workers` threads, recycled
+    across runs so the C ingest's _Thread_local arenas stay warm."""
+    import os as _os
+    import threading as _th
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    global _EX_LOCK, _EX_PID
+    pid = _os.getpid()
+    if _EX_LOCK is None or _EX_PID != pid:
+        _EX_LOCK = _th.Lock()
+        _EX_POOL.clear()
+        _EX_PID = pid
+    with _EX_LOCK:
+        lst = _EX_POOL.get(workers)
+        if lst:
+            return lst.pop()
+    return _TPE(workers, thread_name_prefix="lfq-window")
+
+
+def _return_executor(workers: int, ex) -> None:
+    import os as _os
+
+    if _EX_PID != _os.getpid():
+        return ex.shutdown(wait=False)
+    with _EX_LOCK:
+        lst = _EX_POOL.setdefault(workers, [])
+        lst.append(ex)
+        while len(lst) > 4:
+            lst.pop(0).shutdown(wait=False)
+
+
 def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
                            window=WINDOW, vconf=None, ign_pos=None,
                            device_baq=None, keep_raw=False):
@@ -140,7 +179,13 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     # against the same core budget.)
     PIPE_DEPTH = int(__import__("os").environ.get(
         "LOFREQ_TPU_PIPE_DEPTH", "2"))
-    ex = ThreadPoolExecutor(PIPE_DEPTH)
+    # persistent worker threads (borrow/return): the native ingest keeps
+    # tens of MB of grow-only _Thread_local arenas per worker; a fresh
+    # executor per run would kill those threads and re-fault every arena
+    # page on the next run (measured: the dominant remaining source of
+    # per-run kernel time).  Borrowed executors are never shared, so the
+    # per-run pipe-depth semantics are unchanged.
+    ex = _borrow_executor(PIPE_DEPTH)
     rdr_lock = threading.Lock()
 
     import numpy as _np
@@ -219,6 +264,11 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
     def _take_raw(w):
         with raw_cv:
             while w not in raw_q:
+                if raw_stop[0]:
+                    # abnormal shutdown: the prefetcher stopped and this
+                    # window's raw will never arrive — abort the build
+                    # so the finally-drain can't deadlock on it
+                    raise RuntimeError("window pipeline aborted")
                 raw_cv.wait()
             r = raw_q.pop(w)
             raw_cv.notify_all()
@@ -270,6 +320,8 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
 
     from ..core import stagetimer
 
+    pf = None
+    futs = None
     try:
         if fused_snv:
             from collections import deque
@@ -302,12 +354,30 @@ def _native_window_batches(rdr, tid, chrom, ref, pconf, rstart, rend,
                     chrom, ref, pconf, vconf, col_pool):
                 yield _batch
     finally:
-        ex.shutdown(wait=True)
-        # stop + unblock a parked prefetcher on abnormal exit
+        # stop + unblock a parked prefetcher and any worker blocked in
+        # _take_raw before waiting out in-flight window builds
         with raw_cv:
             raw_stop[0] = True
             raw_q.clear()
             raw_cv.notify_all()
+        if fused_snv:
+            # the executor is returned for reuse, NOT shut down — so the
+            # in-flight futures must be fully drained first (a zombie
+            # build writing into released slab pools would corrupt the
+            # next run that recycles them)
+            from concurrent.futures import wait as _fwait
+
+            if futs:
+                for f in futs:
+                    f.cancel()
+                _fwait(list(futs))
+            if pf is not None:
+                pf.join()
+            _return_executor(PIPE_DEPTH, ex)
+        else:
+            # legacy row path: in-flight futures aren't tracked here, so
+            # a real shutdown remains the completion barrier
+            ex.shutdown(wait=True)
         SlabPool.release(row_pool)
         SlabPool.release(col_pool)
 
@@ -482,8 +552,8 @@ def run_call(
             # the exact C-BAQ confirms and the screen round trips
             CONF_PIPE = int(os.environ.get("LOFREQ_TPU_CONFIRM_PIPE",
                                            "3"))
-            conf_ex = _TPE(max(CONF_PIPE, 1)) if screen_ctx is not None \
-                else None
+            conf_ex = _borrow_executor(max(CONF_PIPE, 1)) \
+                if screen_ctx is not None else None
 
             def _timed_confirm(cands, raw):
                 with stagetimer.stage("confirm"):
@@ -537,7 +607,15 @@ def run_call(
                     _drain_one()
             finally:
                 if conf_ex is not None:
-                    conf_ex.shutdown(wait=True)
+                    # recycled, not shut down: drain this run's confirm
+                    # futures first (abandoned ones would outlive the
+                    # loop; their slab views are refcount-safe but the
+                    # results must not leak into a later run)
+                    from concurrent.futures import wait as _fwait
+
+                    _fwait([f for _vs, f, _n, _p in pending
+                            if f is not None])
+                    _return_executor(max(CONF_PIPE, 1), conf_ex)
             continue
 
         if region:
